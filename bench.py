@@ -1,0 +1,64 @@
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and print ONE JSON line with per-query and
+total wall seconds. The driver records this as BENCH_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from vector_search_playground_spark import registry  # noqa: E402
+from vector_search_playground_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    spark = get_spark(app_name="vspg-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry.load_all()
+
+    # JVM/codegen warmup on the smallest SF so the measured numbers reflect
+    # steady-state execution, not first-query classloading.
+    warm = registry.QUERIES["knn_search"]
+    warm(spark, "/root/testdata/sf0.001").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for qid in sorted(registry.QUERIES):
+        fn = registry.QUERIES[qid]
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count() if not df.isStreaming else -1
+        except Exception as exc:  # pragma: no cover - bench must never die
+            print(f"# {qid} FAILED: {exc}", file=sys.stderr)
+            continue
+        dt = time.perf_counter() - t0
+        timings[qid] = round(dt, 4)
+        total += dt
+        print(f"# {qid}: {dt:.3f}s rows={n}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

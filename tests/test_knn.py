@@ -1,0 +1,72 @@
+"""KNN operator properties + physical-plan assertions (SURVEY.md §5.3/5.5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_search_playground_spark.operators.knn import knn, knn_batch
+from vector_search_playground_spark.sources import load_table
+
+
+def test_topk_subset_of_filtered(spark, sf_smoke):
+    embs = load_table(spark, sf_smoke, "embeddings")
+    q = embs.where(F.col("vec_id") == 3).first().embedding
+    top = knn(embs, q, threshold=0.6, k=10, tiebreak="vec_id")
+    rows = top.collect()
+    assert len(rows) <= 10
+    assert all(r.dist < 0.6 for r in rows)
+    # self-match is the nearest neighbor at distance ~0
+    assert rows[0].vec_id == 3
+    assert abs(rows[0].dist) < 1e-6
+    # sorted ascending
+    dists = [r.dist for r in rows]
+    assert dists == sorted(dists)
+
+
+def test_flagship_plan_is_take_ordered(spark, sf_smoke):
+    """Guard the physical plan: top-k must be TakeOrderedAndProject (per-
+    partition heap + driver merge), never a global Sort+Limit shuffle."""
+    embs = load_table(spark, sf_smoke, "embeddings")
+    q = embs.where(F.col("vec_id") == 0).first().embedding
+    plan = knn(embs, q, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_batch_matches_single(spark, sf_smoke):
+    embs = load_table(spark, sf_smoke, "embeddings")
+    queries = (
+        embs.where(F.col("vec_id").isin([0, 1, 2]))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_embedding"),
+        )
+    )
+    batch = knn_batch(embs, queries, k=5, tiebreak="vec_id")
+    got = {
+        qid: sorted((r.vec_id, round(r.dist, 9)) for r in rows)
+        for qid, rows in (
+            (q, [r for r in batch.collect() if r.query_id == q]) for q in [0, 1, 2]
+        )
+    }
+    for qid in [0, 1, 2]:
+        qv = embs.where(F.col("vec_id") == qid).first().embedding
+        single = knn(embs, qv, threshold=None, k=5, tiebreak="vec_id").collect()
+        want = sorted((r.vec_id, round(r.dist, 9)) for r in single)
+        assert got[qid] == want, f"query {qid}"
+
+
+def test_knn_batch_has_no_corpus_shuffle_before_distance(spark, sf_smoke):
+    """The query side must broadcast: plan shows BroadcastNestedLoopJoin
+    (1-row build side), not a shuffled cross join."""
+    embs = load_table(spark, sf_smoke, "embeddings")
+    queries = embs.limit(3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    plan = (
+        knn_batch(embs, queries, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan

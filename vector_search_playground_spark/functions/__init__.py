@@ -1,0 +1,17 @@
+from vector_search_playground_spark.functions.vector import (
+    cosine_distance,
+    cosine_similarity,
+    dot_product,
+    inner_product_distance,
+    l2_distance,
+    l2_norm,
+)
+
+__all__ = [
+    "cosine_distance",
+    "cosine_similarity",
+    "dot_product",
+    "inner_product_distance",
+    "l2_distance",
+    "l2_norm",
+]

@@ -1,0 +1,3 @@
+from vector_search_playground_spark.operators.knn import knn, knn_batch
+
+__all__ = ["knn", "knn_batch"]

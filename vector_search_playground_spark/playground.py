@@ -1,0 +1,88 @@
+"""The reference's public API, Spark-native: create / count / search.
+
+Mirrors the three CLI verbs of `/root/reference/src/main.rs:24-50`:
+- ``create(content)``  — embed + append one row      (`src/main.rs:72-80`)
+- ``count()``          — total rows                  (`src/main.rs:81-84`)
+- ``search(query, t)`` — cosine KNN, top-10 contents (`src/main.rs:85-96`)
+
+Storage is an append-only Parquet directory instead of a Postgres table;
+ids are assigned with ``monotonically_increasing_id`` offset by the current
+max (unique and monotone like Postgres serial, not gap-free — Postgres
+serials aren't gap-free either, e.g. on rollback).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from vector_search_playground_spark.functions.embed import embed_batch, embed_query
+from vector_search_playground_spark.operators.knn import knn
+
+SEARCH_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("content", StringType()),
+        StructField("vector", ArrayType(FloatType())),
+    ]
+)
+
+DEFAULT_THRESHOLD = 0.6  # reference CLI default, src/main.rs:20-21
+DEFAULT_K = 10  # hardcoded in the reference,  src/main.rs:91
+
+
+class Playground:
+    """A vector-search table backed by a Parquet path."""
+
+    def __init__(self, spark: SparkSession, path: str, model: str = "hash64"):
+        self.spark = spark
+        self.path = path
+        self.model = model
+
+    def _table(self) -> DataFrame:
+        try:
+            return self.spark.read.schema(SEARCH_SCHEMA).parquet(self.path)
+        except Exception:
+            return self.spark.createDataFrame([], SEARCH_SCHEMA)
+
+    def create(self, *contents: str) -> int:
+        """Embed and append rows (batched, unlike the reference's 1-at-a-time)."""
+        base = self._table().agg(F.coalesce(F.max("id"), F.lit(-1))).first()[0]
+        df = self.spark.createDataFrame(
+            [(c,) for c in contents], StructType([StructField("content", StringType())])
+        )
+        out = (
+            embed_batch(df, "content", "vector", model=self.model)
+            .withColumn("id", F.monotonically_increasing_id() + F.lit(base + 1))
+            .select("id", "content", "vector")
+        )
+        out.write.mode("append").parquet(self.path)
+        return len(contents)
+
+    def count(self) -> int:
+        return self._table().count()
+
+    def search(
+        self,
+        query: str,
+        threshold: float = DEFAULT_THRESHOLD,
+        k: int = DEFAULT_K,
+    ) -> DataFrame:
+        qv = embed_query(query, model=self.model)
+        return knn(
+            self._table(),
+            qv,
+            vector_col="vector",
+            metric="cosine",
+            threshold=threshold,
+            k=k,
+            tiebreak="id",
+        ).select("content", "dist")

@@ -1,0 +1,306 @@
+"""Tier A + Tier B vector-search queries (SURVEY.md §2).
+
+These reproduce the reference's entire query surface on Spark. The corpus is
+``documents ⋈ embeddings`` (≡ the reference's ``search(id, content, vector)``
+table — FIXTURES.md mapping note). The standing query vector is the
+embedding of ``vec_id = 0``, fetched relationally (broadcast 1-row join) so
+the DuckDB oracle can express the identical computation.
+
+Reference citations per query are in each docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_search_playground_spark.functions import vector as V
+from vector_search_playground_spark.functions.embed import embed_batch, embed_query
+from vector_search_playground_spark.registry import ROUND_DIST, query
+from vector_search_playground_spark.sources import load_table
+
+THRESHOLD = 0.6  # reference default, src/main.rs:20-21
+K = 10  # hardcoded,          src/main.rs:91
+
+# DuckDB fragment for the standing query vector (vec_id = 0). The engine
+# accumulates distances in f64 (functions/vector.py); DuckDB's list_* kernels
+# compute in f32 when given FLOAT lists, so cast to DOUBLE[] for parity.
+_Q0 = (
+    "(SELECT CAST(embedding AS DOUBLE[]) AS query_embedding "
+    "FROM embeddings WHERE vec_id = 0) q"
+)
+_EMB = "CAST(e.embedding AS DOUBLE[])"
+# DuckDB cosine distance vs the standing query, rounded like the engine.
+_DDIST = f"ROUND(1 - list_cosine_similarity({_EMB}, q.query_embedding), {ROUND_DIST})"
+
+
+def _with_query_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ⨯ broadcast(1-row query vector) with rounded cosine dist.
+
+    The broadcast keeps the corpus scan shuffle-free: the plan is
+    Scan → BroadcastNestedLoopJoin(1 row) → Project, one codegen stage.
+    """
+    embs = load_table(spark, sf_dir, "embeddings")
+    q0 = (
+        embs.where(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("query_embedding"))
+    )
+    return embs.crossJoin(F.broadcast(q0)).withColumn(
+        "dist",
+        F.round(
+            V.cosine_distance(F.col("embedding"), F.col("query_embedding")),
+            ROUND_DIST,
+        ),
+    )
+
+
+# --- Tier A ----------------------------------------------------------------
+
+
+@query("count_all", oracle="SELECT count(*) AS n FROM lineitem")
+def count_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT COUNT(*) — the reference's `count` verb (src/main.rs:81-84)."""
+    return load_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "scan_all",
+    oracle="""
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, e.label
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def scan_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scan of the logical `search` table (src/main.rs:88,92-93) —
+    documents ⋈ embeddings on the 1:1 key."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id", "text", "lang", "source", "n_chars", "label"
+    )
+
+
+@query("project_content", oracle="SELECT text FROM documents")
+def project_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output projection to content only (src/main.rs:94-95); Catalyst prunes
+    the scan to one column — strictly better than the reference, which
+    fetches full rows then prints one field."""
+    return load_table(spark, sf_dir, "documents").select("text")
+
+
+@query(
+    "cosine_distance",
+    oracle=f"SELECT e.vec_id, {_DDIST} AS dist FROM embeddings e, {_Q0}",
+)
+def cosine_distance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `<=>` scalar expression per row (src/main.rs:86-87)."""
+    return _with_query_vec(spark, sf_dir).select("vec_id", "dist")
+
+
+@query(
+    "dist_filter",
+    oracle=f"""
+    SELECT e.vec_id, {_DDIST} AS dist
+    FROM embeddings e, {_Q0} WHERE {_DDIST} < {THRESHOLD}
+    """,
+)
+def dist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta predicate on the computed distance (src/main.rs:89)."""
+    return (
+        _with_query_vec(spark, sf_dir)
+        .where(F.col("dist") < THRESHOLD)
+        .select("vec_id", "dist")
+    )
+
+
+@query(
+    "order_by_dist",
+    oracle=f"""
+    SELECT e.vec_id, {_DDIST} AS dist FROM embeddings e, {_Q0}
+    ORDER BY dist ASC, e.vec_id ASC
+    """,
+)
+def order_by_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort ascending by computed distance (src/main.rs:90)."""
+    return (
+        _with_query_vec(spark, sf_dir)
+        .orderBy(F.asc("dist"), F.asc("vec_id"))
+        .select("vec_id", "dist")
+    )
+
+
+@query(
+    "topk_limit",
+    oracle=f"""
+    SELECT e.vec_id, {_DDIST} AS dist FROM embeddings e, {_Q0}
+    ORDER BY dist ASC, e.vec_id ASC LIMIT {K}
+    """,
+)
+def topk_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY dist LIMIT 10 (src/main.rs:90-91). Physical plan is
+    TakeOrderedAndProject — per-partition heap, no global sort."""
+    return (
+        _with_query_vec(spark, sf_dir)
+        .orderBy(F.asc("dist"), F.asc("vec_id"))
+        .limit(K)
+        .select("vec_id", "dist")
+    )
+
+
+@query(
+    "knn_search",
+    oracle=f"""
+    SELECT d.doc_id, d.text, {_DDIST} AS dist
+    FROM embeddings e
+    JOIN documents d ON d.doc_id = e.vec_id, {_Q0}
+    WHERE {_DDIST} < {THRESHOLD}
+    ORDER BY dist ASC, d.doc_id ASC
+    LIMIT {K}
+    """,
+)
+def knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP — the reference's `search` verb end-to-end
+    (src/main.rs:85-96): distance vs every row → threshold → top-10 →
+    project content. Threshold + heap run on the embeddings scan BEFORE the
+    1:1 join to documents, so at scale the join input is ≤ k·partitions
+    rows, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = (
+        _with_query_vec(spark, sf_dir)
+        .where(F.col("dist") < THRESHOLD)
+        .select("vec_id", "dist")
+    )
+    return (
+        hits.join(docs, hits.vec_id == docs.doc_id)
+        .orderBy(F.asc("dist"), F.asc("doc_id"))
+        .limit(K)
+        .select("doc_id", "text", "dist")
+    )
+
+
+@query(
+    "ids_dense",
+    oracle="""
+    SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS rid,
+           doc_id FROM documents
+    """,
+)
+def ids_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense id assignment — semantic match for Postgres serial
+    (migration/src/m20250414_131949_create_search.rs:27-31). Global window
+    = single-partition sort; use ids_fast at scale."""
+    w = Window.orderBy("doc_id")
+    return load_table(spark, sf_dir, "documents").select(
+        (F.row_number().over(w) - 1).cast("long").alias("rid"), "doc_id"
+    )
+
+
+@query("ids_fast")  # rows-only: values are partition-dependent by design
+def ids_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable unique-id assignment: monotonically_increasing_id — no
+    shuffle, unique but not dense (like Postgres serial with gaps)."""
+    return load_table(spark, sf_dir, "documents").select(
+        F.monotonically_increasing_id().alias("rid"), "doc_id"
+    )
+
+
+@query("embed_text")  # rows-only: model inference is not SQL-expressible
+def embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-text embed (src/main.rs:52-60) via the deterministic hash
+    embedder; returns the vector's dim and norm for the smoke check."""
+    vec = embed_query("hello vector search world")
+    df = spark.createDataFrame([(vec,)], "query_embedding: array<float>")
+    return df.select(
+        F.size("query_embedding").alias("dim"),
+        F.round(V.l2_norm(F.col("query_embedding")), 4).alias("norm"),
+    )
+
+
+@query("embed_batch")  # rows-only: model inference is not SQL-expressible
+def embed_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed batch embedding of documents.text (mapInPandas, Arrow
+    batches, per-executor model cache) — the fixed version of the
+    reference's per-call model reload (src/main.rs:52-60)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = embed_batch(docs.select("doc_id", "text"), "text", "embedding")
+    return out.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.round(V.l2_norm(F.col("embedding")), 4).alias("norm"),
+    )
+
+
+# --- Tier B: the rest of the pgvector operator family ----------------------
+
+_DL2 = f"ROUND(list_distance({_EMB}, q.query_embedding), {ROUND_DIST})"
+_DIP = f"ROUND(-list_inner_product({_EMB}, q.query_embedding), {ROUND_DIST})"
+
+
+@query(
+    "l2_distance",
+    oracle=f"SELECT e.vec_id, {_DL2} AS dist FROM embeddings e, {_Q0}",
+)
+def l2_distance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pgvector `<->` (imported at src/main.rs:5, unused by the CLI)."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    q0 = embs.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_embedding")
+    )
+    return (
+        embs.crossJoin(F.broadcast(q0))
+        .select(
+            "vec_id",
+            F.round(
+                V.l2_distance(F.col("embedding"), F.col("query_embedding")),
+                ROUND_DIST,
+            ).alias("dist"),
+        )
+    )
+
+
+@query(
+    "inner_product",
+    oracle=f"SELECT e.vec_id, {_DIP} AS dist FROM embeddings e, {_Q0}",
+)
+def inner_product_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pgvector `<#>` negative inner product (imported at src/main.rs:5)."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    q0 = embs.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_embedding")
+    )
+    return (
+        embs.crossJoin(F.broadcast(q0))
+        .select(
+            "vec_id",
+            F.round(
+                V.inner_product_distance(F.col("embedding"), F.col("query_embedding")),
+                ROUND_DIST,
+            ).alias("dist"),
+        )
+    )
+
+
+@query(
+    "knn_l2",
+    oracle=f"""
+    SELECT e.vec_id, {_DL2} AS dist FROM embeddings e, {_Q0}
+    ORDER BY dist ASC, e.vec_id ASC LIMIT {K}
+    """,
+)
+def knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k under Euclidean distance."""
+    return l2_distance_q(spark, sf_dir).orderBy(F.asc("dist"), F.asc("vec_id")).limit(K)
+
+
+@query(
+    "knn_dot",
+    oracle=f"""
+    SELECT e.vec_id, {_DIP} AS dist FROM embeddings e, {_Q0}
+    ORDER BY dist ASC, e.vec_id ASC LIMIT {K}
+    """,
+)
+def knn_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k under (negative) inner product."""
+    return (
+        inner_product_q(spark, sf_dir).orderBy(F.asc("dist"), F.asc("vec_id")).limit(K)
+    )

@@ -1,0 +1,6 @@
+from vector_search_playground_spark.sources.tables import (
+    load_table,
+    register_views,
+)
+
+__all__ = ["load_table", "register_views"]

@@ -1,0 +1,75 @@
+"""Parquet table loaders for the fixture star schema.
+
+Single choke point for every scan: explicit schema (no inference), and the
+events nanosecond-timestamp normalization happens here so downstream
+operators see a clean surface.
+
+At 100 TB the same loaders work unchanged — ``sf_dir`` becomes an object-store
+prefix with thousands of files per table; explicit schemas avoid the
+footer-sampling job schema inference would otherwise trigger on every read.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_search_playground_spark import schemas
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "supplier",
+    "customer",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table with its declared schema.
+
+    ``events`` gets two derived time columns:
+    - ``ts``   — TIMESTAMP_NTZ, truncated to microseconds (Spark's max
+      precision). Use for windows / date functions.
+    - ``ts_ns`` — the exact epoch-nanosecond int64 from disk. Use when
+      nanosecond-exact arithmetic must match the DuckDB oracle (which reads
+      the full ns precision).
+    """
+    if name not in schemas.TABLES:
+        raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.schema(schemas.TABLES[name]).parquet(path)
+    if name == "events":
+        df = (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn(
+                "ts",
+                F.expr("timestamp_micros(ts_ns div 1000)").cast("timestamp_ntz"),
+            )
+            .select(
+                "event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props"
+            )
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view; returns the DataFrames.
+
+    Mirrors the DuckDB oracle environment, where the same ten names are
+    pre-registered views — so engine-side ``spark.sql`` text and oracle SQL
+    can share table names.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
