@@ -37,7 +37,11 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
-            n = df.count() if not df.isStreaming else -1
+            # Force full evaluation of every column with a noop sink: count()
+            # alone lets Catalyst elide sorts and prune projections, which
+            # under-measures (a count over order_by_dist never sorts).
+            df.write.format("noop").mode("overwrite").save()
+            n = "ok"
         except Exception as exc:  # pragma: no cover - bench must never die
             print(f"# {qid} FAILED: {exc}", file=sys.stderr)
             continue

@@ -28,6 +28,8 @@ from vector_search_playground_spark.functions import vector as V
 
 METRICS = {
     "cosine": V.cosine_distance,
+    # fast path for known-unit vectors: 1 aggregate instead of 3
+    "cosine_norm": lambda a, b: V.cosine_distance(a, b, normalized=True),
     "l2": V.l2_distance,
     "dot": V.inner_product_distance,
 }

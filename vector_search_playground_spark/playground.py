@@ -13,6 +13,10 @@ serials aren't gap-free either, e.g. on rollback).
 
 from __future__ import annotations
 
+import json
+import os
+
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -50,21 +54,40 @@ class Playground:
     def _table(self) -> DataFrame:
         try:
             return self.spark.read.schema(SEARCH_SCHEMA).parquet(self.path)
-        except Exception:
+        except AnalysisException:  # path does not exist yet → empty table
             return self.spark.createDataFrame([], SEARCH_SCHEMA)
 
+    def _counter_path(self) -> str:
+        return os.path.join(self.path, "_id_counter.json")
+
     def create(self, *contents: str) -> int:
-        """Embed and append rows (batched, unlike the reference's 1-at-a-time)."""
-        base = self._table().agg(F.coalesce(F.max("id"), F.lit(-1))).first()[0]
+        """Embed and append rows (batched, unlike the reference's 1-at-a-time).
+
+        Ids are ``base + monotonically_increasing_id()`` where ``base`` comes
+        from a tiny persisted counter sidecar — the Spark analogue of
+        Postgres's serial counter. Unique and monotone across batches, not
+        gap-free (neither is Postgres serial, e.g. on rollback). Unlike a
+        ``max(id)`` probe, the counter read is O(1) metadata, never a table
+        scan — at 100 TB a per-append full scan would dominate insert cost.
+        """
+        try:
+            with open(self._counter_path()) as f:
+                base = json.load(f)["next"]
+        except (OSError, ValueError, KeyError):
+            base = 0
         df = self.spark.createDataFrame(
             [(c,) for c in contents], StructType([StructField("content", StringType())])
         )
         out = (
             embed_batch(df, "content", "vector", model=self.model)
-            .withColumn("id", F.monotonically_increasing_id() + F.lit(base + 1))
+            .withColumn("id", F.monotonically_increasing_id() + F.lit(base))
             .select("id", "content", "vector")
         )
         out.write.mode("append").parquet(self.path)
+        # max over the just-written batch only (batch-scale, not table-scale)
+        hi = out.agg(F.max("id")).first()[0]
+        with open(self._counter_path(), "w") as f:
+            json.dump({"next": int(hi) + 1}, f)
         return len(contents)
 
     def count(self) -> int:
@@ -77,11 +100,13 @@ class Playground:
         k: int = DEFAULT_K,
     ) -> DataFrame:
         qv = embed_query(query, model=self.model)
+        # hash-embedder outputs are L2-normalized → the 1-aggregate
+        # normalized kernel (1 − dot) instead of the 3-aggregate general one.
         return knn(
             self._table(),
             qv,
             vector_col="vector",
-            metric="cosine",
+            metric="cosine_norm",
             threshold=threshold,
             k=k,
             tiebreak="id",

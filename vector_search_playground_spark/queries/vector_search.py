@@ -11,11 +11,12 @@ Reference citations per query are in each docstring.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vector_search_playground_spark.functions import vector as V
 from vector_search_playground_spark.functions.embed import embed_batch, embed_query
+from vector_search_playground_spark.operators.ids import dense_ids
 from vector_search_playground_spark.registry import ROUND_DIST, query
 from vector_search_playground_spark.sources import load_table
 
@@ -187,12 +188,12 @@ def knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ids_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense id assignment — semantic match for Postgres serial
-    (migration/src/m20250414_131949_create_search.rs:27-31). Global window
-    = single-partition sort; use ids_fast at scale."""
-    w = Window.orderBy("doc_id")
-    return load_table(spark, sf_dir, "documents").select(
-        (F.row_number().over(w) - 1).cast("long").alias("rid"), "doc_id"
-    )
+    (migration/src/m20250414_131949_create_search.rs:27-31). Computed with
+    the bucketed two-pass operator (operators/ids.py): per-bucket
+    row_number + cumulative offsets — P balanced window groups instead of
+    the single-partition global window a naive row_number would plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dense_ids(docs, "doc_id").select("rid", "doc_id")
 
 
 @query("ids_fast")  # rows-only: values are partition-dependent by design
@@ -207,13 +208,13 @@ def ids_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("embed_text")  # rows-only: model inference is not SQL-expressible
 def embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-text embed (src/main.rs:52-60) via the deterministic hash
-    embedder; returns the vector's dim and norm for the smoke check."""
+    embedder; dim/norm checks computed driver-side in NumPy — a 1-row
+    Spark round-trip for a scalar sanity check is pure overhead."""
+    import math
+
     vec = embed_query("hello vector search world")
-    df = spark.createDataFrame([(vec,)], "query_embedding: array<float>")
-    return df.select(
-        F.size("query_embedding").alias("dim"),
-        F.round(V.l2_norm(F.col("query_embedding")), 4).alias("norm"),
-    )
+    norm = round(math.sqrt(sum(float(x) * float(x) for x in vec)), 4)
+    return spark.createDataFrame([(len(vec), norm)], "dim: int, norm: double")
 
 
 @query("embed_batch")  # rows-only: model inference is not SQL-expressible

@@ -117,7 +117,7 @@ EMBEDDINGS = _st(
     ("vec_id", LongType()),
     # 64-dim L2-normalized f32 (FIXTURES.md) — reference uses 384-dim
     # AllMiniLM-L6-v2 output, also L2-normalized (src/main.rs:54).
-    ("embedding", ArrayType(FloatType(), containsNull=True)),
+    ("embedding", ArrayType(FloatType(), containsNull=False)),
     ("label", IntegerType()),
 )
 
