@@ -1,0 +1,63 @@
+"""Plan-level assertions for the relational core — guard the physical
+plans that make these queries scale, the way tests/test_knn.py guards
+TakeOrderedAndProject for the flagship (SURVEY.md §5.5)."""
+
+from __future__ import annotations
+
+from vector_search_playground_spark.queries import relational as R
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_join_broadcast_plans_broadcast_hash_join(spark, sf_smoke):
+    plan = _plan(R.join_broadcast(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_filter_pred_pushes_to_scan(spark, sf_smoke):
+    df = R.filter_pred(spark, sf_smoke)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "PushedFilters: [" in plan, plan
+    # at least the plain-column predicates reach the parquet reader
+    assert "l_linestatus" in plan.split("PushedFilters")[1][:400], plan
+
+
+def test_sort_limit_plans_take_ordered(spark, sf_smoke):
+    for q in (R.sort_multi, R.limit_n):
+        plan = _plan(q(spark, sf_smoke))
+        assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_semi_anti_plan_shapes(spark, sf_smoke):
+    assert "LeftSemi" in _plan(R.join_semi(spark, sf_smoke))
+    assert "LeftAnti" in _plan(R.join_anti(spark, sf_smoke))
+
+
+def test_scan_parquet_prunes_columns(spark, sf_smoke):
+    # project_content-style pruning: fn_string reads documents but must not
+    # scan the embedding-sized text of other tables; check ReadSchema is
+    # restricted to the referenced columns.
+    df = R.fn_cond(spark, sf_smoke)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    read = plan.split("ReadSchema:")[1]
+    assert "c_acctbal" in read and "c_name" not in read, read
+
+
+def test_agg_approx_within_tolerance(spark, sf_correct):
+    from vector_search_playground_spark.sources import load_table
+
+    approx = R.agg_approx(spark, sf_correct).first()["approx_users"]
+    exact = (
+        load_table(spark, sf_correct, "events").select("user_id").distinct().count()
+    )
+    assert abs(approx - exact) <= 0.15 * exact, (approx, exact)
+
+
+def test_asof_join_is_join_free(spark, sf_smoke):
+    """The as-of implementation must not contain any join operator — it is
+    a union + window, one shuffle by user_id."""
+    plan = _plan(R.join_asof(spark, sf_smoke))
+    assert "Join" not in plan, plan
+    assert "Union" in plan and "Window" in plan, plan

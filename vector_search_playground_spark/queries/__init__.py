@@ -1,3 +1,6 @@
 """Query modules — importing this package registers every query ID."""
 
-from vector_search_playground_spark.queries import vector_search  # noqa: F401
+from vector_search_playground_spark.queries import (  # noqa: F401
+    relational,
+    vector_search,
+)

@@ -1,0 +1,830 @@
+"""Tier C relational core (SURVEY.md §2) — scans, joins, aggregates,
+windows, set ops, subqueries, scalar functions.
+
+The reference delegates all of this to Postgres's executor via the sea-orm
+query builder (`/root/reference/src/main.rs:7-12` imports QueryFilter /
+QueryOrder / QuerySelect; `src/main.rs:66-69` connects and everything runs
+server-side). Here each capability is a first-class Catalyst plan.
+
+Scale discipline (100 TB posture), per query:
+- dimension joins carry an explicit ``broadcast()`` hint;
+- fact-fact joins shuffle on their equi-keys (SortMergeJoin + AQE);
+- every window partitions by a high-cardinality key — no global windows
+  except where a global order is the semantics (sort_multi/limit_n, which
+  Catalyst plans as TakeOrderedAndProject: per-partition heaps, no global
+  shuffle-sort);
+- non-equi joins keep one side broadcast-small (band table, nation dim);
+- the as-of join is implemented join-free: union the two event streams and
+  carry the last left-side timestamp forward per user with one window —
+  one shuffle by user_id, no range-join blowup.
+
+Oracle discipline: every computed float is ROUND()ed identically on both
+sides; timestamps are emitted as formatted strings or epoch-µs integers
+(Spark µs ≡ DuckDB's ns→µs truncation, verified); every LIMIT carries a
+deterministic tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_search_playground_spark.registry import (
+    ROUND_AVG,
+    ROUND_MONEY,
+    query,
+)
+from vector_search_playground_spark.sources import load_table, register_views
+
+# ---------------------------------------------------------------------------
+# scan / project / filter
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_parquet",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+           l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+           strftime(l_shipdate, '%Y-%m-%d') AS l_shipdate_s
+    FROM lineitem
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full declared-schema parquet scan of the largest fixture table.
+    Explicit StructType → no footer-sampling inference job at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("l_shipdate_s"),
+    )
+
+
+@query(
+    "project_expr",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 4) AS revenue,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6)
+             AS revenue_taxed
+    FROM lineitem
+    """,
+)
+def project_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic projection (TPC-H revenue expression).
+
+    Rounding precision equals the products' exact decimal width (2dp×2dp→4,
+    ×2dp more→6): rounding AT the exact precision can never land on a
+    decimal tie, where Spark (BigDecimal HALF_UP) and DuckDB (scaled
+    std::round) disagree on the same double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(rev, 4).alias("revenue"),
+        F.round(rev * (1 + F.col("l_tax")), 6).alias("revenue_taxed"),
+    )
+
+
+@query(
+    "filter_pred",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_returnflag IN ('A', 'R')
+      AND l_linestatus = 'F'
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_extendedprice IS NOT NULL
+    """,
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicate: BETWEEN + IN + equality + timestamp range +
+    IS NOT NULL. All plain-column predicates → pushed to the parquet scan
+    (PushedFilters in .explain)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_linestatus") == "F")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & F.col("l_extendedprice").isNotNull()
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_inner_eq",
+    oracle="""
+    SELECT o_orderkey, c_custkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_inner_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim equi join. At sf0.01 AQE broadcasts customer; at 100 TB
+    (customer too big) the same plan degrades gracefully to SortMergeJoin
+    on the shuffled key — no query change needed."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_custkey", "c_name", "o_totalprice"
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT n_nationkey, n_name, r_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast hint on the 5-row region dim — BroadcastHashJoin
+    (plan-asserted in tests/test_relational_plans.py): zero shuffle of the
+    probe side at any scale."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+    SELECT c_custkey, o_orderkey
+    FROM customer LEFT JOIN orders
+      ON o_custkey = c_custkey AND o_totalprice > 450000
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with a join-side predicate (kept in the ON clause so
+    non-matching customers survive with NULL orderkeys)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (o.o_custkey == c.c_custkey) & (o.o_totalprice > 450000)
+    return c.join(o, cond, "left").select("c_custkey", "o_orderkey")
+
+
+@query(
+    "join_right",
+    oracle="""
+    SELECT o_orderkey, c_custkey
+    FROM orders RIGHT JOIN customer
+      ON o_custkey = c_custkey AND o_totalprice > 450000
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cond = (o.o_custkey == c.c_custkey) & (o.o_totalprice > 450000)
+    return o.join(c, cond, "right").select("o_orderkey", "c_custkey")
+
+
+@query(
+    "join_full",
+    oracle="""
+    SELECT b.c_custkey AS bkey, h.c_custkey AS hkey
+    FROM (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') b
+    FULL JOIN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000) h
+      ON b.c_custkey = h.c_custkey
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two overlapping key sets — NULLs on both sides."""
+    c = load_table(spark, sf_dir, "customer")
+    b = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("bkey")
+    )
+    h = c.where(F.col("c_acctbal") > 9000).select(F.col("c_custkey").alias("hkey"))
+    return b.join(h, b.bkey == h.hkey, "full").select("bkey", "hkey")
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: customers with at least one big order. Semi joins never
+    duplicate the probe side, so the output stays ≤ |customer|."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti: customers that never placed a big order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_theta",
+    oracle="""
+    SELECT p_partkey, band_id
+    FROM part
+    JOIN (VALUES (0, 900.0, 925.0), (1, 925.0, 950.0),
+                 (2, 950.0, 975.0), (3, 975.0, 1000.0)) b(band_id, lo, hi)
+      ON p_retailprice >= lo AND p_retailprice < hi
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join against a broadcast band table. The small side
+    is O(bands) rows, so the plan is BroadcastNestedLoopJoin with a
+    constant-size inner — linear in |part| at any scale, never O(n²)."""
+    p = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [(0, 900.0, 925.0), (1, 925.0, 950.0), (2, 950.0, 975.0), (3, 975.0, 1000.0)],
+        "band_id: int, lo: double, hi: double",
+    )
+    cond = (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi)
+    return p.join(F.broadcast(bands), cond).select("p_partkey", "band_id")
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           epoch_us(p.ts) AS purchase_us, epoch_us(c.ts) AS click_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase, the latest click at-or-before it by
+    the same user. Implemented join-free (SURVEY §2 join_asof): union the
+    two streams, sort within user, carry the last click timestamp forward
+    with one window — a single shuffle by user_id, no range-join blowup.
+    DuckDB oracle uses its native ASOF JOIN. µs-epoch integers on both
+    sides (Spark µs ≡ DuckDB's ns→µs truncation)."""
+    ev = load_table(spark, sf_dir, "events")
+    # integer div — float division would lose precision beyond 2^53 ns
+    us = F.expr("ts_ns div 1000")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        us.alias("ts_us"),
+        F.lit(0).alias("tag"),
+        us.alias("click_us"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        us.alias("ts_us"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("click_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("asof_click_us", F.last("click_us", ignorenulls=True).over(w))
+        .where(F.col("tag") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts_us").alias("purchase_us"),
+            F.col("asof_click_us").alias("click_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_group",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(sum(l_quantity), {ROUND_MONEY}) AS sum_qty,
+           ROUND(sum(l_extendedprice), {ROUND_MONEY}) AS sum_base,
+           ROUND(sum(l_extendedprice * (1 - l_discount)), {ROUND_MONEY})
+             AS sum_disc,
+           ROUND(avg(l_quantity), {ROUND_AVG}) AS avg_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped hash aggregate. Catalyst plans partial (map-side)
+    + final aggregation automatically — the shuffle carries 6 groups, not
+    600k rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), ROUND_MONEY).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), ROUND_MONEY).alias("sum_base"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), ROUND_MONEY
+        ).alias("sum_disc"),
+        F.round(F.avg("l_quantity"), ROUND_AVG).alias("avg_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_cust, count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — Catalyst expands to a two-stage aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query("agg_approx")  # rows-only: HLL sketch is approximate by design
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) over events.user_id — the
+    100 TB path for distinct counting: fixed-size sketch, single pass, no
+    distinct shuffle. Accuracy property-tested vs the exact count in
+    tests/test_relational.py (rsd 5%)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
+    )
+
+
+@query(
+    "grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, ROUND(sum(o_totalprice), {ROUND_MONEY}) AS sum_price
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy: (status, priority) → (status) → () in one pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), ROUND_MONEY).alias("sum_price"),
+    )
+
+
+@query(
+    "having",
+    oracle=f"""
+    SELECT o_custkey, count(*) AS n,
+           ROUND(sum(o_totalprice), {ROUND_MONEY}) AS total
+    FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+    """,
+)
+def having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), ROUND_MONEY).alias("total"),
+        )
+        .where(F.col("n") >= 15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           rank()       OVER w1 AS rnk,
+           dense_rank() OVER w1 AS drnk,
+           row_number() OVER w2 AS rn
+    FROM orders
+    WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC,
+                                                  o_orderkey)
+    """,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / row_number per customer. rank functions are
+    deterministic under ties; row_number carries the key tiebreak."""
+    o = load_table(spark, sf_dir, "orders")
+    w1 = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    w2 = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w1).alias("rnk"),
+        F.dense_rank().over(w1).alias("drnk"),
+        F.row_number().over(w2).alias("rn"),
+    )
+
+
+@query(
+    "win_analytic",
+    oracle="""
+    SELECT event_id, user_id,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           first_value(value) OVER
+             (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    """,
+)
+def win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag / lead / first_value over per-user event time."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(wf).alias("first_value"),
+    )
+
+
+@query(
+    "win_frame",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
+           ROUND(sum(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             {ROUND_MONEY}) AS running_total,
+           ROUND(avg(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             {ROUND_AVG}) AS moving_avg3
+    FROM orders
+    """,
+)
+def win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit window frames: running total + 3-row moving average."""
+    o = load_table(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = base.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(run), ROUND_MONEY).alias("running_total"),
+        F.round(F.avg("o_totalprice").over(mov), ROUND_AVG).alias("moving_avg3"),
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the windowed top-k pattern. The shuffle
+    partitions by customer (high cardinality → balanced); each group ranks
+    locally, no global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sort / limit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sort_multi",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+    ORDER BY c_nationkey ASC, c_acctbal DESC, c_custkey ASC LIMIT 100
+    """,
+)
+def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key mixed-direction sort; with the LIMIT Catalyst plans
+    TakeOrderedAndProject (per-partition heaps, no global shuffle-sort)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.orderBy(F.asc("c_nationkey"), F.desc("c_acctbal"), F.asc("c_custkey"))
+        .limit(100)
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+
+
+@query(
+    "limit_n",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def limit_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations / distinct
+# ---------------------------------------------------------------------------
+
+_BUILDING = "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+_RICH = "SELECT c_custkey FROM customer WHERE c_acctbal > 9000"
+
+
+@query("set_union", oracle=f"{_BUILDING} UNION {_RICH}")
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two key sets."""
+    c = load_table(spark, sf_dir, "customer")
+    b = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    h = c.where(F.col("c_acctbal") > 9000).select("c_custkey")
+    return b.union(h).distinct()
+
+
+@query("set_intersect", oracle=f"{_BUILDING} INTERSECT {_RICH}")
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    b = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    h = c.where(F.col("c_acctbal") > 9000).select("c_custkey")
+    return b.intersect(h)
+
+
+@query(
+    "set_except",
+    oracle=f"SELECT o_custkey AS c_custkey FROM orders EXCEPT ALL {_BUILDING}",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference (keeps surplus duplicates)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    b = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return o.exceptAll(b)
+
+
+@query(
+    "distinct_rows",
+    oracle="SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_nationkey", "c_mktsegment").dropDuplicates()
+
+
+# ---------------------------------------------------------------------------
+# subqueries — same ANSI text runs on both engines (views mirror DuckDB's)
+# ---------------------------------------------------------------------------
+
+_SUBQ_SCALAR = f"""
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, {ROUND_MONEY}) AS totalprice
+    FROM orders o
+    WHERE o_totalprice > 1.6 * (SELECT avg(o2.o_totalprice) FROM orders o2
+                                WHERE o2.o_custkey = o.o_custkey)
+"""
+
+_SUBQ_IN = """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders
+                        WHERE o_totalprice > 400000)
+"""
+
+
+@query("subquery_scalar", oracle=_SUBQ_SCALAR)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into an
+    aggregate + join (RewriteCorrelatedScalarSubquery); identical SQL text
+    runs on the oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SUBQ_SCALAR)
+
+
+@query("subquery_in", oracle=_SUBQ_IN)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery — planned as a left-semi join."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SUBQ_IN)
+
+
+# ---------------------------------------------------------------------------
+# scalar function families
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT doc_id,
+           lower(substring(text, 1, 20)) AS head_lower,
+           upper(lang) AS lang_upper,
+           length(text) AS text_len,
+           trim(concat(' ', lang, ' ')) AS lang_trim,
+           string_split(text, ' ')[1] AS first_token,
+           regexp_extract(text, '([a-z]+)', 1) AS first_word
+    FROM documents
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family over documents.text."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.lower(F.substring("text", 1, 20)).alias("head_lower"),
+        F.upper("lang").alias("lang_upper"),
+        F.length("text").alias("text_len"),
+        F.trim(F.concat(F.lit(" "), F.col("lang"), F.lit(" "))).alias("lang_trim"),
+        F.split("text", " ").getItem(0).alias("first_token"),
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+             AS month_start,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')
+                AS INT) AS days_to_98,
+           strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus_30d
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function family over o_orderdate."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(F.lit("1998-01-01").cast("date"), d.cast("date")).alias(
+            "days_to_98"
+        ),
+        F.date_format(F.date_add(d.cast("date"), 30), "yyyy-MM-dd").alias("plus_30d"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(abs(-l_extendedprice), {ROUND_MONEY}) AS abs_price,
+           CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           ROUND(pow(1 + l_discount, 2), {ROUND_AVG}) AS disc_sq,
+           ROUND(ln(l_extendedprice), {ROUND_AVG}) AS ln_price,
+           ROUND(sqrt(l_quantity), {ROUND_AVG}) AS qty_sqrt
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function family over lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(-F.col("l_extendedprice")), ROUND_MONEY).alias("abs_price"),
+        F.ceil("l_quantity").cast("long").alias("qty_ceil"),
+        F.floor("l_quantity").cast("long").alias("qty_floor"),
+        F.round(F.pow(1 + F.col("l_discount"), 2), ROUND_AVG).alias("disc_sq"),
+        F.round(F.log(F.col("l_extendedprice")), ROUND_AVG).alias("ln_price"),
+        F.round(F.sqrt("l_quantity"), ROUND_AVG).alias("qty_sqrt"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           ROUND(CAST(embedding AS DOUBLE[])[1], 6) AS e1,
+           list_transform(CAST(embedding AS DOUBLE[])[1:3],
+                          x -> ROUND(x, 6)) AS head3,
+           ROUND(list_max(CAST(embedding AS DOUBLE[])), 6) AS emax,
+           ROUND(list_min(CAST(embedding AS DOUBLE[])), 6) AS emin
+    FROM embeddings
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function family over the embedding column (cast to double on
+    both sides so rounding compares doubles with doubles)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at(emb, 1), 6).alias("e1"),
+        F.transform(F.slice(emb, 1, 3), lambda x: F.round(x, 6)).alias("head3"),
+        F.round(F.array_max(emb), 6).alias("emax"),
+        F.round(F.array_min(emb), 6).alias("emin"),
+    )
+
+
+@query(
+    "fn_map_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_path,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_schema
+    FROM events
+    """,
+)
+def fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction two ways: path-based get_json_object and
+    schema-based from_json (→ struct field access)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_path"),
+        F.from_json("props", "k INT").getField("k").alias("k_schema"),
+    )
+
+
+@query(
+    "fn_cond",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS band,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+           CAST(floor(c_acctbal) AS BIGINT) AS bal_floor
+    FROM customer
+    """,
+)
+def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: CASE WHEN, coalesce, nullif, cast. (Double→int
+    CAST is deliberately via floor(): Spark truncates, DuckDB rounds.)"""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("band"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg"
+        ),
+        F.floor("c_acctbal").cast("long").alias("bal_floor"),
+    )
