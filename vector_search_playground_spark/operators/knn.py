@@ -89,6 +89,7 @@ def knn_batch(
     k: int = 10,
     dist_col: str = "dist",
     tiebreak: str | None = None,
+    round_to: int | None = None,
 ) -> DataFrame:
     """Top-k corpus neighbors for EVERY query row, in one corpus scan.
 
@@ -97,11 +98,18 @@ def knn_batch(
     the window's ``partitionBy(query_id)`` shuffles only |Q|·|C| distance
     rows already reduced by the threshold filter. For large |Q|, partition
     the query set and iterate — never shuffle the corpus.
+
+    ``round_to`` rounds the distance BEFORE ranking — required whenever the
+    result feeds a cross-engine comparison: ranking on rounded values plus
+    a tiebreak makes the top-k set identical in any engine, where raw
+    doubles may differ in the last ulp and flip boundary rows.
     """
     q = F.broadcast(queries)
     joined = corpus.crossJoin(q).withColumn(
         dist_col, distance(metric, F.col(corpus_vec), F.col(query_vec))
     )
+    if round_to is not None:
+        joined = joined.withColumn(dist_col, F.round(F.col(dist_col), round_to))
     if threshold is not None:
         joined = joined.where(F.col(dist_col) < F.lit(threshold))
     order = [F.col(dist_col).asc()]

@@ -2,5 +2,6 @@
 
 from vector_search_playground_spark.queries import (  # noqa: F401
     relational,
+    surface,
     vector_search,
 )

@@ -294,6 +294,48 @@ def knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "knn_batch",
+    oracle=f"""
+    SELECT query_id, vec_id, dist FROM (
+      SELECT q.vec_id AS query_id, e.vec_id,
+             ROUND(1 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(q.embedding AS DOUBLE[])),
+                   {ROUND_DIST}) AS dist,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND(1 - list_cosine_similarity(
+                          CAST(e.embedding AS DOUBLE[]),
+                          CAST(q.embedding AS DOUBLE[])), {ROUND_DIST}),
+                        e.vec_id) AS rn
+      FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
+    ) WHERE rn <= 5
+    """,
+)
+def knn_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-queries KNN in ONE corpus scan (operators/knn.py:knn_batch):
+    broadcast query set → per-query windowed top-k. The many-queries case
+    a retrieval user hits immediately; the reference would re-run its
+    whole CLI per query (src/main.rs:85-96). Ranks on rounded distance +
+    vec_id tiebreak so the top-k set is engine-independent."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries_df = embs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    from vector_search_playground_spark.operators.knn import knn_batch
+
+    out = knn_batch(
+        embs,
+        queries_df,
+        metric="cosine",
+        k=5,
+        tiebreak="vec_id",
+        round_to=ROUND_DIST,
+    )
+    return out.select("query_id", "vec_id", "dist")
+
+
+@query(
     "knn_dot",
     oracle=f"""
     SELECT e.vec_id, {_DIP} AS dist FROM embeddings e, {_Q0}
