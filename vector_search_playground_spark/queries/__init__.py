@@ -1,6 +1,7 @@
 """Query modules — importing this package registers every query ID."""
 
 from vector_search_playground_spark.queries import (  # noqa: F401
+    llm_pipeline,
     relational,
     surface,
     vector_search,

@@ -1,0 +1,301 @@
+"""LLM-data-pipeline tier, oracle-backed half (SURVEY.md §2 Tier C vector /
+LLM pipeline; driver north star BASELINE.json).
+
+The reference stores embedded documents and brute-force-searches them
+(`/root/reference/src/main.rs:85-96`); a training-data pipeline at 100 TB
+additionally needs dedup, similarity joins, and text analysis. This module
+holds every LLM-tier operator with an exact SQL semantics — the approximate
+/ index-backed scale paths live in ``operators/dedup.py`` and ``plans/``.
+
+Scale discipline per query:
+- ``dedup_exact`` is a hash groupBy on the content key — map-side partial
+  aggregation, one shuffle on the dedup key, no sort. The keep-min-id rule
+  makes the representative deterministic.
+- ``sim_join`` (exact variant) is the oracle anchor for similarity joins;
+  all-pairs is inherently O(n²) so the *registered* query broadcasts the
+  smaller (deduplicated) side and lets the distance filter run inside one
+  codegen stage. At 100 TB you run the LSH-bucketed path
+  (``operators/dedup.py``) and use this exact form only to validate recall
+  on samples — that division of labor is the design, documented here.
+- text queries are explode → hash-aggregate pipelines: one shuffle on the
+  group key, no windows over the raw token stream.
+- ``tfidf_topterms`` broadcasts the document-frequency side (vocabulary ≪
+  corpus) and the per-doc top-k window partitions by doc_id — high
+  cardinality, no single-partition window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_search_playground_spark.functions.vector import cosine_distance
+from vector_search_playground_spark.registry import ROUND_DIST, query
+from vector_search_playground_spark.sources import load_table
+
+# Tiny stopword list used by the quality heuristics — fixed here and inlined
+# into the oracle SQL so both engines share one definition.
+STOPWORDS = ("a", "the")
+
+SIM_JOIN_THRESHOLD = 0.7  # 990 pairs of 124 750 at sf0.01 — selective
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    )
+    SELECT min(doc_id) AS doc_id, text
+    FROM corpus
+    GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup with keep-min-id representatives.
+
+    The fixture texts are all distinct, so the corpus is unioned with a
+    re-keyed copy of itself to make the dedup observable: every text has
+    exactly two ids and the canonical keep-min rule must pick the original.
+
+    Plan shape: hash aggregate on ``text`` (map-side partial min, one
+    shuffle on the dedup key). At 100 TB dedup on a long text column should
+    group on ``xxhash64(text)`` instead and keep the text via ``min_by`` —
+    same plan, 8-byte shuffle key; the full-text key is used here so the
+    oracle is engine-portable.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dup)
+    return corpus.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id", "text"
+    )
+
+
+@query(
+    "sim_join",
+    oracle=f"""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND(1 - list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])),
+                 {ROUND_DIST}) AS dist
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE 1 - list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[]))
+          < {SIM_JOIN_THRESHOLD}
+    """,
+)
+def sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact thresholded similarity self-join over the embedding corpus.
+
+    This is the *exact* variant from SURVEY §2 — the oracle anchor for the
+    approximate paths (``dedup_near``'s MinHash-LSH, ``index_build_lsh``'s
+    bucketed join). Semantics: all unordered pairs (a < b by id) with
+    cosine distance below the threshold.
+
+    Plan: the right side is explicitly broadcast, so the pairing runs as a
+    BroadcastNestedLoopJoin with the id predicate and the distance filter
+    fused into one codegen stage — no shuffle at all. All-pairs is O(n²) by
+    definition; at 100 TB this exact form is only ever run on samples to
+    measure the LSH path's recall, never on the full corpus (SURVEY §2).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec")
+    )
+    dist = cosine_distance(F.col("a_vec"), F.col("b_vec"))
+    return (
+        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+        .withColumn("dist", dist)
+        .where(F.col("dist") < SIM_JOIN_THRESHOLD)
+        .select("a_id", "b_id", F.round("dist", ROUND_DIST).alias("dist"))
+    )
+
+
+@query(
+    "text_stats",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    )
+    SELECT lang,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_tokens,
+           count(DISTINCT token) AS n_distinct_tokens,
+           ROUND(count(*) / count(DISTINCT doc_id), 6) AS avg_tokens_per_doc
+    FROM tok
+    GROUP BY lang
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics per language: tokenize → explode → hash agg.
+
+    One shuffle on ``lang``; the tokenization and explode are map-side.
+    The two count-distincts expand the aggregate (Catalyst plans a
+    two-phase distinct agg) — still a single exchange on the group key.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    return tok.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct_tokens"),
+        F.round(
+            F.count(F.lit(1)) / F.countDistinct("doc_id"), 6
+        ).alias("avg_tokens_per_doc"),
+    ).select(
+        "lang", "n_docs", "n_tokens", "n_distinct_tokens", "avg_tokens_per_doc"
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    )
+    SELECT doc_id,
+           any_value(n_chars) AS n_chars,
+           count(*) AS n_tokens,
+           ROUND(avg(length(token)), 6) AS avg_token_len,
+           ROUND(count(DISTINCT token) / count(*), 6) AS type_token_ratio,
+           ROUND(count(*) FILTER (token IN {STOPWORDS!r}) / count(*), 6)
+             AS stopword_ratio
+    FROM tok
+    GROUP BY doc_id
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring (north-star text analysis): token
+    count, mean token length, type-token ratio, stopword ratio — the
+    standard cheap filters in a pretraining-data pipeline.
+
+    Explode → hash aggregate on ``doc_id`` (high cardinality, no skew).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "n_chars", F.explode(F.split("text", " ")).alias("token")
+    )
+    n = F.count(F.lit(1))
+    return tok.groupBy("doc_id").agg(
+        F.any_value("n_chars").alias("n_chars"),
+        n.alias("n_tokens"),
+        F.round(F.avg(F.length("token")), 6).alias("avg_token_len"),
+        F.round(F.countDistinct("token") / n, 6).alias("type_token_ratio"),
+        F.round(
+            F.count(F.when(F.col("token").isin(*STOPWORDS), 1)) / n, 6
+        ).alias("stopword_ratio"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "avg_token_len",
+        "type_token_ratio",
+        "stopword_ratio",
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+             AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive document fingerprint (north-star fingerprinting):
+    MD5 over the sorted token multiset, so texts that are permutations of
+    the same bag of words collide — the canonical cheap near-dup key.
+
+    Pure map (no shuffle); MD5 is bit-identical across engines, which is
+    why it is the portable choice here over xxhash64.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.array_sort(F.split("text", " ")), " ")
+        ).alias("fingerprint"),
+    )
+
+
+@query(
+    "tfidf_topterms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.tf * ln(n.n / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term
+               ) AS rn
+        FROM scored
+    )
+    SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 5
+    """,
+)
+def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per document by TF-IDF, SQL-only (no MLlib HashingTF —
+    exact term identities, portable to the oracle).
+
+    Plan: tf = hash agg on (doc_id, term); df = second agg on term over the
+    already-tiny tf relation; df (vocabulary-sized, ≪ corpus) and the
+    1-row corpus count are both broadcast back, so scoring is map-side.
+    The top-k window partitions by doc_id — high cardinality, per-group
+    heaps, no global sort. Ranking uses the *rounded* score so float noise
+    below 1e-6 cannot flip the order between engines; ties break on term.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("doc_id", "term", "tfidf")
+    )
