@@ -1,0 +1,81 @@
+"""Property tests for the MinHash-LSH near-dup pipeline (SURVEY §5.3):
+planted near-duplicates must cluster to their source, unrelated docs must
+not merge, and dedup must be idempotent."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_search_playground_spark.operators.dedup import (
+    candidate_pairs,
+    dedup_near,
+    minhash_signatures,
+    shingle_sets,
+    verify_jaccard,
+)
+from vector_search_playground_spark.sources import load_table
+
+
+def _planted_corpus(spark, sf_dir, n=50):
+    """First n documents plus a near-copy of each (last token dropped)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < n)
+        .select("doc_id", "text")
+    )
+    tok = F.split("text", " ")
+    near = docs.select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(tok, 1, F.greatest(F.size(tok) - 1, F.lit(1)))
+        ).alias("text"),
+    )
+    return docs.unionByName(near)
+
+
+def test_planted_near_dups_cluster(spark, sf_correct):
+    corpus = _planted_corpus(spark, sf_correct, n=50)
+    labels = dedup_near(corpus)
+    got = {r["doc_id"]: r["rep_id"] for r in labels.collect()}
+    assert len(got) == 100
+    planted_hits = sum(
+        1 for d in range(50) if got.get(1000000 + d) == d
+    )
+    # banding at J≈0.95 catches a pair with prob 1-(1-0.95^4)^8 ≈ 0.9998;
+    # allow a couple of misses from shingle-boundary effects.
+    assert planted_hits >= 45, f"only {planted_hits}/50 planted dups found"
+
+
+def test_originals_stay_distinct(spark, sf_correct):
+    corpus = _planted_corpus(spark, sf_correct, n=50)
+    labels = dedup_near(corpus)
+    reps = {
+        r["rep_id"]
+        for r in labels.where(F.col("doc_id") < 1000000).collect()
+    }
+    # fixture texts are random bags of words — no two originals should
+    # merge (Jaccard verify at 0.7 kills banding false positives).
+    assert len(reps) == 50
+
+
+def test_dedup_idempotent(spark, sf_correct):
+    corpus = _planted_corpus(spark, sf_correct, n=30)
+    labels = dedup_near(corpus)
+    survivors = corpus.join(
+        labels.where(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
+        "doc_id",
+    )
+    again = dedup_near(survivors)
+    # dedup of an already-deduped corpus must be the identity mapping
+    assert again.where(F.col("doc_id") != F.col("rep_id")).count() == 0
+
+
+def test_banding_prunes_pair_space(spark, sf_correct):
+    """The candidate set must be ~linear in planted dups, not O(n²)."""
+    corpus = _planted_corpus(spark, sf_correct, n=50)
+    shingled = shingle_sets(corpus)
+    cands = candidate_pairs(minhash_signatures(shingled))
+    n_cand = cands.count()
+    assert n_cand < 500, f"candidate explosion: {n_cand} pairs"
+    verified = verify_jaccard(cands, shingled, 0.7)
+    assert verified.count() >= 45

@@ -1,0 +1,184 @@
+"""Near-duplicate detection: MinHash signatures → LSH banding → candidate
+pairs → exact Jaccard verification → min-id connected components.
+
+SURVEY §2 Tier C ``dedup_near`` — the scale path the exact operators
+(``dedup_exact``, ``sim_join`` in ``queries/llm_pipeline.py``) anchor. The
+reference has no dedup at all; this is driver-north-star surface
+(BASELINE.json), designed for the 100 TB case:
+
+- Shingling/minhashing is explode → hash-aggregate: map-side shingle
+  generation, ONE shuffle on doc_id for the k min-hash aggregates
+  (`xxhash64` is a codegen'd JVM expression — no Python anywhere).
+- LSH banding turns the O(n²) pair space into per-bucket joins: docs only
+  meet if they collide in ≥1 of b bands, so the shuffle is on
+  (band, band_hash) and the join output is ~|near-dup pairs|, not n².
+- Verification computes exact shingle Jaccard only for candidates.
+- Connected components is min-label propagation over the (tiny) verified
+  edge set, bounded iterations; near-dup clusters have small diameter so
+  propagation converges in a handful of rounds.
+
+Probability a pair at Jaccard J becomes a candidate with b bands of r
+rows: 1-(1-J^r)^b. Defaults (b=8, r=4): J=0.7 → 0.89, J=0.3 → 0.06.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NUM_HASHES = 32
+BANDS = 8
+ROWS_PER_BAND = NUM_HASHES // BANDS
+DEFAULT_JACCARD = 0.7
+
+
+def shingle_sets(docs: DataFrame, *, id_col: str = "doc_id",
+                 text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, shingles: array<string>) — distinct whitespace-token n-grams.
+
+    Documents shorter than ``n`` tokens fall back to their token set, so
+    no document produces an empty shingle set (an empty set would make
+    min-hash undefined and Jaccard 0/0).
+    """
+    tok = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tok) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(tok, i, n)),
+    )
+    shingles = F.array_distinct(
+        F.when(F.size(tok) >= n, grams).otherwise(tok)
+    )
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       shingles.alias("shingles"))
+
+
+def minhash_signatures(shingled: DataFrame,
+                       num_hashes: int = NUM_HASHES) -> DataFrame:
+    """(doc_id, h0..h{k-1}) — k independent min-hashes per document.
+
+    Explode the shingle set once, then k ``min(xxhash64(seed_i, shingle))``
+    aggregates in a single hash-aggregate pass: one shuffle on doc_id,
+    whole-stage-codegen'd hashing, no per-seed re-scan.
+    """
+    exploded = shingled.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def candidate_pairs(signatures: DataFrame, *, bands: int = BANDS,
+                    rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
+    """(a_id, b_id) candidate pairs from LSH banding, a_id < b_id.
+
+    Each band hashes its r signature slots into one bucket key; the
+    self-join is on (band, bucket) — near-dups collide with probability
+    1-(1-J^r)^b, everything else almost never, so the join output is
+    linear in the number of true near-dup pairs, not quadratic in corpus
+    size.
+    """
+    band_entries = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.lit(b),
+                *[F.col(f"h{b * rows_per_band + r}")
+                  for r in range(rows_per_band)],
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ])
+    buckets = signatures.select(
+        "doc_id", F.explode(band_entries).alias("e")
+    ).select("doc_id", "e.band", "e.bucket")
+    a = buckets.withColumnRenamed("doc_id", "a_id")
+    b = buckets.withColumnRenamed("doc_id", "b_id")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def verify_jaccard(pairs: DataFrame, shingled: DataFrame,
+                   threshold: float = DEFAULT_JACCARD) -> DataFrame:
+    """Keep candidate pairs whose exact shingle Jaccard ≥ threshold.
+
+    Two hash joins against the shingle-set relation (shuffle on doc id);
+    the set algebra runs as codegen'd array expressions. Only candidates
+    pay this cost — the point of LSH.
+    """
+    sa = shingled.select(F.col("doc_id").alias("a_id"),
+                         F.col("shingles").alias("a_sh"))
+    sb = shingled.select(F.col("doc_id").alias("b_id"),
+                         F.col("shingles").alias("b_sh"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size(F.array_union("a_sh", "b_sh"))
+    return (
+        pairs.join(sa, "a_id").join(sb, "b_id")
+        .withColumn("jaccard", inter.cast("double") / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame,
+                         max_iter: int = 10) -> DataFrame:
+    """(doc_id, rep_id): min doc_id of each connected component.
+
+    Min-label propagation: every node starts as its own representative;
+    each round a node adopts the smallest label among itself and its
+    neighbors. Near-dup components have tiny diameter, so this converges
+    in a few rounds; ``max_iter`` bounds pathological chains. Each round
+    is one shuffle join + one aggregate — no driver-side graph.
+    """
+    sym = edges.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).unionByName(
+        edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    )
+    labels = nodes.select(
+        F.col("doc_id"), F.col("doc_id").alias("rep_id")
+    ).persist()
+    labels.count()
+    for _ in range(max_iter):
+        msgs = (
+            sym.join(labels, sym.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), "rep_id")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("rep_id").alias("rep_id"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.rep_id") != F.col("o.rep_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_near(docs: DataFrame, *, id_col: str = "doc_id",
+               text_col: str = "text",
+               jaccard_threshold: float = DEFAULT_JACCARD) -> DataFrame:
+    """Full near-dup pipeline → (doc_id, rep_id); keep rows where
+    doc_id == rep_id to deduplicate. Deterministic: min-hash seeds are
+    fixed, representatives are min-id."""
+    shingled = shingle_sets(docs, id_col=id_col, text_col=text_col)
+    sigs = minhash_signatures(shingled)
+    cands = candidate_pairs(sigs)
+    edges = verify_jaccard(cands, shingled, jaccard_threshold)
+    nodes = shingled.select("doc_id")
+    return connected_components(nodes, edges)

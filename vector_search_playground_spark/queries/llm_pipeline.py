@@ -299,3 +299,81 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("doc_id", "term", "tfidf")
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate scale paths — rows-only by design (SURVEY §2: never value-hash
+# an approximate algorithm); correctness is property-tested in
+# tests/test_dedup.py and tests/test_index.py.
+# ---------------------------------------------------------------------------
+
+SCRATCH = "/root/repo/.scratch"
+
+
+@query("dedup_near")  # rows-only: MinHash-LSH is approximate by design
+def dedup_near_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection over documents ∪ perturbed copies.
+
+    Each planted copy drops the document's last token (shingle Jaccard
+    ≈ 0.95 vs its original), so the expected output is every planted id
+    mapping back to its source via the keep-min-id rule. Pipeline:
+    MinHash (32 hashes) → LSH bands (8×4) → exact-Jaccard verify ≥ 0.7 →
+    min-id connected components (operators/dedup.py).
+    """
+    from vector_search_playground_spark.operators.dedup import dedup_near
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = F.split("text", " ")
+    near = docs.select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(tok, 1, F.greatest(F.size(tok) - 1, F.lit(1)))
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(near)
+    labels = dedup_near(corpus)
+    return (
+        labels.where(F.col("doc_id") != F.col("rep_id"))
+        .orderBy("doc_id")
+        .select("doc_id", "rep_id")
+    )
+
+
+@query("index_build_ivf")  # rows-only: pruned search is approximate
+def index_build_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the IVF index (k-means → centroid_id-partitioned parquet)
+    and run a pruned top-10 search for vec 0's embedding (plans/ivf.py).
+    Recall vs exact knn is property-tested, not hashed."""
+    import os
+
+    from vector_search_playground_spark.plans.ivf import build_ivf, search_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = os.path.join(SCRATCH, "ivf_index")
+    centroids = build_ivf(emb, path, k=16, seed=42)
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    return search_ivf(spark, path, centroids, qvec, k=10, nprobe=4)
+
+
+@query("index_build_lsh")  # rows-only: bucketed search is approximate
+def index_build_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the random-hyperplane LSH table and run a multiprobe top-10
+    search for vec 0's embedding (plans/lsh.py)."""
+    from vector_search_playground_spark.plans.lsh import (
+        build_lsh,
+        hyperplanes,
+        search_lsh,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.where(F.col("vec_id") == 0).first()["embedding"])
+    planes = hyperplanes(dim, nbits=8, seed=42)
+    indexed = build_lsh(emb, planes)
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    return search_lsh(indexed, planes, qvec, k=10)
