@@ -1,0 +1,160 @@
+"""Streaming semantics that need multiple micro-batches (SURVEY §5):
+watermark late-data drop, cross-batch stateful accumulation, cross-batch
+dedup. The hash-checkable single-drain behavior is covered by the
+stream_* oracle entries; these tests drive a live query over a growing
+file source with ``processAllAvailable`` between appends."""
+
+from __future__ import annotations
+
+import os
+import shutil
+from uuid import uuid4
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_playground_spark import schemas
+from vector_search_playground_spark.sources import normalize_events
+
+SCRATCH = "/root/repo/.scratch/streaming_tests"
+
+HOUR_NS = 3_600_000_000_000
+BASE_NS = 1_704_067_200_000_000_000  # 2024-01-01T00:00:00Z
+
+
+def _write_batch(spark, src, rows):
+    """Append one file of events-shaped rows: (event_id, ts_ns offset hours)."""
+    data = [
+        (eid, BASE_NS + int(h * HOUR_NS), 1, "click", 1.0, "{}")
+        for eid, h in rows
+    ]
+    df = spark.createDataFrame(data, schemas.EVENTS_RAW)
+    df.coalesce(1).write.mode("append").parquet(src)
+
+
+def _stream(spark, src):
+    raw = (
+        spark.readStream.schema(schemas.EVENTS_RAW)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    return normalize_events(raw).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+@pytest.fixture()
+def scratch():
+    path = os.path.join(SCRATCH, uuid4().hex[:8])
+    os.makedirs(path)
+    yield path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_watermark_drops_late(spark, scratch):
+    """A row older than the watermark must not resurrect its window."""
+    src = os.path.join(scratch, "src")
+    ckpt = os.path.join(scratch, "ckpt")
+    _write_batch(spark, src, [(1, 0.2), (2, 2.5)])  # window 0 + advance
+
+    ev = _stream(spark, src)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "HH:mm").alias("h"), "n")
+    )
+    qname = f"wm_{uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark is now 02:30-10min=02:20 > 01:00 — window 0 is closed.
+        # late row into window 0 + a fresh row to advance the watermark:
+        _write_batch(spark, src, [(3, 0.4), (4, 5.0)])
+        q.processAllAvailable()
+        _write_batch(spark, src, [(5, 8.0)])  # flush window [05:00,06:00)
+        q.processAllAvailable()
+        rows = {r["h"]: r["n"] for r in spark.table(qname).collect()}
+    finally:
+        q.stop()
+    # window 00:00 was finalized with exactly the on-time row; the late
+    # arrival (event 3) must have been dropped, not re-emitted.
+    assert rows.get("00:00") == 1, rows
+    assert spark.table(qname).groupBy("h").count().where("count > 1").count() == 0
+
+
+def test_stateful_accumulates_across_batches(spark, scratch):
+    """applyInPandasWithState must carry (count, sum) across micro-batches."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = os.path.join(scratch, "src")
+    ckpt = os.path.join(scratch, "ckpt")
+    _write_batch(spark, src, [(1, 0.0), (2, 1.0)])
+
+    def running(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        cnt = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            cnt += len(pdf)
+        state.update((cnt,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [cnt]})
+
+    ev = _stream(spark, src)
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        running,
+        outputStructType="user_id long, n long",
+        stateStructType="cnt long",
+        outputMode="Update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    qname = f"st_{uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, src, [(3, 2.0)])
+        q.processAllAvailable()
+        ns = sorted(r["n"] for r in spark.table(qname).collect())
+    finally:
+        q.stop()
+    # batch 1 emits 2, batch 2 emits 3 — state survived the batch boundary
+    assert ns == [2, 3], ns
+
+
+def test_dedup_across_batches(spark, scratch):
+    """dropDuplicatesWithinWatermark must suppress a duplicate id arriving
+    in a later micro-batch while it is still inside the watermark."""
+    src = os.path.join(scratch, "src")
+    ckpt = os.path.join(scratch, "ckpt")
+    _write_batch(spark, src, [(1, 0.0), (2, 0.1)])
+
+    ev = _stream(spark, src)
+    dd = ev.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    ).select("event_id")
+    qname = f"dd_{uuid4().hex[:8]}"
+    q = (
+        dd.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, src, [(1, 0.2), (3, 0.3)])  # id 1 again
+        q.processAllAvailable()
+        ids = sorted(r["event_id"] for r in spark.table(qname).collect())
+    finally:
+        q.stop()
+    assert ids == [1, 2, 3], ids

@@ -32,31 +32,39 @@ TABLE_NAMES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table with its declared schema.
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Derive the two time columns every events consumer uses:
 
-    ``events`` gets two derived time columns:
     - ``ts``   — TIMESTAMP_NTZ, truncated to microseconds (Spark's max
       precision). Use for windows / date functions.
     - ``ts_ns`` — the exact epoch-nanosecond int64 from disk. Use when
       nanosecond-exact arithmetic must match the DuckDB oracle (which reads
       the full ns precision).
+
+    Shared by the batch loader below and the streaming source
+    (streaming/jobs.py) so both surfaces see one schema.
     """
+    return (
+        df.withColumnRenamed("ts", "ts_ns")
+        .withColumn(
+            "ts",
+            F.expr("timestamp_micros(ts_ns div 1000)").cast("timestamp_ntz"),
+        )
+        .select(
+            "event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props"
+        )
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table with its declared schema (events get the
+    ``normalize_events`` treatment)."""
     if name not in schemas.TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.schema(schemas.TABLES[name]).parquet(path)
     if name == "events":
-        df = (
-            df.withColumnRenamed("ts", "ts_ns")
-            .withColumn(
-                "ts",
-                F.expr("timestamp_micros(ts_ns div 1000)").cast("timestamp_ntz"),
-            )
-            .select(
-                "event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props"
-            )
-        )
+        df = normalize_events(df)
     return df
 
 

@@ -1,0 +1,300 @@
+"""Structured Streaming surface over the events fixture (SURVEY §2
+streaming tier). The reference is batch-only request/response
+(`/root/reference/src/main.rs:24-50`); this tier is driver-north-star
+surface: the same engine must handle the unbounded version of its tables.
+
+Execution model: each registered query runs a REAL streaming query — file
+source → stateful streaming operators → memory sink — with
+``Trigger.AvailableNow`` so it drains the fixture and terminates, then
+returns the sink contents as a batch DataFrame. That keeps the driver
+contract (a DataFrame per query) while exercising the streaming engine's
+state store, not a batch re-phrasing. Batch-equivalent DuckDB oracles per
+SURVEY §2; watermark *eviction* semantics need multiple micro-batches, so
+they live in tests/test_streaming.py, not in oracles.
+
+Scale notes:
+- Windowed aggregates keyed by (window × type) / (window) / (user):
+  state is bounded by key cardinality; watermarks bound it in time.
+- ``dropDuplicatesWithinWatermark`` bounds dedup state to the watermark
+  horizon — the only dedup that survives an unbounded stream.
+- ``applyInPandasWithState`` holds one tiny tuple per user — the custom
+  stateful-operator escape hatch, Arrow-batched.
+- Memory sink is test harness only; production sinks are
+  parquet/Delta/Kafka via the same ``writeStream``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from uuid import uuid4
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_search_playground_spark import schemas
+from vector_search_playground_spark.registry import ROUND_MONEY, query
+from vector_search_playground_spark.sources import normalize_events
+
+SCRATCH = "/root/repo/.scratch/streaming"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as an unbounded source (same schema/normalization as
+    the batch loader — one data model, two execution modes)."""
+    raw = (
+        spark.readStream.schema(schemas.EVENTS_RAW)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # Watermarks demand TIMESTAMP (not NTZ); session tz is pinned to UTC
+    # (session.py), so the cast is value-identical to the batch surface.
+    return normalize_events(raw).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+def run_available_now(
+    df: DataFrame, *, output_mode: str, name: str | None = None
+) -> DataFrame:
+    """Drain a streaming DataFrame to a memory sink and return the result.
+
+    AvailableNow processes everything currently in the source (possibly
+    as several micro-batches), then stops — the streaming analogue of
+    "run to completion" that the driver's batch contract needs.
+    """
+    qname = f"s_{(name or 'q')}_{uuid4().hex[:8]}"
+    ckpt = os.path.join(SCRATCH, f"ckpt_{qname}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(qname)
+
+
+@query(
+    "stream_tumble",
+    oracle=f"""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+           count(*) AS n_events, ROUND(sum(value), {ROUND_MONEY}) AS sum_value
+    FROM events GROUP BY day, event_type
+    """,
+)
+def stream_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day count/sum per event_type, run as a streaming query
+    (complete mode: every window's final value reaches the sink, which is
+    exactly the batch group-by — the SURVEY batch-equivalent oracle)."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = ev.groupBy(
+        F.window("ts", "1 day").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), ROUND_MONEY).alias("sum_value"),
+    )
+    out = agg.select(
+        F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+    return run_available_now(out, output_mode="complete", name="tumble")
+
+
+@query(
+    "stream_slide",
+    oracle=f"""
+    WITH off AS (SELECT unnest([0, 1]) AS o),
+    w AS (
+        SELECT make_timestamp(
+                 ((epoch_us(ts) // 10800000000) - o) * 10800000000
+               ) AS ws, value
+        FROM events CROSS JOIN off
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n_events, ROUND(sum(value), {ROUND_MONEY}) AS sum_value
+    FROM w GROUP BY ws
+    """,
+)
+def stream_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 6-hour window every 3 hours — each event lands in exactly
+    2 windows (duration/slide), which is what the oracle's offset
+    cross-join reconstructs in batch SQL."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "6 hours", "3 hours").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), ROUND_MONEY).alias("sum_value"),
+    )
+    out = agg.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_events",
+        "sum_value",
+    )
+    return run_available_now(out, output_mode="complete", name="slide")
+
+
+@query(
+    "stream_session",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id) AS prev
+        FROM events
+    ),
+    m AS (
+        SELECT *, CASE WHEN prev IS NULL
+                         OR ts - prev >= INTERVAL 6 HOUR
+                       THEN 1 ELSE 0 END AS new_sess
+        FROM o
+    ),
+    s AS (
+        SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), ts
+                                      ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM m
+    )
+    SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+           count(*) AS n_events, ROUND(sum(value), {ROUND_MONEY}) AS sum_value
+    FROM s GROUP BY user_id, sess_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 6-hour gap. The oracle is the
+    classic batch islands rewrite (lag → new-session flag → running sum),
+    per SURVEY §2: identical sessions, so counts/sums/starts hash-match.
+    Spark closes a session when the next event is ≥ gap after the last
+    (half-open [start, last+gap)); the oracle uses the same >= boundary."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.session_window("ts", "6 hours").alias("w"), "user_id"
+        )
+        .agg(
+            F.min("ts_ns").alias("start_ns"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), ROUND_MONEY).alias("sum_value"),
+        )
+    )
+    out = agg.select(
+        "user_id",
+        F.expr("start_ns div 1000").alias("session_start_us"),
+        "n_events",
+        "sum_value",
+    )
+    return run_available_now(out, output_mode="complete", name="session")
+
+
+@query(
+    "stream_watermark",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           count(*) AS n_events,
+           ROUND(avg(value), 6) AS avg_value
+    FROM events GROUP BY hour
+    """,
+)
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly aggregate under a 10-minute watermark, update mode.
+
+    With the fixture drained in order nothing is late, so the sink equals
+    the batch group-by (hash-checkable). The *eviction* semantics — late
+    rows dropped once the watermark passes — need two micro-batches and
+    are asserted in tests/test_streaming.py::test_watermark_drops_late,
+    per SURVEY §5 (watermark behavior is a property test, not an oracle).
+    """
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+    out = agg.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "n_events",
+        "avg_value",
+    )
+    return run_available_now(out, output_mode="update", name="watermark")
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+    FROM events
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on event_id over a doubled stream (the source
+    unioned with itself — every id arrives twice), via
+    ``dropDuplicatesWithinWatermark``: state is bounded by the watermark
+    horizon instead of growing forever, the only dedup shape that
+    survives an unbounded stream. Output = the distinct events, which is
+    exactly the batch table."""
+    doubled = read_events_stream(spark, sf_dir).unionByName(
+        read_events_stream(spark, sf_dir)
+    )
+    dd = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            F.expr("ts_ns div 1000").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+    )
+    return run_available_now(dd, output_mode="append", name="dedup")
+
+
+@query(
+    "stream_stateful",
+    oracle=f"""
+    SELECT user_id, count(*) AS n_events,
+           ROUND(sum(value), {ROUND_MONEY}) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: running per-user totals via
+    ``applyInPandasWithState`` (Arrow-batched, one (count, sum) tuple of
+    state per user). After draining the fixture the latest update per
+    user equals the batch aggregate. Multi-batch accumulation semantics
+    are asserted in tests/test_streaming.py."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def running_totals(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        cnt, tot = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            tot += float(pdf["value"].sum())
+        state.update((cnt, tot))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [cnt],
+                "sum_value": [round(tot, ROUND_MONEY)],
+            }
+        )
+
+    ev = read_events_stream(spark, sf_dir)
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        running_totals,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="cnt long, tot double",
+        outputMode="Update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_available_now(out, output_mode="update", name="stateful")
