@@ -5,5 +5,6 @@ from vector_search_playground_spark.queries import (  # noqa: F401
     llm_pipeline,
     relational,
     surface,
+    udf_surface,
     vector_search,
 )
