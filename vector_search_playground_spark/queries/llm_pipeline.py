@@ -377,3 +377,29 @@ def index_build_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
     ]
     return search_lsh(indexed, planes, qvec, k=10)
+
+
+@query("multimodal_features")  # rows-only: decode is a stubbed codec seam
+def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column pipeline: documents → synthesized binary media
+    (payload + typed metadata) → mapInPandas decode/frame-sample/featurize
+    (functions/multimodal.py). The codec is a deterministic stub (no media
+    libraries in this environment); the Spark plumbing — schema, Arrow
+    batch shape, partition-preserving map — is real and property-tested
+    in tests/test_multimodal.py."""
+    from vector_search_playground_spark.functions.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    feats = extract_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        "kind",
+        "payload_bytes",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6)
+        .alias("feature_sum"),
+        F.coalesce(F.size("sampled_frames"), F.lit(0)).alias("n_sampled"),
+    )
