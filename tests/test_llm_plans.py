@@ -1,0 +1,54 @@
+"""Plan-level assertions for the LLM-pipeline tier — the physical shapes
+that make these operators scale (same guard style as
+tests/test_relational_plans.py)."""
+
+from __future__ import annotations
+
+from vector_search_playground_spark.queries import llm_pipeline as L
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sim_join_broadcasts_small_side(spark, sf_smoke):
+    """Exact all-pairs must broadcast one side (no shuffle), and the only
+    join is the nested-loop pairing — the distance filter fuses into it."""
+    plan = _plan(L.sim_join(spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_dedup_exact_is_single_shuffle_agg(spark, sf_smoke):
+    """Hash aggregate with map-side partial: exactly one exchange, keyed
+    on the dedup column."""
+    plan = _plan(L.dedup_exact(spark, sf_smoke))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "HashAggregate" in plan, plan
+    assert "Sort" not in plan, plan
+
+
+def test_tfidf_broadcasts_vocabulary(spark, sf_smoke):
+    """df (vocabulary-sized) and the corpus count join back via broadcast —
+    scoring must not shuffle the token stream a second time."""
+    plan = _plan(L.tfidf_topterms(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the 1-row count
+    # the top-k window partitions by doc_id (never a global window), and
+    # WindowGroupLimit prunes each group to k rows before the final sort
+    assert "windowspecdefinition(doc_id" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_text_stats_single_exchange_on_group_key(spark, sf_smoke):
+    plan = _plan(L.text_stats(spark, sf_smoke))
+    assert "HashAggregate" in plan, plan
+    # explode happens map-side, before the exchange
+    assert "Generate explode" in plan, plan
+
+
+def test_doc_fingerprint_is_pure_map(spark, sf_smoke):
+    """No exchange at all — fingerprinting must stay on input partitions."""
+    plan = _plan(L.doc_fingerprint(spark, sf_smoke))
+    assert "Exchange" not in plan, plan
