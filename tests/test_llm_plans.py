@@ -11,13 +11,14 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_sim_join_broadcasts_small_side(spark, sf_smoke):
-    """Exact all-pairs must broadcast one side (no shuffle), and the only
-    join is the nested-loop pairing — the distance filter fuses into it."""
+def test_sim_join_is_shuffle_free_map(spark, sf_smoke):
+    """Exact all-pairs broadcasts the build side as a matrix and streams
+    the probe side through one Arrow map stage — no join operator, no
+    exchange anywhere in the plan (operators/simjoin.py)."""
     plan = _plan(L.sim_join(spark, sf_smoke))
-    assert "BroadcastNestedLoopJoin" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
-    assert "Exchange hashpartitioning" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
 
 
 def test_dedup_exact_is_single_shuffle_agg(spark, sf_smoke):

@@ -29,7 +29,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from vector_search_playground_spark.functions.vector import cosine_distance
 from vector_search_playground_spark.registry import ROUND_DIST, query
 from vector_search_playground_spark.sources import load_table
 
@@ -98,25 +97,26 @@ def sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed join). Semantics: all unordered pairs (a < b by id) with
     cosine distance below the threshold.
 
-    Plan: the right side is explicitly broadcast, so the pairing runs as a
-    BroadcastNestedLoopJoin with the id predicate and the distance filter
-    fused into one codegen stage — no shuffle at all. All-pairs is O(n²) by
-    definition; at 100 TB this exact form is only ever run on samples to
-    measure the LSH path's recall, never on the full corpus (SURVEY §2).
+    Physical shape (operators/simjoin.py): the build side is broadcast as
+    a float64 matrix, the probe side streams through ``mapInPandas``, and
+    every pairwise distance comes out of one BLAS matmul per Arrow batch —
+    zero shuffle, partition-parallel. A BroadcastNestedLoopJoin with the
+    HOF cosine kernel has the same plan shape but evaluates 4M interpreted
+    folds (Catalyst HOFs are CodegenFallback): 135 s vs ~2 s at sf0.1.
+    All-pairs is O(n²) by definition; at 100 TB this exact form is only
+    ever run on samples to measure the LSH path's recall (SURVEY §2).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec")
-    )
-    dist = cosine_distance(F.col("a_vec"), F.col("b_vec"))
-    return (
-        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
-        .withColumn("dist", dist)
-        .where(F.col("dist") < SIM_JOIN_THRESHOLD)
-        .select("a_id", "b_id", F.round("dist", ROUND_DIST).alias("dist"))
+    from vector_search_playground_spark.operators.simjoin import sim_join_exact
+
+    return sim_join_exact(
+        emb,
+        threshold=SIM_JOIN_THRESHOLD,
+        id_col="vec_id",
+        vec_col="embedding",
+        round_to=ROUND_DIST,
+    ).select(
+        F.col("a_id"), F.col("b_id"), F.col("dist")
     )
 
 
