@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import os
 import shutil
-from uuid import uuid4
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -63,7 +62,10 @@ def run_available_now(
     as several micro-batches), then stops — the streaming analogue of
     "run to completion" that the driver's batch contract needs.
     """
-    qname = f"s_{(name or 'q')}_{uuid4().hex[:8]}"
+    # Deterministic names: the checkpoint is wiped and reused per query id
+    # (no per-run accumulation), and an AvailableNow query is terminated by
+    # the time we return, so the memory-sink table name can be reused too.
+    qname = f"s_{name or 'q'}"
     ckpt = os.path.join(SCRATCH, f"ckpt_{qname}")
     shutil.rmtree(ckpt, ignore_errors=True)
     q = (
