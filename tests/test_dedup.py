@@ -70,6 +70,51 @@ def test_dedup_idempotent(spark, sf_correct):
     assert again.where(F.col("doc_id") != F.col("rep_id")).count() == 0
 
 
+def test_simhash_band_search_is_exact_within_radius(spark, sf_correct):
+    """simhash_pairs with max_hamming < bands must return EXACTLY the
+    brute-force pair set within the radius (pigeonhole exhaustiveness)."""
+    from pyspark.sql import functions as F
+
+    from vector_search_playground_spark.operators.dedup import (
+        simhash_pairs,
+        simhash_signatures,
+    )
+
+    corpus = _planted_corpus(spark, sf_correct, n=100)
+    sigs = simhash_signatures(shingle_sets(corpus)).persist()
+    got = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in simhash_pairs(sigs, max_hamming=7).collect()
+    }
+    a = sigs.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("sb"))
+    brute = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in a.crossJoin(b)
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= 7)
+        .collect()
+    }
+    sigs.unpersist()
+    assert got == brute
+    # perturbed copies mostly land inside the radius (measured ~85%)
+    planted = sum(1 for (x, y, _) in got if y - x == 1000000)
+    assert planted >= 70, planted
+
+
+def test_simhash_radius_guard():
+    import pytest as _pytest
+
+    from vector_search_playground_spark.operators.dedup import simhash_pairs
+
+    with _pytest.raises(ValueError):
+        simhash_pairs(None, max_hamming=8, bands=8)
+
+
 def test_banding_prunes_pair_space(spark, sf_correct):
     """The candidate set must be ~linear in planted dups, not O(n²)."""
     corpus = _planted_corpus(spark, sf_correct, n=50)

@@ -70,6 +70,87 @@ def minhash_signatures(shingled: DataFrame,
     return exploded.groupBy("doc_id").agg(*aggs)
 
 
+def simhash_signatures(shingled: DataFrame, *, nbits: int = 64) -> DataFrame:
+    """(doc_id, simhash): Charikar's SimHash over the shingle set — each
+    shingle's xxhash64 votes ±1 per bit position, the signature is the
+    sign pattern of the vote sums. Hamming distance between signatures
+    tracks set overlap, so near-dup candidates are pairs within a small
+    Hamming radius (banded lookup + ``bit_count(a ^ b)`` verify).
+
+    Same execution shape as ``minhash_signatures``: explode once, one
+    hash-aggregate shuffle on doc_id, all JVM-side. 64 conditional-sum
+    aggregates (one per bit) then a bitwise pack.
+    """
+    ex = shingled.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    ).select("doc_id", F.xxhash64("shingle").alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(nbits)
+    ]
+    votes = ex.groupBy("doc_id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(nbits):
+        sim = sim.bitwiseOR(
+            F.when(
+                F.col(f"v{b}") > 0,
+                F.shiftleft(F.lit(1).cast("long"), b),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(signatures: DataFrame, *, max_hamming: int = 7,
+                  bands: int = 8, nbits: int = 64) -> DataFrame:
+    """(a_id, b_id, hamming) — ALL pairs within the Hamming radius, found
+    by band-collision: split the signature into ``bands`` equal bit
+    chunks; with ``max_hamming < bands`` the pigeonhole principle
+    guarantees any pair within the radius agrees on ≥1 whole chunk, so
+    the (band, chunk)-keyed join is EXACT for that radius (property-
+    tested against brute force in tests/test_dedup.py), and the
+    ``bit_count`` check runs only on collisions."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} must be < bands={bands} for the "
+            "band-collision search to be exhaustive (pigeonhole)"
+        )
+    # both join sides read the signature relation — persist it once
+    signatures = signatures.persist()
+    width = nbits // bands
+    mask = (1 << width) - 1
+    entries = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright("simhash", b * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("chunk"),
+        )
+        for b in range(bands)
+    ])
+    buckets = signatures.select(
+        "doc_id", "simhash", F.explode(entries).alias("e")
+    ).select("doc_id", "simhash", "e.band", "e.chunk")
+    a = buckets.select(
+        F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sim"),
+        "band", "chunk",
+    )
+    b = buckets.select(
+        F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sim"),
+        "band", "chunk",
+    )
+    ham = F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim")))
+    return (
+        a.join(b, ["band", "chunk"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def candidate_pairs(signatures: DataFrame, *, bands: int = BANDS,
                     rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
     """(a_id, b_id) candidate pairs from LSH banding, a_id < b_id.

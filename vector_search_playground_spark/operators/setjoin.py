@@ -1,0 +1,89 @@
+"""Exact set-similarity join (n-gram Jaccard) via prefix filtering.
+
+North-star dedup family (BASELINE.json): alongside MinHash-LSH
+(operators/dedup.py, approximate) this is the EXACT n-gram-Jaccard join,
+using the prefix-filtering principle from the set-similarity-join
+literature (Chaudhuri et al. 2006 SSJoin; Vernica et al. 2010 showed the
+same construction scales on MapReduce): fix any global total order over
+the shingle universe; if J(A, B) ≥ t, then the first
+``|s| − ⌈t·|s|⌉ + 1`` elements of each set under that order (the
+"prefix") must intersect. Joining on prefix shingles therefore finds
+every qualifying pair — no false negatives — while examining a tiny
+fraction of the O(n²) pair space.
+
+Spark shape (all built-ins, no Python):
+1. explode shingles → global frequency count (one shuffle);
+2. rank each document's shingles rarest-first (window by doc_id) and
+   keep only the prefix;
+3. self-join on prefix shingle (shuffle keyed on the *rare* shingles —
+   frequency-ascending order is what keeps this join skew-free);
+4. verify exact Jaccard on the candidate pairs only.
+
+At 100 TB every stage stays a hash shuffle on bounded keys; the
+frequency relation is vocabulary-sized and broadcastable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def jaccard_join(
+    shingled: DataFrame,
+    threshold: float,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """All pairs (a_id < b_id) with shingle-set Jaccard ≥ threshold.
+
+    ``shingled``: (doc_id, shingles: array<string>) with distinct
+    elements per row (operators/dedup.py::shingle_sets produces this).
+    Returns (a_id, b_id, jaccard) — exact, oracle-checkable.
+    """
+    # shingled feeds four subtrees (frequency count, prefix ranking, both
+    # verify sides) — persist or each one re-tokenizes the corpus
+    shingled = shingled.persist()
+    ex = shingled.select(
+        "doc_id", F.size("shingles").alias("n"),
+        F.explode("shingles").alias("shingle"),
+    )
+    freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+
+    # Global order: (frequency asc, shingle asc). Rarest-first minimizes
+    # candidate fan-out AND join skew (the hottest shingles never appear
+    # in any prefix).
+    w = Window.partitionBy("doc_id").orderBy("freq", "shingle")
+    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    prefixes = (
+        ex.join(freq, "shingle")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= prefix_len)
+        .select("doc_id", "shingle")
+    )
+
+    a = prefixes.select(F.col("doc_id").alias("a_id"), "shingle")
+    b = prefixes.select(F.col("doc_id").alias("b_id"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+    sa = shingled.select(F.col("doc_id").alias("a_id"),
+                         F.col("shingles").alias("a_sh"))
+    sb = shingled.select(F.col("doc_id").alias("b_id"),
+                         F.col("shingles").alias("b_sh"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
+    union = (
+        F.size("a_sh") + F.size("b_sh")
+        - F.size(F.array_intersect("a_sh", "b_sh"))
+    )
+    return (
+        cand.join(sa, "a_id").join(sb, "b_id")
+        .withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id",
+                F.round("jaccard", round_to).alias("jaccard"))
+    )

@@ -301,6 +301,63 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_ngram",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(
+                 string_split(text, ' ')[1:greatest(len(string_split(text,' '))-1,1)],
+                 ' ') AS text
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(
+                 CASE WHEN len(string_split(text, ' ')) >= 3
+                      THEN list_transform(
+                             range(1, len(string_split(text, ' ')) - 1),
+                             i -> array_to_string(
+                                    string_split(text, ' ')[i:i+2], ' '))
+                      ELSE string_split(text, ' ') END) AS s
+        FROM corpus
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+    """,
+)
+def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join via prefix filtering
+    (operators/setjoin.py) over documents ∪ perturbed copies — the exact
+    member of the dedup family (MinHash-LSH in ``dedup_near`` is its
+    approximate sibling and is anchored by this result).
+
+    The oracle computes the same pairs the brute-force O(n²) way; the
+    engine's prefix-filter join must agree exactly — that equality IS the
+    no-false-negatives guarantee of the prefix principle, value-hashed.
+    """
+    from vector_search_playground_spark.operators.dedup import shingle_sets
+    from vector_search_playground_spark.operators.setjoin import jaccard_join
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = F.split("text", " ")
+    near = docs.select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(tok, 1, F.greatest(F.size(tok) - 1, F.lit(1)))
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(near)
+    return jaccard_join(shingle_sets(corpus), threshold=0.8)
+
+
 # ---------------------------------------------------------------------------
 # Approximate scale paths — rows-only by design (SURVEY §2: never value-hash
 # an approximate algorithm); correctness is property-tested in
@@ -337,6 +394,32 @@ def dedup_near_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .select("doc_id", "rep_id")
     )
+
+
+@query("dedup_simhash")  # rows-only: hash-signature method, no SQL oracle
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection over documents ∪ perturbed copies —
+    the third dedup family member (exact n-gram = ``dedup_ngram``,
+    MinHash-LSH = ``dedup_near``): 64-bit sign-vote signatures, 8-band
+    collision search, exact Hamming verify ≤ 7 (exhaustive within that
+    radius by pigeonhole — operators/dedup.py::simhash_pairs)."""
+    from vector_search_playground_spark.operators.dedup import (
+        shingle_sets,
+        simhash_pairs,
+        simhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = F.split("text", " ")
+    near = docs.select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(tok, 1, F.greatest(F.size(tok) - 1, F.lit(1)))
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(near)
+    sigs = simhash_signatures(shingle_sets(corpus))
+    return simhash_pairs(sigs, max_hamming=7).orderBy("a_id", "b_id")
 
 
 @query("index_build_ivf")  # rows-only: pruned search is approximate
