@@ -207,6 +207,99 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Marker vocabularies for the language-ID heuristic — tiny per-language
+# stopword lists, shared verbatim with the oracle SQL. The fixture texts are
+# synthetic bags of words, so most score 0 everywhere and fall back to 'und'
+# (ISO 639 "undetermined") — which is the honest output of a marker-based
+# classifier on vocabulary-less text, and exactly what the oracle computes.
+LANG_MARKERS = {
+    "en": ("the", "a", "and", "of"),
+    "de": ("der", "die", "und", "ein"),
+    "es": ("el", "la", "los", "una"),
+    "fr": ("le", "la", "les", "une"),
+}
+
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang AS lang_actual,
+               len(list_intersect(string_split(text, ' '),
+                                  {list(LANG_MARKERS['en'])!r})) AS s_en,
+               len(list_intersect(string_split(text, ' '),
+                                  {list(LANG_MARKERS['de'])!r})) AS s_de,
+               len(list_intersect(string_split(text, ' '),
+                                  {list(LANG_MARKERS['es'])!r})) AS s_es,
+               len(list_intersect(string_split(text, ' '),
+                                  {list(LANG_MARKERS['fr'])!r})) AS s_fr
+        FROM documents
+    )
+    SELECT doc_id, lang_actual,
+           CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+                WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS lang_guess
+    FROM scored
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic (north-star text analysis):
+    score each document against tiny per-language stopword sets, argmax
+    with a fixed priority tiebreak, 'und' when nothing matches. Pure map
+    — array_intersect against broadcast literal arrays, no shuffle. The
+    oracle runs the identical decision procedure, so the guess column
+    value-hashes."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.split("text", " ")
+    s = {
+        lang: F.size(
+            F.array_intersect(tok, F.array(*[F.lit(m) for m in marks]))
+        )
+        for lang, marks in LANG_MARKERS.items()
+    }
+    best = F.greatest(s["en"], s["de"], s["es"], s["fr"])
+    guess = (
+        F.when(best == 0, F.lit("und"))
+        .when(s["en"] >= F.greatest(s["de"], s["es"], s["fr"]), F.lit("en"))
+        .when(s["de"] >= F.greatest(s["es"], s["fr"]), F.lit("de"))
+        .when(s["es"] >= s["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        guess.alias("lang_guess"),
+    )
+
+
+@query(
+    "token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways the north star names: whitespace split and
+    a BPE-ish regex (letter runs / digit runs / single punctuation — the
+    GPT-2 pre-tokenizer shape without the unicode classes). Pure map;
+    both regex engines (Java, DuckDB/RE2) agree on this ASCII pattern."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), 0)
+        ).alias("bpe_ish_tokens"),
+    )
+
+
 @query(
     "doc_fingerprint",
     oracle="""

@@ -828,3 +828,63 @@ def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.floor("c_acctbal").cast("long").alias("bal_floor"),
     )
+
+
+@query(
+    "join_agg_topk",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), {ROUND_MONEY})
+             AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1995-03-15'
+      AND l.l_shipdate > DATE '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def join_agg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite showcase (TPC-H Q3 shape): 3-table join → filtered
+    revenue aggregate → global top-10. One query exercising the whole
+    relational pipeline the individual Tier C ids cover piecewise.
+
+    Plan economics at scale: the customer filter prunes the dim BEFORE the
+    join (Catalyst pushes it below), customer⋈orders broadcasts the
+    filtered dim under AQE, orders⋈lineitem shuffles on the order key
+    (both sides fact-sized), the aggregate runs partial+final on the join
+    key already in hand, and the top-10 is TakeOrderedAndProject — no
+    global sort ever materializes."""
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < "1995-03-15"
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > "1995-03-15"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                ROUND_MONEY,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+            "o_orderpriority",
+        )
+    )
