@@ -1,0 +1,92 @@
+"""Hypothesis property tests (SURVEY §5.3): the two independent distance
+implementations — the codegen'd HOF Column kernel (functions/vector.py)
+and the broadcast BLAS kernel (operators/simjoin.py) — must agree on the
+same pair set for arbitrary inputs, and top-k must obey its containment
+laws for arbitrary thresholds.
+
+Example counts are small because every example is a Spark job; the
+domain coverage comes from hypothesis shrinking, not volume.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, assume, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from vector_search_playground_spark.functions.vector import cosine_distance
+from vector_search_playground_spark.operators.simjoin import sim_join_exact
+
+DIM = 4
+
+finite_f = st.floats(
+    min_value=-4.0, max_value=4.0, allow_nan=False, width=32
+)
+vectors = st.lists(finite_f, min_size=DIM, max_size=DIM)
+
+
+@st.composite
+def corpora(draw):
+    n = draw(st.integers(min_value=2, max_value=6))
+    vecs = [draw(vectors) for _ in range(n)]
+    assume(all(any(x != 0.0 for x in v) for v in vecs))
+    return vecs
+
+
+@given(corpus=corpora(), threshold=st.floats(min_value=0.05, max_value=1.9))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_blas_kernel_agrees_with_hof_kernel(spark, corpus, threshold):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(corpus)],
+        "vec_id: bigint, embedding: array<float>",
+    )
+    blas = {
+        (r["a_id"], r["b_id"], r["dist"])
+        for r in sim_join_exact(
+            df, threshold=threshold, round_to=6
+        ).collect()
+    }
+    a = df.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
+    b = df.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
+    hof = {
+        (r["a_id"], r["b_id"], r["dist"])
+        for r in a.crossJoin(b)
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn("d", cosine_distance(F.col("va"), F.col("vb")))
+        .where(F.col("d") < threshold)
+        .select("a_id", "b_id", F.round("d", 6).alias("dist"))
+        .collect()
+    }
+    assert blas == hof
+
+
+@given(corpus=corpora(), threshold=st.floats(min_value=0.0, max_value=2.0))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_topk_containment_laws(spark, corpus, threshold):
+    """|top-k| ≤ k; top-k ⊆ thresholded set; distances ascending."""
+    from vector_search_playground_spark.operators.knn import knn
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(corpus)],
+        "vec_id: bigint, embedding: array<float>",
+    )
+    q = corpus[0]
+    k = 3
+    top = knn(
+        df, q, vector_col="embedding", metric="cosine",
+        threshold=threshold, k=k, tiebreak="vec_id",
+    ).collect()
+    assert len(top) <= k
+    dists = [r["dist"] for r in top]
+    assert dists == sorted(dists)
+    assert all(not math.isnan(d) and d < threshold for d in dists)
