@@ -1,3 +1,11 @@
+from vector_search_playground_spark.functions.embed import (
+    embed_batch,
+    embed_query,
+)
+from vector_search_playground_spark.functions.multimodal import (
+    extract_features,
+    synthesize_media,
+)
 from vector_search_playground_spark.functions.vector import (
     cosine_distance,
     cosine_similarity,
@@ -14,4 +22,8 @@ __all__ = [
     "inner_product_distance",
     "l2_distance",
     "l2_norm",
+    "embed_batch",
+    "embed_query",
+    "extract_features",
+    "synthesize_media",
 ]
