@@ -21,6 +21,12 @@ Scale notes:
   stateful-operator escape hatch, Arrow-batched.
 - Memory sink is test harness only; production sinks are
   parquet/Delta/Kafka via the same ``writeStream``.
+- ``complete`` output mode appears below ONLY because the drain-and-
+  compare harness needs every window's final value in one sink table;
+  complete mode retains all window state indefinitely, so an unbounded
+  production deployment of these same aggregations uses
+  append/update + watermark (the shape ``stream_watermark`` and the
+  eviction test demonstrate) and lets the watermark expire state.
 """
 
 from __future__ import annotations
