@@ -47,13 +47,17 @@ SCRATCH = "/root/repo/.scratch/streaming"
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as an unbounded source (same schema/normalization as
     the batch loader — one data model, two execution modes)."""
+    # Watermarks demand TIMESTAMP (not NTZ). Under UTC the NTZ→TIMESTAMP
+    # cast is value-identical to the batch surface; under any other session
+    # timezone the cast would shift window() epoch alignment away from the
+    # oracle's wall-clock date_trunc — so pin it here rather than assume
+    # the caller's session was built by our factory (the driver's isn't).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = (
         spark.readStream.schema(schemas.EVENTS_RAW)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # Watermarks demand TIMESTAMP (not NTZ); session tz is pinned to UTC
-    # (session.py), so the cast is value-identical to the batch surface.
     return normalize_events(raw).withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
