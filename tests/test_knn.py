@@ -56,8 +56,10 @@ def test_knn_batch_matches_single(spark, sf_smoke):
 
 
 def test_knn_batch_has_no_corpus_shuffle_before_distance(spark, sf_smoke):
-    """The query side must broadcast: plan shows BroadcastNestedLoopJoin
-    (1-row build side), not a shuffled cross join."""
+    """The corpus must reach the distance kernel un-shuffled (one Arrow
+    map stage over the scan, no join), and the only exchange in the plan
+    is the per-query window over the already-reduced local top-k
+    candidates — never the |Q|·|C| cross product."""
     embs = load_table(spark, sf_smoke, "embeddings")
     queries = embs.limit(3).select(
         F.col("vec_id").alias("query_id"),
@@ -69,4 +71,6 @@ def test_knn_batch_has_no_corpus_shuffle_before_distance(spark, sf_smoke):
         .executedPlan()
         .toString()
     )
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
