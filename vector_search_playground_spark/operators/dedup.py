@@ -33,13 +33,62 @@ DEFAULT_JACCARD = 0.7
 
 
 def shingle_sets(docs: DataFrame, *, id_col: str = "doc_id",
-                 text_col: str = "text", n: int = 3) -> DataFrame:
+                 text_col: str = "text", n: int = 3,
+                 kernel: str = "sql") -> DataFrame:
     """(id, shingles: array<string>) — distinct whitespace-token n-grams.
 
     Documents shorter than ``n`` tokens fall back to their token set, so
     no document produces an empty shingle set (an empty set would make
     min-hash undefined and Jaccard 0/0).
+
+    Two kernels, same output set:
+    - ``sql``: pure Column expressions (transform/slice/concat_ws).
+      Catalyst's array HOFs are CodegenFallback (interpreted per
+      element), so this is NOT the fast path — it is the dependency-free
+      one, and the one whose construction mirrors the DuckDB oracle SQL.
+    - ``arrow``: ``mapInPandas`` with plain Python string ops per Arrow
+      batch. 4× faster warm in ISOLATION at sf0.1 (0.35 s vs 1.5 s for
+      10k docs) but NOT end-to-end in the dedup pipelines — downstream
+      JVM consumers pay Arrow transfer of the large array column back,
+      which eats the win (measured net-negative; hence ``sql`` stays the
+      default and the pipelines use it). Kept as the template for a real
+      tokenizer (BPE etc.) that has no SQL expression at all. Shingle
+      ORDER within the array differs run-to-run (Python set iteration),
+      which every consumer (min-hash, intersect/union, bit votes) is
+      insensitive to.
     """
+    if kernel == "arrow":
+        import pandas as pd
+        from pyspark.sql.types import (
+            ArrayType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        in_df = docs.select(F.col(id_col).alias("doc_id"),
+                            F.col(text_col).alias("__text"))
+        schema = StructType(
+            [in_df.schema["doc_id"],
+             StructField("shingles", ArrayType(StringType(), False), False)]
+        )
+
+        def gen(batches):
+            for pdf in batches:
+                out = []
+                for t in pdf["__text"]:
+                    w = t.split(" ")
+                    if len(w) >= n:
+                        sh = list({
+                            " ".join(w[i:i + n]) for i in range(len(w) - n + 1)
+                        })
+                    else:
+                        sh = list(set(w))
+                    out.append(sh)
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "shingles": out})
+
+        return in_df.mapInPandas(gen, schema)
+
     tok = F.split(F.col(text_col), " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(tok) - F.lit(n - 1)),
