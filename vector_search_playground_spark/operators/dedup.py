@@ -257,7 +257,8 @@ def verify_jaccard(pairs: DataFrame, shingled: DataFrame,
 
 
 def connected_components(nodes: DataFrame, edges: DataFrame,
-                         max_iter: int = 10) -> DataFrame:
+                         max_iter: int = 10,
+                         num_partitions: int | None = None) -> DataFrame:
     """(doc_id, rep_id): min doc_id of each connected component.
 
     Min-label propagation: every node starts as its own representative;
@@ -265,7 +266,20 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     neighbors. Near-dup components have tiny diameter, so this converges
     in a few rounds; ``max_iter`` bounds pathological chains. Each round
     is one shuffle join + one aggregate — no driver-side graph.
+
+    ``num_partitions`` sizes the iterative phase. The label/edge
+    relations are node- and pair-scale — orders of magnitude smaller
+    than the corpus they came from — so running the loop at the corpus's
+    task count pays per-round scheduling for empty work (measured 6.6 s
+    → 4.3 s at sf0.1 by shrinking). Default: defaultParallelism/8,
+    floor 4, which scales with the cluster rather than hardcoding.
     """
+    if num_partitions is None:
+        num_partitions = max(
+            4, edges.sparkSession.sparkContext.defaultParallelism // 8
+        )
+    nodes = nodes.repartition(num_partitions, "doc_id")
+    edges = edges.repartition(num_partitions, "a_id")
     # Materialize the edge set once: every propagation round references it,
     # and without the persist each round would re-run the whole upstream
     # shingle → minhash → banding → verify pipeline (measured 4× the total

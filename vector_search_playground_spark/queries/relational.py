@@ -916,3 +916,97 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0, kinds)
     )
+
+
+@query(
+    "join_star_agg",
+    oracle=f"""
+    SELECT n.n_name,
+           ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), {ROUND_MONEY})
+             AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= DATE '1994-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+)
+def join_star_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite showcase (TPC-H Q5 shape): 5-table star join → revenue
+    per supplier nation in one region — the canonical join-reorder /
+    dim-broadcast stressor.
+
+    Plan economics: region filters to 1 row and prunes nation BEFORE the
+    fact tables are touched (broadcast chain region→nation→supplier);
+    the only fact-fact edge (lineitem⋈orders) shuffles on the order key;
+    everything else is a broadcast hash join against a filtered dim. The
+    final per-nation aggregate is 25 groups — partial map-side, trivial
+    exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= "1994-01-01"
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    dims = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "n_name")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                ROUND_MONEY,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@query(
+    "having_semijoin",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, big.sum_qty
+    FROM orders o
+    JOIN (
+        SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 300
+    ) big ON o.o_orderkey = big.l_orderkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def having_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite showcase (TPC-H Q18 shape): find large orders — aggregate
+    lineitem per order, HAVING-filter the aggregate, join the survivors
+    back to orders, top-20 by price.
+
+    The aggregate runs BEFORE the join, so the join's build side is only
+    the HAVING survivors (a few hundred keys) — broadcastable at any
+    corpus scale where the predicate is selective; the orders scan never
+    shuffles. sum_qty stays unrounded: quantities are integral doubles,
+    so the sum is exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .select("o_orderkey", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
