@@ -11,14 +11,31 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_sim_join_is_shuffle_free_map(spark, sf_smoke):
-    """Exact all-pairs broadcasts the build side as a matrix and streams
-    the probe side through one Arrow map stage — no join operator, no
-    exchange anywhere in the plan (operators/simjoin.py)."""
+def test_sim_join_is_block_matrix_group_map(spark, sf_smoke):
+    """Exact all-pairs runs as the block-matrix kernel: one exchange on the
+    block-pair key into a grouped Arrow stage — no join operator anywhere,
+    and the pairwise work never shows up as a plan-level cross product
+    (operators/simjoin.py)."""
     plan = _plan(L.sim_join(spark, sf_smoke))
-    assert "MapInPandas" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
     assert "Join" not in plan, plan
-    assert "Exchange" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_sim_join_never_collects_to_driver(spark, sf_smoke, monkeypatch):
+    """The registered sim_join must not materialize any relation on the
+    driver — the earlier broadcast formulation collected the whole corpus
+    (the first casualty at 100× scale). Building AND executing the query
+    with DataFrame.collect forbidden proves the kernel is fully
+    distributed."""
+    from pyspark.sql import DataFrame
+
+    def _no_collect(self):
+        raise AssertionError("sim_join collected a DataFrame to the driver")
+
+    monkeypatch.setattr(DataFrame, "collect", _no_collect)
+    df = L.sim_join(spark, sf_smoke)
+    df.write.format("noop").mode("overwrite").save()
 
 
 def test_dedup_exact_is_single_shuffle_agg(spark, sf_smoke):

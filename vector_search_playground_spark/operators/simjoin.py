@@ -1,32 +1,36 @@
-"""Exact thresholded similarity self-join — broadcast numpy kernel.
+"""Exact thresholded similarity self-join — distributed block-matrix kernel.
 
 The semantics are the all-pairs query in ``queries/llm_pipeline.py``
 (`sim_join`): every unordered pair (a_id < b_id) with cosine distance
 below a threshold. All-pairs is O(n²) *distance evaluations* no matter
-what; the engineering question is the cost per evaluation.
+what; the engineering questions are (a) the cost per evaluation and
+(b) whether any single machine ever has to hold the whole relation.
 
-A `zip_with`+`aggregate` HOF per pair is interpreted (Catalyst's
-higher-order functions are CodegenFallback), which at n=2000 means 4M
-interpreted 64-step folds — measured 135 s at sf0.1. This operator keeps
-the distances in one BLAS call instead:
+- Per-evaluation cost: a `zip_with`+`aggregate` HOF per pair is
+  interpreted (Catalyst's higher-order functions are CodegenFallback),
+  which at n=2000 means 4M interpreted 64-step folds — measured 135 s at
+  sf0.1. Every distance here comes out of a BLAS matmul instead.
+- Distribution: the corpus is hash-assigned to B blocks
+  (``pmod(xxhash64(id), B)`` — deterministic, skew-free even for
+  clustered id ranges). Each unordered block pair {i ≤ j} is one group
+  of a ``groupBy(gi, gj).applyInPandas``: rows of block i arrive tagged
+  side-A, rows of block j side-B (the diagonal group reuses its side-A
+  rows for both), and one chunked ``A @ B.T`` per group emits exactly
+  the pairs that pass the threshold and id-order masks.
 
-- the smaller side is **collected and broadcast** — exactly what Spark's
-  own BroadcastHashJoin does with its build side (collect to driver,
-  ship to every executor once); as a (n×d) float64 matrix it is ~1 MB at
-  fixture scale;
-- the probe side streams through ``mapInPandas``: each Arrow batch
-  becomes an (m×d) matrix, one ``A @ B.T`` produces every pairwise dot,
-  and the threshold + id-order masks select output pairs.
-
-Partition-parallel over the probe side, zero shuffle, one matmul per
-batch. At 100 TB the exact form still only ever runs on bounded samples
-(recall measurement for the LSH path — operators/dedup.py); the
-broadcast-side bound is the same one every broadcast join lives with.
+Every row is replicated to exactly B groups, so the shuffle is B·n
+vector rows — linear in the corpus for fixed B — and NOTHING is
+collected to the driver (the earlier broadcast formulation materialized
+the whole embedding relation driver-side; at 100× scale that is the
+first thing to die). Per-task memory is the two block slices,
+~2·(n/B)·d·8 bytes: pick ``num_blocks`` so a block fits an executor —
+the default scales with cluster parallelism, and raising B trades
+linearly more shuffle for quadratically more, smaller, tasks.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+import math
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -46,6 +50,10 @@ PAIRS_SCHEMA = StructType(
     ]
 )
 
+# Rows of side A processed per matmul inside a block-pair task, bounding the
+# (chunk × |block|) distance matrix to a few MB regardless of block size.
+_CHUNK_ROWS = 4096
+
 
 def sim_join_exact(
     corpus: DataFrame,
@@ -54,34 +62,99 @@ def sim_join_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    num_blocks: int | None = None,
 ) -> DataFrame:
-    """All pairs (a < b by id) with cosine_distance < threshold."""
+    """All pairs (a < b by id) with cosine_distance < threshold.
+
+    ``num_blocks`` defaults to ~√(2·defaultParallelism) so the B(B+1)/2
+    block-pair tasks saturate the cluster; at data scale, size it so one
+    block (n/B vectors) fits comfortably in executor memory.
+    """
     import numpy as np
 
-    side = corpus.select(id_col, vec_col).collect()
-    b_ids = np.array([r[id_col] for r in side], dtype=np.int64)
-    b_mat = np.array([r[vec_col] for r in side], dtype=np.float64)
-    b_norm = np.linalg.norm(b_mat, axis=1)
-    bc = corpus.sparkSession.sparkContext.broadcast((b_ids, b_mat, b_norm))
+    if num_blocks is None:
+        par = corpus.sparkSession.sparkContext.defaultParallelism
+        num_blocks = max(2, math.isqrt(2 * par))
+    B = num_blocks
 
-    def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids_b, mat_b, norm_b = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            a_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            a_norm = np.linalg.norm(a_mat, axis=1)
-            dist = 1.0 - (a_mat @ mat_b.T) / np.outer(a_norm, norm_b)
-            keep = (dist < threshold) & (a_ids[:, None] < ids_b[None, :])
-            ai, bi = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "a_id": a_ids[ai],
-                    "b_id": ids_b[bi],
-                    "dist": dist[ai, bi],
-                }
+    p = F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int")
+    # Row in block p joins group (p, j) as side A for every j ≥ p, and group
+    # (i, p) as side B for every i < p — each unordered row pair meets in
+    # exactly one group, the diagonal only from the A rule.
+    a_entries = F.filter(
+        F.array(*[
+            F.struct(
+                p.alias("gi"),
+                F.lit(j).cast("int").alias("gj"),
+                F.lit(0).cast("int").alias("side"),
             )
+            for j in range(B)
+        ]),
+        lambda e: e["gj"] >= e["gi"],
+    )
+    b_entries = F.filter(
+        F.array(*[
+            F.struct(
+                F.lit(i).cast("int").alias("gi"),
+                p.alias("gj"),
+                F.lit(1).cast("int").alias("side"),
+            )
+            for i in range(B)
+        ]),
+        lambda e: e["gi"] < e["gj"],
+    )
+    tagged = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.explode(F.concat(a_entries, b_entries)).alias("e"),
+    ).select("__id", "__vec", "e.gi", "e.gj", "e.side")
 
-    out = corpus.select(id_col, vec_col).mapInPandas(pairs, PAIRS_SCHEMA)
+    def block_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        gi, gj = key[0], key[1]
+        a = pdf[pdf["side"] == 0]
+        b = a if gi == gj else pdf[pdf["side"] == 1]
+        if a.empty or b.empty:
+            return pd.DataFrame(
+                {"a_id": pd.Series(dtype="int64"),
+                 "b_id": pd.Series(dtype="int64"),
+                 "dist": pd.Series(dtype="float64")}
+            )
+        a_ids = a["__id"].to_numpy(dtype=np.int64)
+        a_mat = np.array(list(a["__vec"]), dtype=np.float64)
+        a_norm = np.linalg.norm(a_mat, axis=1)
+        b_ids = b["__id"].to_numpy(dtype=np.int64)
+        b_mat = np.array(list(b["__vec"]), dtype=np.float64)
+        b_norm = np.linalg.norm(b_mat, axis=1)
+        frames = []
+        for lo in range(0, len(a_ids), _CHUNK_ROWS):
+            hi = lo + _CHUNK_ROWS
+            dist = 1.0 - (a_mat[lo:hi] @ b_mat.T) / np.outer(
+                a_norm[lo:hi], b_norm
+            )
+            keep = dist < threshold
+            if gi == gj:
+                # Same block on both sides: the grid holds both orientations
+                # and the self-diagonal — keep the canonical half only.
+                keep &= a_ids[lo:hi, None] < b_ids[None, :]
+            ai, bi = np.nonzero(keep)
+            if ai.size:
+                # Distinct blocks meet each unordered pair exactly once, in
+                # whichever orientation the block assignment produced —
+                # canonicalize to (smaller id, larger id) on output.
+                ids_a = a_ids[lo:hi][ai]
+                ids_b = b_ids[bi]
+                frames.append(pd.DataFrame(
+                    {"a_id": np.minimum(ids_a, ids_b),
+                     "b_id": np.maximum(ids_a, ids_b),
+                     "dist": dist[ai, bi]}
+                ))
+        if not frames:
+            return pd.DataFrame(
+                {"a_id": pd.Series(dtype="int64"),
+                 "b_id": pd.Series(dtype="int64"),
+                 "dist": pd.Series(dtype="float64")}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    out = tagged.groupBy("gi", "gj").applyInPandas(block_pairs, PAIRS_SCHEMA)
     return out.select("a_id", "b_id", F.round("dist", round_to).alias("dist"))
