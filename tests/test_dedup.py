@@ -70,6 +70,53 @@ def test_dedup_idempotent(spark, sf_correct):
     assert again.where(F.col("doc_id") != F.col("rep_id")).count() == 0
 
 
+def test_fused_arrow_pipeline_matches_sql_pipeline(spark, sf_correct):
+    """The fused Arrow kernel (text → signature in one stage) and the SQL
+    explode/aggregate kernel hash shingles differently, but at planted-dup
+    Jaccard (~0.95) banding catches a pair with prob ≈ 0.9998 under ANY
+    consistent hash and the verify stage is exact — so both pipelines must
+    produce the same labels on the planted corpus."""
+    corpus = _planted_corpus(spark, sf_correct, n=50)
+    arrow = {(r["doc_id"], r["rep_id"])
+             for r in dedup_near(corpus, kernel="arrow").collect()}
+    sql = {(r["doc_id"], r["rep_id"])
+           for r in dedup_near(corpus, kernel="sql").collect()}
+    assert arrow == sql
+
+
+def test_fused_minhash_emits_one_row_per_doc_no_exchange(spark, sf_correct):
+    """The fused kernel's contract: signatures come out of a single Arrow
+    map — no explode, no exchange, one row per document."""
+    from vector_search_playground_spark.operators.dedup import (
+        minhash_signatures_fused,
+    )
+
+    corpus = _planted_corpus(spark, sf_correct, n=30)
+    sigs = minhash_signatures_fused(corpus)
+    plan = sigs._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode
+    assert sigs.count() == 60
+    assert len(sigs.columns) == 33
+
+
+def test_fused_simhash_tracks_sql_simhash_pairs(spark, sf_correct):
+    """Planted near-dups must land within the Hamming radius under the
+    fused signature too (hash-agnostic property of SimHash)."""
+    from vector_search_playground_spark.operators.dedup import (
+        simhash_pairs,
+        simhash_signatures_fused,
+    )
+
+    corpus = _planted_corpus(spark, sf_correct, n=100)
+    sigs = simhash_signatures_fused(corpus)
+    got = {(r["a_id"], r["b_id"])
+           for r in simhash_pairs(sigs, max_hamming=7).collect()}
+    planted = sum(1 for (x, y) in got if y - x == 1000000)
+    assert planted >= 70, planted
+
+
 def test_simhash_band_search_is_exact_within_radius(spark, sf_correct):
     """simhash_pairs with max_hamming < bands must return EXACTLY the
     brute-force pair set within the radius (pigeonhole exhaustiveness)."""

@@ -467,8 +467,10 @@ def dedup_near_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each planted copy drops the document's last token (shingle Jaccard
     ≈ 0.95 vs its original), so the expected output is every planted id
     mapping back to its source via the keep-min-id rule. Pipeline:
-    MinHash (32 hashes) → LSH bands (8×4) → exact-Jaccard verify ≥ 0.7 →
-    min-id connected components (operators/dedup.py).
+    fused Arrow text→MinHash signatures (32 hashes, no shingle
+    explode/exchange) → LSH bands (8×4) → candidate-only exact-Jaccard
+    verify ≥ 0.7 rebuilt Arrow-side → min-id connected components
+    (operators/dedup.py).
     """
     from vector_search_playground_spark.operators.dedup import dedup_near
 
@@ -493,13 +495,13 @@ def dedup_near_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup detection over documents ∪ perturbed copies —
     the third dedup family member (exact n-gram = ``dedup_ngram``,
-    MinHash-LSH = ``dedup_near``): 64-bit sign-vote signatures, 8-band
-    collision search, exact Hamming verify ≤ 7 (exhaustive within that
-    radius by pigeonhole — operators/dedup.py::simhash_pairs)."""
+    MinHash-LSH = ``dedup_near``): 64-bit sign-vote signatures computed in
+    one fused Arrow stage (text → votes → packed signature, no 64-aggregate
+    explode), 8-band collision search, exact Hamming verify ≤ 7 (exhaustive
+    within that radius by pigeonhole — operators/dedup.py::simhash_pairs)."""
     from vector_search_playground_spark.operators.dedup import (
-        shingle_sets,
         simhash_pairs,
-        simhash_signatures,
+        simhash_signatures_fused,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -511,7 +513,7 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     corpus = docs.unionByName(near)
-    sigs = simhash_signatures(shingle_sets(corpus))
+    sigs = simhash_signatures_fused(corpus)
     return simhash_pairs(sigs, max_hamming=7).orderBy("a_id", "b_id")
 
 
