@@ -1,12 +1,19 @@
 """Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) and print ONE JSON line with per-query and
 total wall seconds. The driver records this as BENCH_r{N}.json.
+
+Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and reports the
+per-query MEDIAN, so one-off JIT/classload/shuffle-file effects don't leak
+into round-over-round comparisons. ``categories`` tags one-off index-build
+IDs vs steady-state query IDs — build cost and query latency must not be
+conflated when comparing rounds.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -14,6 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from vector_search_playground_spark import registry  # noqa: E402
 from vector_search_playground_spark.session import get_spark  # noqa: E402
+
+# One-off construction cost (k-means fit + partitioned write); everything
+# else measures steady-state query latency. ivf_search reuses a cached
+# index, so it lands in "query".
+BUILD_IDS = {"index_build_ivf", "index_build_lsh"}
 
 
 def main() -> None:
@@ -30,25 +42,38 @@ def main() -> None:
     warm = registry.QUERIES["knn_search"]
     warm(spark, "/root/testdata/sf0.001").collect()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    categories: dict[str, str] = {}
     total = 0.0
     for qid in sorted(registry.QUERIES):
         fn = registry.QUERIES[qid]
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            # Force full evaluation of every column with a noop sink: count()
-            # alone lets Catalyst elide sorts and prune projections, which
-            # under-measures (a count over order_by_dist never sorts).
-            df.write.format("noop").mode("overwrite").save()
-            n = "ok"
-        except Exception as exc:  # pragma: no cover - bench must never die
-            print(f"# {qid} FAILED: {exc}", file=sys.stderr)
+        runs: list[float] = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                # Force full evaluation of every column with a noop sink:
+                # count() alone lets Catalyst elide sorts and prune
+                # projections, which under-measures (a count over
+                # order_by_dist never sorts).
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # pragma: no cover - bench must never die
+                print(f"# {qid} FAILED: {exc}", file=sys.stderr)
+                runs = []
+                break
+            runs.append(time.perf_counter() - t0)
+        if not runs:
             continue
-        dt = time.perf_counter() - t0
+        dt = statistics.median(runs)
         timings[qid] = round(dt, 4)
+        categories[qid] = "build" if qid in BUILD_IDS else "query"
         total += dt
-        print(f"# {qid}: {dt:.3f}s rows={n}", file=sys.stderr)
+        print(
+            f"# {qid}: median {dt:.3f}s over {len(runs)} "
+            f"({', '.join(f'{r:.3f}' for r in runs)})",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
@@ -58,6 +83,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
+                "stat": "median",
+                "categories": categories,
             }
         )
     )

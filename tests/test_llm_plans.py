@@ -38,6 +38,16 @@ def test_sim_join_never_collects_to_driver(spark, sf_smoke, monkeypatch):
     df.write.format("noop").mode("overwrite").save()
 
 
+def test_registered_ivf_search_prunes_partitions(spark, sf_smoke):
+    """The registered ivf_search must hit the index through partition
+    pruning: the nprobe predicate shows up as PartitionFilters on the scan
+    (file-listing-time pruning), not as a data filter, and ranking is the
+    TakeOrderedAndProject top-k shape."""
+    plan = _plan(L.ivf_search_q(spark, sf_smoke))
+    assert "PartitionFilters" in plan and "centroid_id" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_dedup_exact_is_single_shuffle_agg(spark, sf_smoke):
     """Hash aggregate with map-side partial: exactly one exchange, keyed
     on the dedup column."""
