@@ -74,3 +74,26 @@ def test_knn_batch_has_no_corpus_shuffle_before_distance(spark, sf_smoke):
     assert "MapInPandas" in plan
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_knn_batch_rejects_oversized_query_set(spark, sf_smoke, monkeypatch):
+    """The query side is the broadcast build side: an over-cap query table
+    must fail fast with guidance, never silently collect to the driver."""
+    import importlib
+
+    import pytest
+
+    # operators/__init__ re-exports the knn *function* under the same name,
+    # so fetch the module itself for the monkeypatch
+    knn_mod = importlib.import_module(
+        "vector_search_playground_spark.operators.knn"
+    )
+
+    embs = load_table(spark, sf_smoke, "embeddings")
+    queries = embs.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    monkeypatch.setattr(knn_mod, "MAX_BATCH_QUERIES", 3)
+    with pytest.raises(ValueError, match="broadcast build side"):
+        knn_batch(embs, queries, k=5, tiebreak="vec_id")

@@ -30,3 +30,45 @@ def test_create_count_search_roundtrip(spark, tmp_path):
 def test_search_empty_table(spark, tmp_path):
     pg = Playground(spark, str(tmp_path / "empty"))
     assert pg.search("anything").collect() == []
+
+
+def test_id_counter_recovers_without_sidecar(spark, tmp_path):
+    """Deleting the sidecar (or data predating it) must not make new ids
+    collide with existing rows: the counter re-seeds from max(id)."""
+    import os
+
+    path = str(tmp_path / "search")
+    pg = Playground(spark, path)
+    pg.create("alpha one", "beta two", "gamma three")
+    os.remove(os.path.join(path, "_id_counter.json"))
+
+    pg2 = Playground(spark, path)
+    pg2.create("delta four")
+    rows = pg2._table().collect()
+    ids = [r.id for r in rows]
+    assert len(ids) == 4
+    assert len(set(ids)) == 4, f"id collision after sidecar loss: {ids}"
+
+
+def test_id_counter_recovers_from_interrupted_append(spark, tmp_path):
+    """A pending marker (crash between parquet append and counter update)
+    must trigger the max(id) recovery probe, never a reused id range."""
+    import json
+    import os
+
+    path = str(tmp_path / "search")
+    pg = Playground(spark, path)
+    pg.create("alpha one", "beta two", "gamma three")
+
+    # Simulate the crash window: rows are on disk, counter still shows the
+    # pre-append state with pending set.
+    with open(os.path.join(path, "_id_counter.json"), "w") as f:
+        json.dump({"next": 0, "pending": True}, f)
+
+    pg2 = Playground(spark, path)
+    pg2.create("delta four")
+    ids = [r.id for r in pg2._table().collect()]
+    assert len(ids) == 4
+    assert len(set(ids)) == 4, f"id collision after interrupted append: {ids}"
+    state = json.load(open(os.path.join(path, "_id_counter.json")))
+    assert state["pending"] is False

@@ -158,3 +158,57 @@ def test_dedup_across_batches(spark, scratch):
     finally:
         q.stop()
     assert ids == [1, 2, 3], ids
+
+
+def test_session_timezone_restored_after_drain(spark, sf_smoke):
+    """read_events_stream pins UTC for window alignment; the drain helper
+    must hand the caller's timezone back afterwards (ADVICE r02: a reader
+    function must not permanently mutate shared session config)."""
+    from vector_search_playground_spark.streaming import jobs
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        jobs.stream_tumble(spark, sf_smoke).collect()
+        assert (
+            spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_update_sink_reduces_to_final_totals_across_batches(
+    spark, sf_smoke, tmp_path, monkeypatch
+):
+    """stream_stateful over a two-file source drained one file per
+    micro-batch: the update-mode sink then holds one row per (user,
+    batch), and the reduction must return exactly the final total per
+    user — correctness must not depend on the drain fitting in one
+    micro-batch (ADVICE r02)."""
+    import shutil as _sh
+
+    from vector_search_playground_spark.sources import load_table
+    from vector_search_playground_spark.streaming import jobs
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    src = os.path.join(sf_smoke, "events.parquet")
+    _sh.copy(src, d / "events_a.parquet")
+    _sh.copy(src, d / "events_b.parquet")
+    monkeypatch.setattr(jobs, "_MAX_FILES_PER_TRIGGER", 1)
+
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in jobs.stream_stateful(spark, str(d)).collect()
+    }
+    want = {
+        r["user_id"]: (2 * r["n"], round(2 * r["s"], 2))
+        for r in load_table(spark, sf_smoke, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0], f"user {u} count"
+        assert abs(got[u][1] - want[u][1]) < 0.05, f"user {u} sum"

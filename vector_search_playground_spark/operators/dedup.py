@@ -457,6 +457,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     # action per round, which also materializes the persisted labels
     # (no separate join-and-count pass).
     prev_sum = labels.agg(F.sum("rep_id")).first()[0]
+    converged = False
     for _ in range(max_iter):
         msgs = (
             sym.join(labels, sym.src == labels.doc_id)
@@ -472,9 +473,23 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
     sym.unpersist()
+    if not converged:
+        # Labels were still moving when the iteration budget ran out — a
+        # component with diameter > max_iter would silently under-merge,
+        # so make the truncation loud.
+        import warnings
+
+        warnings.warn(
+            f"connected_components: min-label propagation did not converge "
+            f"within max_iter={max_iter} rounds; components with larger "
+            f"diameter are under-merged. Raise max_iter.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

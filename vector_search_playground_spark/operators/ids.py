@@ -6,15 +6,20 @@ A naive Spark translation — ``row_number()`` over a global window — collapse
 to a single partition holding the whole table. This operator computes the
 same dense rank in three cheap distributed passes:
 
-1. one aggregate for ``min/max`` of the order column (metadata-scale),
-2. deterministic equal-width bucketing on the order column + per-bucket
-   counts (P rows to the driver — metadata, not data),
+1. one ``approxQuantile`` sketch of the order column → P-1 bucket
+   boundaries (metadata-scale driver result),
+2. boundary bucketing + per-bucket counts (P rows to the driver — metadata,
+   not data),
 3. ``row_number()`` within each bucket + the bucket's cumulative offset.
 
 The window in pass 3 partitions by bucket, so the shuffle fans out to P
-balanced groups instead of 1 — each task holds ~n/P rows at any scale.
-Bucketing is a pure function of the value (not sampling), so every pass
-agrees on the assignment and the result is deterministic.
+balanced groups instead of 1. Quantile boundaries (not equal-width ranges)
+keep the groups balanced under ANY value distribution — with equal-width
+bucketing, keys clustered near one end all land in one bucket and pass 3
+degenerates back to the single-partition window this operator exists to
+avoid. Boundary choice only affects load balance, never the result: the
+dense rank of a unique order column is determined by the global value
+order, and every pass agrees on the (boundaries-driven) assignment.
 """
 
 from __future__ import annotations
@@ -33,28 +38,33 @@ def dense_ids(
 ) -> DataFrame:
     """Add ``rid_col`` = dense 0-based rank of ``order_col`` (must be
     numeric and unique, e.g. a key column)."""
-    lo, hi = df.agg(
-        F.min(order_col).cast("double"), F.max(order_col).cast("double")
-    ).first()
-    if lo is None:  # empty input
+    if df.isEmpty():
         return df.withColumn(rid_col, F.lit(None).cast("long"))
-    width = max((hi - lo) / num_buckets, 1e-300)
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    bounds = (
+        df.select(F.col(order_col).cast("double").alias("__v"))
+        .approxQuantile("__v", probs, 1.0 / (4 * num_buckets))
+    )
+    # dedupe (heavy skew can repeat a boundary) while keeping order
+    bounds = sorted(set(bounds))
 
     def bucket_of(c: Column) -> Column:
-        return F.least(
-            F.lit(num_buckets - 1),
-            F.floor((c.cast("double") - F.lit(lo)) / F.lit(width)),
-        ).cast("int")
+        v = c.cast("double")
+        expr = F.lit(0)
+        for b in bounds:
+            expr = expr + F.when(v > F.lit(b), 1).otherwise(0)
+        return expr.cast("int")
 
+    n_buckets = len(bounds) + 1
     bucketed = df.withColumn("__bkt", bucket_of(F.col(order_col)))
     counts = {
         r["__bkt"]: r["n"]
         for r in bucketed.groupBy("__bkt").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    sizes = [counts.get(b, 0) for b in range(num_buckets)]
-    offsets = [0, *accumulate(sizes)][:num_buckets]
+    sizes = [counts.get(b, 0) for b in range(n_buckets)]
+    offsets = [0, *accumulate(sizes)][:n_buckets]
     offset_map = F.create_map(
-        *[F.lit(x) for b in range(num_buckets) for x in (b, offsets[b])]
+        *[F.lit(x) for b in range(n_buckets) for x in (b, offsets[b])]
     )
     w = Window.partitionBy("__bkt").orderBy(order_col)
     return (

@@ -26,6 +26,11 @@ from pyspark.sql import functions as F
 
 from vector_search_playground_spark.functions import vector as V
 
+# Bound on the broadcast query side of knn_batch: 64k queries × 384-dim
+# float64 ≈ 200 MB broadcast — about where a broadcast join side should
+# stop. Larger query sets must be chunked by the caller.
+MAX_BATCH_QUERIES = 65_536
+
 METRICS = {
     "cosine": V.cosine_distance,
     # fast path for known-unit vectors: 1 aggregate instead of 3
@@ -117,7 +122,20 @@ def knn_batch(
     import numpy as np
     import pandas as pd
 
-    qrows = queries.select(query_id, query_vec).collect()
+    # The query set is this operator's broadcast BUILD side — the same
+    # bounded-size contract every broadcast join lives with. Cap the
+    # collect so a mistakenly huge query table fails fast with guidance
+    # instead of silently materializing on the driver.
+    qrows = queries.select(query_id, query_vec).limit(
+        MAX_BATCH_QUERIES + 1
+    ).collect()
+    if len(qrows) > MAX_BATCH_QUERIES:
+        raise ValueError(
+            f"knn_batch: query set exceeds {MAX_BATCH_QUERIES} rows — it is "
+            "the broadcast build side and must stay bounded. Partition the "
+            "query table and call knn_batch per chunk (the corpus is "
+            "scanned once per chunk either way)."
+        )
     q_ids = [r[query_id] for r in qrows]
     q_mat = np.array([r[query_vec] for r in qrows], dtype=np.float64)
     bc = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat))

@@ -69,12 +69,19 @@ class Playground:
         gap-free (neither is Postgres serial, e.g. on rollback). Unlike a
         ``max(id)`` probe, the counter read is O(1) metadata, never a table
         scan — at 100 TB a per-append full scan would dominate insert cost.
+
+        Crash-safety: the sidecar is written twice per append, both times
+        via temp-file + ``os.replace`` (no torn reads). A ``pending`` marker
+        lands BEFORE the parquet append; the final counter (pending
+        cleared) lands after. The happy path therefore never scans the
+        table, while any interrupted append — and a missing/corrupt sidecar
+        over a non-empty table (data predating the counter, deleted
+        sidecar) — is detected on the next call and recovered with a
+        one-off ``max(id)`` probe. Uniqueness never depends on the sidecar
+        surviving.
         """
-        try:
-            with open(self._counter_path()) as f:
-                base = json.load(f)["next"]
-        except (OSError, ValueError, KeyError):
-            base = 0
+        base = self._next_id_base()
+        self._write_counter(base, pending=True)
         df = self.spark.createDataFrame(
             [(c,) for c in contents], StructType([StructField("content", StringType())])
         )
@@ -86,9 +93,36 @@ class Playground:
         out.write.mode("append").parquet(self.path)
         # max over the just-written batch only (batch-scale, not table-scale)
         hi = out.agg(F.max("id")).first()[0]
-        with open(self._counter_path(), "w") as f:
-            json.dump({"next": int(hi) + 1}, f)
+        self._write_counter(int(hi) + 1, pending=False)
         return len(contents)
+
+    def _write_counter(self, nxt: int, *, pending: bool) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = f"{self._counter_path()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"next": nxt, "pending": pending}, f)
+        os.replace(tmp, self._counter_path())
+
+    def _next_id_base(self) -> int:
+        """Next id to assign. O(1) sidecar read on the happy path; a
+        ``max(id)`` probe of the table only when the sidecar is missing,
+        corrupt, or flagged pending (an append started but its counter
+        update never landed — the probe must floor the counter so the
+        just-written id range is never reused)."""
+        counter = None
+        pending = True
+        try:
+            with open(self._counter_path()) as f:
+                state = json.load(f)
+            counter = int(state["next"])
+            pending = bool(state.get("pending", False))
+        except (OSError, ValueError, KeyError, TypeError):
+            counter = None
+        if counter is not None and not pending:
+            return counter
+        hi = self._table().agg(F.max("id")).first()[0]
+        floor = int(hi) + 1 if hi is not None else 0
+        return floor if counter is None else max(counter, floor)
 
     def count(self) -> int:
         return self._table().count()

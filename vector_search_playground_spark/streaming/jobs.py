@@ -43,21 +43,43 @@ from vector_search_playground_spark.sources import normalize_events
 
 SCRATCH = "/root/repo/.scratch/streaming"
 
+# Pre-mutation session timezone, stashed by read_events_stream and restored
+# by run_available_now after the drain (None = nothing to restore).
+_SAVED_TZ: list[str | None] = []
+
+# Test seam: cap files per micro-batch so a multi-file source provably
+# drains in several batches (AvailableNow honors maxFilesPerTrigger).
+_MAX_FILES_PER_TRIGGER: int | None = None
+
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as an unbounded source (same schema/normalization as
-    the batch loader — one data model, two execution modes)."""
+    the batch loader — one data model, two execution modes).
+
+    PUBLIC API CONTRACT: this function sets ``spark.sql.session.timeZone``
+    to UTC for the life of the streaming query — watermark window alignment
+    must not depend on the caller's wall clock. The module's drain helper
+    (``run_available_now``) restores the caller's previous timezone after
+    the query terminates; callers driving the stream themselves inherit the
+    UTC session until they restore it.
+    """
     # Watermarks demand TIMESTAMP (not NTZ). Under UTC the NTZ→TIMESTAMP
     # cast is value-identical to the batch surface; under any other session
     # timezone the cast would shift window() epoch alignment away from the
     # oracle's wall-clock date_trunc — so pin it here rather than assume
     # the caller's session was built by our factory (the driver's isn't).
+    if not _SAVED_TZ:  # don't let a second source call save our own UTC
+        try:
+            _SAVED_TZ.append(spark.conf.get("spark.sql.session.timeZone"))
+        except Exception:
+            _SAVED_TZ.append(None)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw = (
-        spark.readStream.schema(schemas.EVENTS_RAW)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    reader = spark.readStream.schema(schemas.EVENTS_RAW).option(
+        "pathGlobFilter", "events*.parquet"
     )
+    if _MAX_FILES_PER_TRIGGER is not None:
+        reader = reader.option("maxFilesPerTrigger", _MAX_FILES_PER_TRIGGER)
+    raw = reader.parquet(sf_dir)
     return normalize_events(raw).withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
@@ -78,15 +100,26 @@ def run_available_now(
     qname = f"s_{name or 'q'}"
     ckpt = os.path.join(SCRATCH, f"ckpt_{qname}")
     shutil.rmtree(ckpt, ignore_errors=True)
-    q = (
-        df.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # undo read_events_stream's UTC pin — the caller's batch queries
+        # must not silently keep running under UTC
+        if _SAVED_TZ:
+            prev = _SAVED_TZ.pop()
+            spark = df.sparkSession
+            if prev is None:
+                spark.conf.unset("spark.sql.session.timeZone")
+            else:
+                spark.conf.set("spark.sql.session.timeZone", prev)
     return df.sparkSession.table(qname)
 
 
@@ -235,7 +268,16 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "avg_value",
     )
-    return run_available_now(out, output_mode="update", name="watermark")
+    sink = run_available_now(out, output_mode="update", name="watermark")
+    # An update-mode sink holds one row PER UPDATE: with several
+    # micro-batches (multi-file source, maxFilesPerTrigger) a window
+    # appears once per batch that touched it. The final value per window
+    # is the one with the highest event count (counts only grow), so the
+    # result must not depend on how the source happened to micro-batch.
+    return sink.groupBy("hour").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("avg_value", "n_events").alias("avg_value"),
+    )
 
 
 @query(
@@ -309,4 +351,13 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="Update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_available_now(out, output_mode="update", name="stateful")
+    sink = run_available_now(out, output_mode="update", name="stateful")
+    # Reduce the update-mode sink to the LATEST running total per user:
+    # each micro-batch that touches a user appends an update row, and the
+    # final one is the row with the highest count (strictly increasing).
+    # Without this, correctness would depend on the drain happening in one
+    # micro-batch.
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_value", "n_events").alias("sum_value"),
+    )
