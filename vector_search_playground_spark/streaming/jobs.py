@@ -85,6 +85,68 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def parse_kafka_events(kafka_df: DataFrame) -> DataFrame:
+    """Kafka wire format → the events schema every job in this module
+    consumes. Takes the (key binary, value binary, timestamp) contract a
+    real ``spark.readStream.format("kafka")`` source emits, JSON-decodes
+    the payload, and produces the same columns ``read_events_stream``
+    yields — so every aggregation downstream is source-agnostic by
+    construction. Works identically on a batch frame (unit-testable) and
+    a streaming one."""
+    payload = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    return (
+        kafka_df.select(
+            F.from_json(F.col("value").cast("string"), payload).alias("e")
+        )
+        .select("e.*")
+        .withColumn("ts_ns", F.unix_micros("ts") * F.lit(1000))
+    )
+
+
+def read_events_kafka_shaped(
+    spark: SparkSession, *, rows_per_second: int = 500
+) -> DataFrame:
+    """Source-independence demo: the event stream surfaced through the
+    Kafka contract. No broker exists in this environment, so the built-in
+    ``rate`` source synthesizes the (key, value-JSON, timestamp) triple a
+    Kafka topic would carry; swapping in the real thing is exactly
+    ``spark.readStream.format("kafka").option("subscribe", ...)`` feeding
+    the same ``parse_kafka_events`` — nothing downstream changes. Same
+    UTC pin (and restore-on-drain) as ``read_events_stream``."""
+    if not _SAVED_TZ:
+        try:
+            _SAVED_TZ.append(spark.conf.get("spark.sql.session.timeZone"))
+        except Exception:
+            _SAVED_TZ.append(None)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    kinds = F.array(F.lit("click"), F.lit("view"), F.lit("purchase"))
+    kafka_shaped = rate.select(
+        F.col("value").cast("string").cast("binary").alias("key"),
+        F.to_json(
+            F.struct(
+                F.col("value").alias("event_id"),
+                F.col("timestamp").alias("ts"),
+                F.pmod(F.col("value"), F.lit(50)).alias("user_id"),
+                F.element_at(
+                    kinds, (F.pmod(F.col("value"), F.lit(3)) + 1).cast("int")
+                ).alias("event_type"),
+                (F.pmod(F.col("value"), F.lit(100)) / 10.0).alias("value"),
+                F.lit("{}").alias("props"),
+            )
+        ).cast("binary").alias("value"),
+        F.col("timestamp"),
+    )
+    return parse_kafka_events(kafka_shaped)
+
+
 def run_available_now(
     df: DataFrame, *, output_mode: str, name: str | None = None
 ) -> DataFrame:
