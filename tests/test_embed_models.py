@@ -1,0 +1,90 @@
+"""The embedding seam beyond the hash embedder: a custom encoder factory
+rides the same Arrow plumbing with once-per-executor construction, and a
+real sentence-transformers checkpoint drops in when the package exists
+(skipped where it doesn't — this container has no model libs)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_playground_spark.functions.embed import embed_batch
+
+
+def test_callable_factory_loads_once_per_worker(spark, tmp_path):
+    """1000 rows, 2 partitions, 50-row Arrow batches → ~20 encoder calls,
+    but the FACTORY must run at most once per python worker (the
+    per-executor model cache — the thing that makes real-model batch
+    embedding viable; the reference reloads its model per call,
+    src/main.rs:52-60)."""
+    marker_dir = str(tmp_path / "loads")
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def factory():
+        import os as _os
+        import uuid as _uuid
+
+        open(
+            _os.path.join(
+                marker_dir, f"{_os.getpid()}_{_uuid.uuid4().hex}"
+            ),
+            "w",
+        ).close()
+
+        def encode(texts):
+            import numpy as _np
+            import pandas as _pd
+
+            return _pd.Series(
+                [_np.array([len(t), 1.0], dtype=_np.float32) for t in texts]
+            )
+
+        return encode
+
+    df = (
+        spark.range(1000)
+        .select(F.concat(F.lit("doc "), F.col("id")).alias("text"))
+        .repartition(2)
+    )
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        rows = embed_batch(df, "text", model=factory).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+    assert len(rows) == 1000
+    for r in rows:
+        assert r["embedding"][0] == float(len(r["text"]))
+    n_loads = len(os.listdir(marker_dir))
+    assert 1 <= n_loads <= 2, (
+        f"factory ran {n_loads} times — expected once per worker "
+        "(2 partitions), got per-batch construction"
+    )
+
+
+def test_unknown_string_model_fails_with_guidance(spark):
+    df = spark.createDataFrame([("hello",)], "text: string")
+    with pytest.raises(Exception, match="sentence-transformers"):
+        embed_batch(df, "text", model="no-such-model").collect()
+
+
+def test_sentence_transformers_integration(spark):
+    """Real-encoder path through the identical plumbing: normalized
+    float32 vectors of the checkpoint's dimension. Runs only where the
+    public package is installed."""
+    pytest.importorskip("sentence_transformers")
+    df = spark.createDataFrame(
+        [("the quick brown fox",), ("a completely different sentence",)],
+        "text: string",
+    )
+    rows = embed_batch(df, "text", model="all-MiniLM-L6-v2").collect()
+    assert len(rows) == 2
+    import numpy as np
+
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        assert v.shape[0] == 384
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-3

@@ -65,15 +65,48 @@ def _get_model(name: str):
     if name == "hash64":
         model = lambda texts: hash_embed_texts(texts, 64)  # noqa: E731
     else:
-        # Real-model path: sentence-transformers is not installed in this
-        # environment; the plumbing (mapInPandas, per-executor cache, Arrow
-        # batches) is identical for any encoder that maps list[str] → ndarray.
-        raise ImportError(
-            f"embedding model {name!r} requires sentence-transformers; "
-            "only the deterministic 'hash64' embedder is available here"
-        )
+        # Real-model path: any sentence-transformers checkpoint name (e.g.
+        # "all-MiniLM-L6-v2", the reference's model). Loaded once per
+        # executor process through this cache; encode runs over the Arrow
+        # batch with normalized float32 output — the same contract the
+        # hash embedder satisfies. Import-gated: environments without the
+        # package (like this container) fail with a clear message and the
+        # deterministic embedder remains the oracle default.
+        try:
+            from sentence_transformers import SentenceTransformer
+        except ImportError as exc:
+            raise ImportError(
+                f"embedding model {name!r} requires sentence-transformers; "
+                "only the deterministic 'hash64' embedder is available here"
+            ) from exc
+        st = SentenceTransformer(name)
+
+        def model(texts: "pd.Series") -> "pd.Series":
+            arr = st.encode(
+                list(texts),
+                convert_to_numpy=True,
+                normalize_embeddings=True,
+            )
+            return pd.Series([v.astype(np.float32) for v in arr])
+
     _MODEL_CACHE[name] = model
     return model
+
+
+def _resolve_model(model) -> "object":
+    """String name → registry lookup; callable → treated as a zero-arg
+    ENCODER FACTORY, invoked once per executor process and cached under
+    its qualified name. The factory form is how a custom model (ONNX
+    session, HTTP client, quantized local checkpoint) rides the same
+    Arrow/mapInPandas plumbing: the factory is serialized to executors,
+    the expensive construction happens executor-side exactly once, and
+    every subsequent Arrow batch reuses the cached encoder."""
+    if callable(model):
+        key = f"__factory__:{model.__module__}.{model.__qualname__}"
+        if key not in _MODEL_CACHE:
+            _MODEL_CACHE[key] = model()
+        return _MODEL_CACHE[key]
+    return _get_model(model)
 
 
 def embed_batch(
@@ -88,6 +121,12 @@ def embed_batch(
     mapInPandas (not a scalar pandas UDF) so a real encoder can control its
     own batch size / GPU dispatch inside the iterator; partitioning, schema
     and batch shape are identical for stub and real models.
+
+    ``model`` is either a registry name ("hash64", or any
+    sentence-transformers checkpoint when the package is installed) or a
+    zero-arg ENCODER FACTORY callable — constructed once per executor and
+    cached (see ``_resolve_model``), which is the integration seam for
+    custom encoders.
     """
     schema = StructType(
         df.schema.fields
@@ -95,7 +134,7 @@ def embed_batch(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        encoder = _get_model(model)
+        encoder = _resolve_model(model)
         for pdf in batches:
             pdf = pdf.copy()
             pdf[out_col] = encoder(pdf[text_col])
@@ -107,4 +146,4 @@ def embed_batch(
 def embed_query(text: str, model: str = "hash64", dim: int = 64) -> list[float]:
     """Driver-side single-string embed (the reference's query-time path,
     `src/main.rs:85-86`); same encoder as the distributed batch path."""
-    return [float(x) for x in _get_model(model)(pd.Series([text])).iloc[0]]
+    return [float(x) for x in _resolve_model(model)(pd.Series([text])).iloc[0]]
