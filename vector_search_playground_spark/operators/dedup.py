@@ -439,23 +439,29 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         )
     nodes = nodes.repartition(num_partitions, "doc_id")
     edges = edges.repartition(num_partitions, "a_id")
-    # Materialize the edge set once: every propagation round references it,
-    # and without the persist each round would re-run the whole upstream
-    # shingle → minhash → banding → verify pipeline (measured 4× the total
-    # dedup cost at sf0.1).
+    # Materialize the edge set once AND truncate its lineage: every
+    # propagation round references it, and without materialization each
+    # round would re-run the whole upstream candidate pipeline (measured
+    # 4× the total dedup cost at sf0.1). localCheckpoint (not persist) is
+    # load-bearing for the LOOP itself too: a persisted DataFrame keeps
+    # its logical plan, so each round's union(labels, join(sym, labels))
+    # DOUBLES the plan tree — by round ~15 the driver OOMs just
+    # stringifying it. Checkpointing resets the plan to a leaf each round,
+    # keeping plan size constant across iterations. (On a cluster with
+    # executor churn, swap for a reliable checkpoint dir — localCheckpoint
+    # stores blocks on executors.)
     sym = edges.select(
         F.col("a_id").alias("src"), F.col("b_id").alias("dst")
     ).unionByName(
         edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
-    ).persist()
-    sym.count()
+    ).localCheckpoint(eager=True)
     labels = nodes.select(
         F.col("doc_id"), F.col("doc_id").alias("rep_id")
-    ).persist()
+    ).localCheckpoint(eager=True)
     # Convergence check: labels only ever decrease (min-propagation), so
     # Σ rep_id strictly decreases until the fixpoint — one aggregate
-    # action per round, which also materializes the persisted labels
-    # (no separate join-and-count pass).
+    # action per round (the eager checkpoint already materialized the
+    # round's labels).
     prev_sum = labels.agg(F.sum("rep_id")).first()[0]
     converged = False
     for _ in range(max_iter):
@@ -463,20 +469,17 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
             sym.join(labels, sym.src == labels.doc_id)
             .select(F.col("dst").alias("doc_id"), "rep_id")
         )
-        new_labels = (
+        labels = (
             labels.unionByName(msgs)
             .groupBy("doc_id")
             .agg(F.min("rep_id").alias("rep_id"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        new_sum = new_labels.agg(F.sum("rep_id")).first()[0]
-        labels.unpersist()
-        labels = new_labels
+        new_sum = labels.agg(F.sum("rep_id")).first()[0]
         if new_sum == prev_sum:
             converged = True
             break
         prev_sum = new_sum
-    sym.unpersist()
     if not converged:
         # Labels were still moving when the iteration budget ran out — a
         # component with diameter > max_iter would silently under-merge,

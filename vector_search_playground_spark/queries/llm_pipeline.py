@@ -451,6 +451,74 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_join(shingle_sets(corpus), threshold=0.8)
 
 
+DEDUP_EMBED_THRESHOLD = 0.6  # 59 pairs / 443 components at sf0.01 —
+# real near-dup structure (small clusters), no giant component
+
+
+@query(
+    "dedup_embed",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE 1 - list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))
+              < {DEDUP_EMBED_THRESHOLD}
+    ),
+    edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL
+        SELECT b_id, a_id FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS vec_id, min(dst) AS rep_id FROM reach GROUP BY src
+    """,
+)
+def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection — the fifth dedup family
+    member from the driver north star (exact = ``dedup_exact``, MinHash-LSH
+    = ``dedup_near``, SimHash = ``dedup_simhash``, n-gram Jaccard =
+    ``dedup_ngram``): rows whose embeddings sit within cosine distance
+    ``0.6`` of each other merge into one cluster, represented by min id.
+
+    Fully oracle-backed, unlike the signature-based members: the pair step
+    is the exact block-matrix similarity join (operators/simjoin.py — BLAS
+    per block pair, no driver materialization) and the clustering is
+    min-label-propagation connected components (operators/dedup.py), which
+    the oracle replays as a recursive-CTE transitive closure. Both engines
+    compute the identical component structure, so (vec_id, rep_id)
+    value-hashes. Threshold margin to the nearest pair is ~1e-4 at sf0.01
+    (~1e-5 at sf0.1) — far above cross-engine f64 summation noise.
+
+    At 100 TB: the pair join is the block-matrix kernel (B·n shuffle rows);
+    component diameter under a *near-dup* threshold stays small, so the CC
+    loop converges in a few checksum-guarded rounds.
+    """
+    from vector_search_playground_spark.operators.dedup import (
+        connected_components,
+    )
+    from vector_search_playground_spark.operators.simjoin import sim_join_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = sim_join_exact(
+        emb,
+        threshold=DEDUP_EMBED_THRESHOLD,
+        id_col="vec_id",
+        vec_col="embedding",
+    )
+    nodes = emb.select(F.col("vec_id").alias("doc_id"))
+    labels = connected_components(
+        nodes, pairs.select("a_id", "b_id"), max_iter=20
+    )
+    return labels.select(
+        F.col("doc_id").alias("vec_id"), F.col("rep_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Approximate scale paths — rows-only by design (SURVEY §2: never value-hash
 # an approximate algorithm); correctness is property-tested in
