@@ -38,14 +38,14 @@ def dense_ids(
 ) -> DataFrame:
     """Add ``rid_col`` = dense 0-based rank of ``order_col`` (must be
     numeric and unique, e.g. a key column)."""
-    if df.isEmpty():
-        return df.withColumn(rid_col, F.lit(None).cast("long"))
     probs = [i / num_buckets for i in range(1, num_buckets)]
     bounds = (
         df.select(F.col(order_col).cast("double").alias("__v"))
         .approxQuantile("__v", probs, 1.0 / (4 * num_buckets))
     )
-    # dedupe (heavy skew can repeat a boundary) while keeping order
+    # dedupe (heavy skew can repeat a boundary) while keeping order; an
+    # empty input yields no boundaries → single empty bucket, which the
+    # passes below handle without a dedicated emptiness probe
     bounds = sorted(set(bounds))
 
     def bucket_of(c: Column) -> Column:
