@@ -297,3 +297,39 @@ def test_kafka_shaped_stream_feeds_same_aggregation(spark):
     assert rows, "no micro-batch reached the sink in 30s"
     assert {r["event_type"] for r in rows} <= {"click", "view", "purchase"}
     assert all(r["n_events"] > 0 for r in rows)
+
+
+def test_parquet_production_sink_roundtrip(spark, sf_smoke, tmp_path):
+    """Production sink shape: the same streaming source written to a
+    parquet sink (append mode + checkpoint) instead of the test-harness
+    memory sink — the output on disk must equal the batch table."""
+    from vector_search_playground_spark.sources import load_table
+    from vector_search_playground_spark.streaming import jobs
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ev = jobs.read_events_stream(spark, sf_smoke).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    q = (
+        ev.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # manual drain — restore the tz stash ourselves
+    if jobs._SAVED_TZ:
+        prev = jobs._SAVED_TZ.pop()
+        if prev is not None:
+            spark.conf.set("spark.sql.session.timeZone", prev)
+
+    got = spark.read.parquet(out_dir)
+    want = load_table(spark, sf_smoke, "events")
+    assert got.count() == want.count()
+    assert got.agg(F.sum("value")).first()[0] == pytest.approx(
+        want.agg(F.sum("value")).first()[0]
+    )
+    assert set(got.columns) == {"event_id", "user_id", "event_type", "value"}
