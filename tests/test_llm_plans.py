@@ -48,6 +48,43 @@ def test_registered_ivf_search_prunes_partitions(spark, sf_smoke):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_registered_lsh_search_prunes_partitions(spark, sf_smoke):
+    """The registered lsh_search must hit the bucket-partitioned index
+    through partition pruning (PartitionFilters on `bucket`, not a data
+    filter), with the TakeOrderedAndProject top-k shape — the same
+    listing-time pruning contract as ivf_search."""
+    plan = _plan(L.lsh_search_q(spark, sf_smoke))
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_lsh_search_matches_in_memory_path(spark, sf_smoke):
+    """The on-disk partitioned search returns exactly what the in-memory
+    bucket filter returns — materializing the index must not change
+    results, only the pruning mechanism."""
+    from vector_search_playground_spark.plans.lsh import (
+        build_lsh,
+        hyperplanes,
+        search_lsh,
+    )
+    from vector_search_playground_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    dim = len(emb.where(F.col("vec_id") == 0).first()["embedding"])
+    planes = hyperplanes(dim, nbits=8, seed=42)
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    expected = [
+        tuple(r)
+        for r in search_lsh(build_lsh(emb, planes), planes, qvec, k=10).collect()
+    ]
+    got = [tuple(r) for r in L.lsh_search_q(spark, sf_smoke).collect()]
+    assert got == expected
+
+
 def test_dedup_exact_is_single_shuffle_agg(spark, sf_smoke):
     """Hash aggregate with map-side partial: exactly one exchange, keyed
     on the dedup column."""

@@ -67,6 +67,34 @@ def _query_buckets(planes, query: list[float]) -> list[int]:
     return [base] + [base ^ (1 << b) for b in range(len(planes))]
 
 
+def search_lsh_partitioned(
+    spark,
+    path: str,
+    planes,
+    query: list[float],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Steady-state search against a bucket-partitioned on-disk index.
+
+    Same multiprobe semantics as :func:`search_lsh`, but the bucket
+    predicate hits a parquet partition column, so pruning happens at
+    file-listing time (PartitionFilters) — only the probed cells' files
+    are ever opened, exactly the IVF pattern (plans/ivf.py::search_ivf)."""
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    probed = spark.read.parquet(path).where(
+        F.col("bucket").isin(_query_buckets(planes, query))
+    )
+    return (
+        probed.withColumn("dist", cosine_distance(F.col(vec_col), qlit))
+        .orderBy(F.asc("dist"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("dist", 6).alias("dist"))
+    )
+
+
 def search_lsh(
     indexed: DataFrame,
     planes,

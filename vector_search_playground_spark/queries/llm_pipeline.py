@@ -528,6 +528,29 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 SCRATCH = "/root/repo/.scratch"
 
 
+def _fixture_fingerprint(sf_dir: str, table: str) -> str:
+    """Content fingerprint of a fixture table: (name, size, mtime_ns) of
+    every file under the parquet path, hashed. Index caches key on this so
+    a rewritten fixture invalidates the cached index instead of silently
+    serving stale cells — "cache keyed by directory name only" was the
+    staleness bug called out in round 2's close-out notes."""
+    import hashlib
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    parts: list[str] = []
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        parts.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
+    digest = hashlib.blake2b("|".join(parts).encode(), digest_size=8)
+    return digest.hexdigest()
+
+
 @query("dedup_near")  # rows-only: MinHash-LSH is approximate by design
 def dedup_near_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection over documents ∪ perturbed copies.
@@ -624,7 +647,8 @@ def ivf_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(SCRATCH, f"ivf_index_{tag}")
+    fp = _fixture_fingerprint(sf_dir, "embeddings")
+    path = os.path.join(SCRATCH, f"ivf_index_{tag}_{fp}")
     meta = f"{path}.centroids.json"
     if os.path.exists(meta):
         with open(meta) as f:
@@ -661,6 +685,59 @@ def index_build_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
     ]
     return search_lsh(indexed, planes, qvec, k=10)
+
+
+@query("lsh_search")  # rows-only: bucketed search is approximate
+def lsh_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe LSH *search* over a pre-built, bucket-partitioned index —
+    the steady-state half of the LSH pair, mirroring ``ivf_search``:
+    ``index_build_lsh`` measures the one-off signature build; this ID
+    times what a user pays per query.
+
+    The index is the corpus written as parquet **partitioned by bucket**
+    (256 cells for nbits=8), cached per (fixture, content-fingerprint);
+    the hyperplanes are a seeded constant rebuilt from metadata. Search
+    hashes the query driver-side (nbits dot products on one vector),
+    probes its bucket plus every 1-bit flip, and the ``isin`` predicate on
+    the partition column prunes at file-listing time — PartitionFilters in
+    the scan (asserted in tests/test_llm_plans.py), so cost is
+    O(N·probed/256), not O(N), with exact cosine ranking only inside the
+    probed cells."""
+    import json
+    import os
+
+    from vector_search_playground_spark.plans.lsh import (
+        build_lsh,
+        hyperplanes,
+    )
+    from vector_search_playground_spark.plans.lsh import (
+        search_lsh_partitioned,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    fp = _fixture_fingerprint(sf_dir, "embeddings")
+    path = os.path.join(SCRATCH, f"lsh_index_{tag}_{fp}")
+    meta = f"{path}.meta.json"
+    if os.path.exists(meta):
+        with open(meta) as f:
+            dim = json.load(f)["dim"]
+    else:
+        dim = len(emb.where(F.col("vec_id") == 0).first()["embedding"])
+        planes = hyperplanes(dim, nbits=8, seed=42)
+        build_lsh(emb, planes).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(path)
+        tmp = f"{meta}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"dim": dim, "nbits": 8, "seed": 42}, f)
+        os.replace(tmp, meta)
+    planes = hyperplanes(dim, nbits=8, seed=42)
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    return search_lsh_partitioned(spark, path, planes, qvec, k=10)
 
 
 @query("multimodal_features")  # rows-only: decode is a stubbed codec seam
