@@ -740,22 +740,22 @@ def lsh_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_lsh_partitioned(spark, path, planes, qvec, k=10)
 
 
-@query("multimodal_features")  # rows-only: decode is a stubbed codec seam
+@query("multimodal_features")  # rows-only: feature values are codec output
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal column pipeline: documents → synthesized binary media
-    (payload + typed metadata) → mapInPandas decode/frame-sample/featurize
-    (functions/multimodal.py). The codec is a deterministic stub (no media
-    libraries in this environment); the Spark plumbing — schema, Arrow
-    batch shape, partition-preserving map — is real and property-tested
-    in tests/test_multimodal.py."""
+    """Multimodal column pipeline, REAL decode end-to-end: documents →
+    genuine WAV/PPM/Y4M bytestreams (binary payload + typed metadata) →
+    mapInPandas decode → frame-sample → signal-statistic featurize
+    (functions/multimodal.py). Compressed codecs (png/mp4/…) remain a
+    documented NotImplementedError seam at the same call site; plumbing
+    and codecs are property-tested in tests/test_multimodal.py."""
     from vector_search_playground_spark.functions.multimodal import (
         extract_features,
-        synthesize_media,
+        synthesize_real_media,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    media = synthesize_media(docs)
-    feats = extract_features(media, fake=True)
+    media = synthesize_real_media(docs)
+    feats = extract_features(media, fake=False)
     return feats.select(
         "media_id",
         "kind",
