@@ -519,6 +519,56 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS tok_before
+      FROM t
+    )
+    SELECT CAST(FLOOR(tok_before / 512.0) AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM c
+    GROUP BY seq_id
+    """,
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (training-data op): assign documents to contiguous
+    512-token training sequences in corpus order, then summarize each
+    sequence. The oracle states the semantics as the global running sum;
+    the Spark plan is the bucketed two-pass prefix sum from
+    operators/packing.py — a window partitioned into P balanced buckets
+    plus metadata-sized offsets, never the single-partition global window
+    the literal phrasing implies."""
+    from vector_search_playground_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    packed = pack_sequences(
+        docs, order_col="doc_id", weight_col="n_tokens", budget=512
+    )
+    return packed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("long")).alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Approximate scale paths — rows-only by design (SURVEY §2: never value-hash
 # an approximate algorithm); correctness is property-tested in

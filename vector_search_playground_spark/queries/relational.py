@@ -324,6 +324,51 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_range",
+    oracle="""
+    SELECT a.event_id AS err_id, b.event_id AS evt_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'error') a
+    JOIN events b
+      ON b.ts >= a.ts AND b.ts < a.ts + INTERVAL 15 MINUTE
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: every event within 15 minutes at-or-after each error
+    (the "what happened around this incident" query). The oracle states it
+    as the θ-join; the Spark plan is the bucketed equi-join from
+    operators/rangejoin.py — intervals exploded to ≤ 2 time buckets,
+    points hashed to exactly one, shuffle on the bucket id, exact range
+    refinement after the match. Linear in input + output at any scale,
+    where the literal θ-join is a nested-loop product."""
+    from vector_search_playground_spark.operators.rangejoin import (
+        interval_join,
+    )
+
+    window_us = 15 * 60 * 1_000_000
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        us.alias("start_us"),
+        (us + F.lit(window_us)).alias("end_us"),
+    )
+    points = ev.select(F.col("event_id").alias("evt_id"), us.alias("ts_us"))
+    return interval_join(
+        errors,
+        points,
+        start_col="start_us",
+        end_col="end_us",
+        ts_col="ts_us",
+        bucket_width=window_us,
+    ).select(
+        "err_id",
+        "evt_id",
+        (F.col("ts_us") - F.col("start_us")).alias("lag_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # aggregation
 # ---------------------------------------------------------------------------
