@@ -50,23 +50,57 @@ def jaccard_join(
     )
     freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
 
+    # All ceil() thresholds below get a tiny epsilon pulled off first:
+    # f64 products like 0.8·n can land an ulp ABOVE the exact integer,
+    # and an over-rounded ceil flips each filter in the false-negative
+    # direction (shorter prefix / over-eager prune). Subtracting 1e-9
+    # biases every boundary the safe way (at most a few extra candidates)
+    # while counts stay far below the 1e7 scale where the epsilon itself
+    # could matter.
+    EPS = 1e-9
+
     # Global order: (frequency asc, shingle asc). Rarest-first minimizes
     # candidate fan-out AND join skew (the hottest shingles never appear
     # in any prefix).
     w = Window.partitionBy("doc_id").orderBy("freq", "shingle")
-    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    prefix_len = (
+        F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - EPS) + 1
+    )
     prefixes = (
         ex.join(freq, "shingle")
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= prefix_len)
-        .select("doc_id", "shingle")
+        .select("doc_id", "n", "rk", "shingle")
     )
 
-    a = prefixes.select(F.col("doc_id").alias("a_id"), "shingle")
-    b = prefixes.select(F.col("doc_id").alias("b_id"), "shingle")
+    a = prefixes.select(
+        F.col("doc_id").alias("a_id"), F.col("n").alias("an"),
+        F.col("rk").alias("ark"), "shingle",
+    )
+    b = prefixes.select(
+        F.col("doc_id").alias("b_id"), F.col("n").alias("bn"),
+        F.col("rk").alias("brk"), "shingle",
+    )
+    # PPJoin-family pruning (Xiao et al. 2008), both exact:
+    # - length filter: J ≥ t forces t·|A| ≤ |B| (and symmetrically);
+    # - positional filter: matching at prefix positions (i, j) bounds the
+    #   overlap by min(|A|−i, |B|−j)+1, which must reach the required
+    #   overlap ⌈t/(1+t)·(|A|+|B|)⌉ for J ≥ t to be possible.
+    required = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("an") + F.col("bn"))
+        - EPS
+    )
+    overlap_ub = (
+        F.least(F.col("an") - F.col("ark"), F.col("bn") - F.col("brk")) + 1
+    )
     cand = (
         a.join(b, "shingle")
-        .where(F.col("a_id") < F.col("b_id"))
+        .where(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.col("an") >= F.ceil(F.lit(threshold) * F.col("bn") - EPS))
+            & (F.col("bn") >= F.ceil(F.lit(threshold) * F.col("an") - EPS))
+            & (overlap_ub >= required)
+        )
         .select("a_id", "b_id")
         .distinct()
     )
