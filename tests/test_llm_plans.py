@@ -117,3 +117,43 @@ def test_doc_fingerprint_is_pure_map(spark, sf_smoke):
     """No exchange at all — fingerprinting must stay on input partitions."""
     plan = _plan(L.doc_fingerprint(spark, sf_smoke))
     assert "Exchange" not in plan, plan
+
+
+def test_split_train_val_is_pure_map_and_leak_free(spark, sf_smoke):
+    """The split is a shuffle-free map, and identical texts always land in
+    the same split (content-keyed hashing — the no-leakage property that
+    id- or rand()-keyed splits lack)."""
+    from pyspark.sql import functions as F
+    from vector_search_playground_spark.sources import load_table
+
+    plan = _plan(L.split_train_val(spark, sf_smoke))
+    assert "Exchange" not in plan, plan
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    joined = (
+        L.split_train_val(spark, sf_smoke)
+        .join(docs, "doc_id")
+        .select("text", "split")
+    )
+    n_multi = (
+        joined.groupBy("text")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert n_multi == 0
+    # and the assignment is a pure function of the row — stable across
+    # recomputation
+    a = {r["doc_id"]: r["split"]
+         for r in L.split_train_val(spark, sf_smoke).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in L.split_train_val(spark, sf_smoke).collect()}
+    assert a == b and len(set(a.values())) == 2
+
+
+def test_sample_stratified_broadcasts_rates(spark, sf_smoke):
+    """The rate table must come in as a broadcast join — never a shuffle
+    keyed on the data-scale side."""
+    plan = _plan(L.sample_stratified(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan

@@ -520,6 +520,70 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "split_train_val",
+    oracle="""
+    SELECT doc_id, source,
+           CASE WHEN CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 100 < 90
+                THEN 'train' ELSE 'val' END AS split
+    FROM documents
+    """,
+)
+def split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-keyed train/val split (training-data op):
+    hash the TEXT, not the id, so the assignment survives re-ingestion,
+    re-partitioning, and id reshuffles — and duplicate texts always land
+    in the same split (no train/val leakage between near-identical rows).
+    MD5 is bit-identical across engines; the first 4 hex chars give a
+    uniform 16-bit bucket. Pure map — no shuffle at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("text")), 1, 4), 16, 10).cast(
+        "long"
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(bucket % 100 < 90, F.lit("train"))
+        .otherwise(F.lit("val"))
+        .alias("split"),
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    JOIN (VALUES (0, 100), (1, 50), (2, 20), (3, 5)) r(grp, rate_pct)
+      ON CAST(substr(source, 4) AS INT) % 4 = grp
+    WHERE CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 100 < rate_pct
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-source weighted) sampling — the dataset-mixing
+    primitive of a training pipeline: each source keeps a configured
+    percentage of its documents, selected by the same content hash as
+    ``split_train_val`` so the sample is deterministic and reproducible
+    (never ``rand()``, which differs per run/partitioning). The rate table
+    is O(sources) and broadcast; the filter is a pure map after it —
+    at 100 TB this is one scan, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [(0, 100), (1, 50), (2, 20), (3, 5)], "grp: int, rate_pct: int"
+    )
+    grp = (F.substring("source", 4, 10).cast("int") % 4).alias("grp")
+    bucket = F.conv(F.substring(F.md5(F.col("text")), 1, 4), 16, 10).cast(
+        "long"
+    )
+    return (
+        docs.withColumn("grp", grp)
+        .withColumn("__bucket", bucket)
+        .join(F.broadcast(rates), "grp")
+        .where(F.col("__bucket") % 100 < F.col("rate_pct"))
+        .select("doc_id", "source")
+    )
+
+
+@query(
     "pack_sequences",
     oracle="""
     WITH t AS (
