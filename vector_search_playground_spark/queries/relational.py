@@ -1055,3 +1055,53 @@ def having_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(20)
     )
+
+
+@query(
+    "profile_numeric",
+    oracle="""
+    WITH u AS (
+        SELECT 'l_quantity' AS col, l_quantity AS v FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', l_discount FROM lineitem
+    )
+    SELECT col, count(*) AS n, count(DISTINCT v) AS n_distinct,
+           ROUND(min(v), 6) AS min_v, ROUND(max(v), 6) AS max_v,
+           ROUND(avg(v), 4) AS mean_v,
+           ROUND(quantile_cont(v, 0.5), 6) AS p50
+    FROM u GROUP BY col
+    """,
+)
+def profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (data-quality op): per-numeric-column count,
+    exact distinct cardinality, range, mean, and exact interpolated
+    median, over an UNPIVOTED (column, value) stream — one map + one
+    shuffle keyed on 3 column names, however many columns are profiled.
+
+    Medians use the exact ``percentile`` (Spark) / ``quantile_cont``
+    (DuckDB) pair — both linear-interpolating, so the values hash-match;
+    the mean rounds at 4 dp (f64 summation-order noise). At 100 TB the
+    exact-median + exact-distinct pass is the expensive but correct
+    anchor; the production fast path swaps in approx_percentile /
+    approx_count_distinct with the same plan shape (see ``agg_approx``).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    u = li.select(
+        F.explode(
+            F.create_map(
+                F.lit("l_quantity"), F.col("l_quantity"),
+                F.lit("l_extendedprice"), F.col("l_extendedprice"),
+                F.lit("l_discount"), F.col("l_discount"),
+            )
+        ).alias("col", "v")
+    )
+    return u.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("v").alias("n_distinct"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+        F.round(F.avg("v"), 4).alias("mean_v"),
+        F.round(F.expr("percentile(v, 0.5)"), 6).alias("p50"),
+    )

@@ -423,3 +423,40 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max_by("sum_value", "n_events").alias("sum_value"),
     )
+
+
+@query(
+    "stream_enrich",
+    oracle=f"""
+    SELECT c.c_mktsegment AS segment, count(*) AS n_events,
+           ROUND(sum(e.value), {ROUND_MONEY}) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY segment
+    """,
+)
+def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined to the
+    static ``customer`` dimension, then aggregated per market segment.
+    This is THE production enrichment shape — the dimension is loaded as
+    a bounded batch relation and broadcast into every micro-batch (no
+    state accrues for the join itself; only the downstream aggregate
+    keeps state, bounded by segment cardinality). The oracle replays it
+    as the batch join."""
+    from pyspark.sql.functions import broadcast
+
+    from vector_search_playground_spark.sources import load_table
+
+    ev = read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    agg = (
+        ev.join(broadcast(dim), "user_id")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), ROUND_MONEY).alias("sum_value"),
+        )
+    )
+    return run_available_now(agg, output_mode="complete", name="enrich")
