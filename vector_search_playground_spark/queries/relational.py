@@ -1105,3 +1105,44 @@ def profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("v"), 4).alias("mean_v"),
         F.round(F.expr("percentile(v, 0.5)"), 6).alias("p50"),
     )
+
+
+@query(
+    "scan_csv",
+    oracle="""
+    SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV as a first-class source (sources/formats.py): the documents
+    table is materialized as header'd CSV once per fixture content
+    fingerprint, then scanned with a PINNED schema — no inferSchema
+    sampling pass — and aggregated. The oracle runs the same aggregate on
+    the parquet view: a format change must never change answers. CSV has
+    no pushdown (text is read wholesale), which is exactly why this query
+    demonstrates the schema-pinned pattern rather than pretending CSV is
+    a storage format; see formats.py for the split/compression posture.
+    """
+    import os
+
+    from vector_search_playground_spark.queries.llm_pipeline import (
+        SCRATCH,
+        _fixture_fingerprint,
+    )
+    from vector_search_playground_spark.sources.formats import (
+        read_table,
+        write_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = _fixture_fingerprint(sf_dir, "documents")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(SCRATCH, f"documents_csv_{tag}_{fp}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_table(docs, path, fmt="csv")
+    got = read_table(spark, path, docs.schema, fmt="csv")
+    return got.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
