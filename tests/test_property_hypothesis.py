@@ -90,3 +90,90 @@ def test_topk_containment_laws(spark, corpus, threshold):
     dists = [r["dist"] for r in top]
     assert dists == sorted(dists)
     assert all(not math.isnan(d) and d < threshold for d in dists)
+
+
+# --- interval join & sequence packing ---------------------------------------
+
+
+@st.composite
+def interval_cases(draw):
+    n_iv = draw(st.integers(min_value=1, max_value=5))
+    n_pt = draw(st.integers(min_value=1, max_value=8))
+    tss = st.integers(min_value=0, max_value=500)
+    ivs = [
+        (i, s, s + draw(st.integers(min_value=1, max_value=60)))
+        for i, s in enumerate(draw(st.lists(tss, min_size=n_iv,
+                                            max_size=n_iv)))
+    ]
+    pts = [(j, t) for j, t in enumerate(draw(st.lists(tss, min_size=n_pt,
+                                                      max_size=n_pt)))]
+    width = draw(st.integers(min_value=1, max_value=80))
+    return ivs, pts, width
+
+
+@given(case=interval_cases())
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_interval_join_equals_brute_force(spark, case):
+    """For arbitrary intervals, points, and bucket widths (including
+    widths far smaller than the longest interval), the bucketed equi-join
+    yields exactly the brute-force pair set — no dupes, no misses."""
+    from vector_search_playground_spark.operators.rangejoin import (
+        interval_join,
+    )
+
+    ivs, pts, width = case
+    expected = {
+        (i, j) for i, s, e in ivs for j, t in pts if s <= t < e
+    }
+    iv_df = spark.createDataFrame(
+        ivs, "iv_id: bigint, start_us: bigint, end_us: bigint"
+    )
+    pt_df = spark.createDataFrame(pts, "pt_id: bigint, ts_us: bigint")
+    got = {
+        (r["iv_id"], r["pt_id"])
+        for r in interval_join(
+            iv_df, pt_df, start_col="start_us", end_col="end_us",
+            ts_col="ts_us", bucket_width=width,
+        ).collect()
+    }
+    assert got == expected
+
+
+@given(
+    weights=st.lists(st.integers(min_value=0, max_value=50), min_size=1,
+                     max_size=24),
+    budget=st.integers(min_value=1, max_value=60),
+    num_buckets=st.integers(min_value=1, max_value=5),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pack_sequences_equals_serial_scan(spark, weights, budget,
+                                           num_buckets):
+    """For arbitrary weights, budgets, and bucket counts, the distributed
+    two-pass prefix sum assigns exactly the sequence ids a serial scan
+    would."""
+    from vector_search_playground_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    acc, expected = 0, {}
+    for i, w in rows:
+        expected[i] = acc // budget
+        acc += w
+    df = spark.createDataFrame(rows, "doc_id: bigint, n_tokens: bigint")
+    got = {
+        r["doc_id"]: r["seq_id"]
+        for r in pack_sequences(
+            df, order_col="doc_id", weight_col="n_tokens", budget=budget,
+            num_buckets=num_buckets,
+        ).collect()
+    }
+    assert got == expected

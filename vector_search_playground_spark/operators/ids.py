@@ -39,14 +39,15 @@ def dense_ids(
     """Add ``rid_col`` = dense 0-based rank of ``order_col`` (must be
     numeric and unique, e.g. a key column)."""
     probs = [i / num_buckets for i in range(1, num_buckets)]
-    bounds = (
-        df.select(F.col(order_col).cast("double").alias("__v"))
-        .approxQuantile("__v", probs, 1.0 / (4 * num_buckets))
-    )
     # dedupe (heavy skew can repeat a boundary) while keeping order; an
     # empty input yields no boundaries → single empty bucket, which the
-    # passes below handle without a dedicated emptiness probe
-    bounds = sorted(set(bounds))
+    # passes below handle without a dedicated emptiness probe; and
+    # num_buckets == 1 means no interior boundaries at all (approxQuantile
+    # rejects an empty probability list, so don't ask)
+    bounds = sorted(set(
+        df.select(F.col(order_col).cast("double").alias("__v"))
+        .approxQuantile("__v", probs, 1.0 / (4 * num_buckets))
+    )) if probs else []
 
     def bucket_of(c: Column) -> Column:
         v = c.cast("double")

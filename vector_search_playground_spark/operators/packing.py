@@ -47,11 +47,12 @@ def pack_sequences(
     the global ``order_col`` order (``order_col`` must be unique, e.g. a
     key column); all intermediate bucketing columns are dropped."""
     probs = [i / num_buckets for i in range(1, num_buckets)]
-    bounds = (
+    # num_buckets == 1 → no interior boundaries (approxQuantile rejects an
+    # empty probability list, so don't ask)
+    bounds = sorted(set(
         df.select(F.col(order_col).cast("double").alias("__v"))
         .approxQuantile("__v", probs, 1.0 / (4 * num_buckets))
-    )
-    bounds = sorted(set(bounds))
+    )) if probs else []
 
     def bucket_of(c: Column) -> Column:
         v = c.cast("double")
