@@ -177,3 +177,42 @@ def test_pack_sequences_equals_serial_scan(spark, weights, budget,
         ).collect()
     }
     assert got == expected
+
+
+@given(
+    values=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+                  allow_subnormal=False),
+        min_size=1, max_size=40,
+    ),
+    q=st.sampled_from([0.0, 0.25, 0.5, 0.75, 0.9, 1.0]),
+    num_buckets=st.sampled_from([1, 2, 8, 64]),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_exact_quantile_matches_holistic_percentile(spark, values, q,
+                                                    num_buckets):
+    """The distributed-selection quantile must equal Spark's holistic
+    percentile() (same percentile_cont semantics) for arbitrary data —
+    including constant columns, single rows, duplicates, and bucket
+    counts down to 1."""
+    from vector_search_playground_spark.operators.selection import (
+        exact_quantile,
+    )
+
+    rows = [("a", float(v)) for v in values] + [("b", 7.0)]
+    df = spark.createDataFrame(rows, "col: string, v: double")
+    got = exact_quantile(df, "col", "v", q, num_buckets=num_buckets)
+    expected = {
+        r["col"]: r["p"]
+        for r in df.groupBy("col")
+        .agg(F.expr(f"percentile(v, {q})").alias("p"))
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        assert math.isclose(got[k], expected[k], rel_tol=1e-12,
+                            abs_tol=1e-12), (k, got[k], expected[k])

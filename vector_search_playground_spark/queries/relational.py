@@ -1077,16 +1077,21 @@ def having_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 def profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling (data-quality op): per-numeric-column count,
     exact distinct cardinality, range, mean, and exact interpolated
-    median, over an UNPIVOTED (column, value) stream — one map + one
-    shuffle keyed on 3 column names, however many columns are profiled.
+    median, over an UNPIVOTED (column, value) stream — one shuffle for
+    the algebraic metrics, however many columns are profiled.
 
-    Medians use the exact ``percentile`` (Spark) / ``quantile_cont``
-    (DuckDB) pair — both linear-interpolating, so the values hash-match;
-    the mean rounds at 4 dp (f64 summation-order noise). At 100 TB the
-    exact-median + exact-distinct pass is the expensive but correct
-    anchor; the production fast path swaps in approx_percentile /
-    approx_count_distinct with the same plan shape (see ``agg_approx``).
-    """
+    The median deliberately does NOT use Spark's holistic ``percentile``
+    aggregate (one task buffering an entire column per group — the first
+    casualty at 100 TB). It runs the distributed-selection operator
+    (operators/selection.py): sketch-bucketed counting + ranking only the
+    straddling buckets, exact ``percentile_cont`` semantics, matching
+    DuckDB's ``quantile_cont`` bit-for-bit after rounding. Mean rounds at
+    4 dp (f64 summation-order noise); medians of values exact at ≤3 dp
+    round at 6 dp tie-free."""
+    from vector_search_playground_spark.operators.selection import (
+        exact_quantile,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     u = li.select(
         F.explode(
@@ -1096,6 +1101,10 @@ def profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("l_discount"), F.col("l_discount"),
             )
         ).alias("col", "v")
+    ).persist()  # feeds the metric agg + the selection passes
+    p50 = exact_quantile(u, "col", "v", 0.5)
+    p50_map = F.create_map(
+        *[F.lit(x) for k, v in sorted(p50.items()) for x in (k, v)]
     )
     return u.groupBy("col").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1103,8 +1112,7 @@ def profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("v"), 6).alias("min_v"),
         F.round(F.max("v"), 6).alias("max_v"),
         F.round(F.avg("v"), 4).alias("mean_v"),
-        F.round(F.expr("percentile(v, 0.5)"), 6).alias("p50"),
-    )
+    ).withColumn("p50", F.round(p50_map[F.col("col")], 6))
 
 
 @query(
