@@ -128,3 +128,16 @@ def test_pack_sequences_output_is_contiguous(spark, sf_correct):
     assert sum(r["n_docs"] for r in out) == total["c"]
     for prev, nxt in zip(out, out[1:]):
         assert prev["last_doc"] < nxt["first_doc"]
+
+
+def test_rollup_hypertable_never_rescans_history(spark, sf_correct):
+    """The served plan must read the materialized rollup for history (a
+    scan of the rollup path) and aggregate raw events only behind a
+    pushed time filter — the raw scan carries the ts >= split predicate."""
+    df = R.rollup_hypertable(spark, sf_correct)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rollup_hourly_" in plan, plan
+    # the raw parquet column is the int64 ns epoch (named `ts` on disk,
+    # ts_ns after normalize_events) — the split must reach it as a pushed
+    # comparison, not evaluate post-scan on the derived µs timestamp
+    assert "GreaterThanOrEqual(ts," in plan, plan

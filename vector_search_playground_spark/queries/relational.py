@@ -1187,7 +1187,11 @@ def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fixture_fingerprint,
     )
 
-    SPLIT = "2024-01-25 00:00:00"
+    # split instant, expressed on the STORED column (ts_ns, int64 epoch
+    # nanoseconds): a predicate on the derived µs `ts` projection cannot
+    # reach the parquet scan, one on ts_ns shows up in PushedFilters
+    # (plan-asserted in tests/test_rangejoin_packing.py)
+    SPLIT_NS = 1706140800 * 1_000_000_000  # 2024-01-25T00:00:00Z
 
     def hourly(df: DataFrame) -> DataFrame:
         return df.groupBy(
@@ -1206,12 +1210,10 @@ def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(SCRATCH, f"rollup_hourly_{tag}_{fp}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         hourly(
-            ev.where(F.col("ts") < F.lit(SPLIT).cast("timestamp_ntz"))
+            ev.where(F.col("ts_ns") < F.lit(SPLIT_NS))
         ).write.mode("overwrite").parquet(path)
     history = spark.read.parquet(path)
-    tail = hourly(
-        ev.where(F.col("ts") >= F.lit(SPLIT).cast("timestamp_ntz"))
-    )
+    tail = hourly(ev.where(F.col("ts_ns") >= F.lit(SPLIT_NS)))
     return history.unionByName(tail).select(
         "hour",
         "event_type",
