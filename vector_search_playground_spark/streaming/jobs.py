@@ -460,3 +460,60 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(agg, output_mode="complete", name="enrich")
+
+
+@query(
+    "stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL 2 HOUR AND p.ts
+    """,
+)
+def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner join: every purchase matched to the same
+    user's clicks in the preceding 2 hours, both sides unbounded.
+
+    This is the streaming feature the other jobs don't exercise: two
+    streams joined on an equi-key PLUS an event-time range, with
+    watermarks on both sides so the state store can evict — a click older
+    than the bound below every open purchase watermark can never match
+    again and is dropped. Inner-join matches emit as they are found
+    (append mode holds back nothing for inner joins; the watermark only
+    bounds state), so the drained sink equals the batch θ-join the oracle
+    runs. State is O(events inside the time bound per key), not O(stream).
+    """
+    ev = read_events_stream(spark, sf_dir)
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select(
+        "purchase_id",
+        "click_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+    )
+    return run_available_now(joined, output_mode="append", name="join")
