@@ -216,3 +216,47 @@ def test_exact_quantile_matches_holistic_percentile(spark, values, q,
     for k in expected:
         assert math.isclose(got[k], expected[k], rel_tol=1e-12,
                             abs_tol=1e-12), (k, got[k], expected[k])
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=14),
+                  st.integers(min_value=0, max_value=14)),
+        min_size=0, max_size=20,
+    ),
+    n_nodes=st.integers(min_value=1, max_value=15),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cc_driver_path_equals_distributed_loop(spark, edges, n_nodes):
+    """The union-find short-circuit and the min-label-propagation loop
+    must produce identical labelings for arbitrary graphs (self-loops,
+    duplicate edges, disconnected nodes). Contract: edges reference ids
+    present in the node relation (callers derive both from one corpus)."""
+    from vector_search_playground_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = [(a % n_nodes, b % n_nodes) for a, b in edges]
+    edges = [(min(a, b), max(a, b)) for a, b in edges if a != b]
+    nodes_df = spark.createDataFrame(
+        [(i,) for i in range(n_nodes)], "doc_id: long"
+    )
+    edge_df = spark.createDataFrame(
+        edges or [], "a_id: long, b_id: long"
+    )
+    small = {
+        r["doc_id"]: r["rep_id"]
+        for r in connected_components(nodes_df, edge_df).collect()
+    }
+    looped = {
+        r["doc_id"]: r["rep_id"]
+        for r in connected_components(
+            nodes_df, edge_df, small_graph_cutoff=-1
+        ).collect()
+    }
+    assert small == looped
+    assert set(small) == set(range(n_nodes))

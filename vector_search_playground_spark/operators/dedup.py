@@ -415,20 +415,64 @@ def verify_jaccard_text(pairs: DataFrame, docs: DataFrame,
     return joined.mapInPandas(jac, schema)
 
 
+def _union_find_labels(edge_rows) -> dict[int, int]:
+    """Min-root union-find with path compression over collected edges —
+    {touched node: min id of its component}."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent} | {
+        x: x for ab in edge_rows for x in ab if x not in parent
+    }
+
+
+# Edge sets at or below this size are solved driver-side (union-find) —
+# ~1.6 MB of longs, the same metadata scale as k-means centroids or
+# quantile boundaries. The distributed loop below exists for edge sets
+# that are data-scale.
+SMALL_GRAPH_EDGES = 100_000
+
+
 def connected_components(nodes: DataFrame, edges: DataFrame,
                          max_iter: int = 10,
-                         num_partitions: int | None = None) -> DataFrame:
+                         num_partitions: int | None = None,
+                         small_graph_cutoff: int = SMALL_GRAPH_EDGES,
+                         ) -> DataFrame:
     """(doc_id, rep_id): min doc_id of each connected component.
 
-    Min-label propagation WITH pointer jumping: each round a node first
-    adopts the smallest label among itself and its neighbors, then
-    short-circuits through its representative's representative
-    (rep ← rep[rep], valid because labels only ever decrease). The jump
-    halves label-chain lengths every round, so convergence is
-    O(log diameter) rounds instead of O(diameter) — a 75-node cluster at
-    sf0.1 needs 5 rounds instead of 17, and ``max_iter`` rounds cover
-    components of diameter ~2^max_iter rather than max_iter. Each round
-    is two shuffle joins + one aggregate — no driver-side graph.
+    Contract: ``edges`` reference ids present in ``nodes`` (callers derive
+    both from the same corpus). Output has exactly one row per node.
+
+    Two execution paths, chosen by the MEASURED edge count (the runtime
+    decision AQE makes for broadcast joins, applied to graph state):
+
+    - **edge set ≤ small_graph_cutoff** → driver-side union-find. The
+      collected relation is the *edge list*, bounded by the cutoff
+      (default 100k pairs ≈ 1.6 MB) — never the node relation, which
+      stays distributed: labels for edge-touched nodes broadcast-join
+      back onto ``nodes``, and untouched nodes are their own rep. Near-dup
+      edge sets are usually tiny even when the corpus is not (output ~
+      |true duplicate pairs|), and the iterative loop's per-round job
+      overhead (~1.4 s × O(log d) rounds) dwarfs a 1 ms union-find.
+    - **larger** → min-label propagation WITH pointer jumping: each round
+      a node adopts the smallest label among itself and its neighbors,
+      then short-circuits through its representative's representative
+      (rep ← rep[rep], valid because labels only ever decrease). The jump
+      halves label-chain lengths every round, so convergence is
+      O(log diameter) rounds; ``max_iter`` rounds cover components of
+      diameter ~2^max_iter. Each round is two shuffle joins + one
+      aggregate — no driver-side graph at any size.
 
     ``num_partitions`` sizes the iterative phase. The label/edge
     relations are node- and pair-scale — orders of magnitude smaller
@@ -437,9 +481,31 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     → 4.3 s at sf0.1 by shrinking). Default: defaultParallelism/8,
     floor 4, which scales with the cluster rather than hardcoding.
     """
+    spark = edges.sparkSession
+    edges = edges.persist()
+    n_edges = edges.count()
+    if n_edges <= small_graph_cutoff:
+        labels = _union_find_labels(
+            [(r["a_id"], r["b_id"]) for r in edges.collect()]
+        )
+        edges.unpersist()
+        if not labels:
+            return nodes.select(
+                "doc_id", F.col("doc_id").alias("rep_id")
+            )
+        label_df = spark.createDataFrame(
+            list(labels.items()), "doc_id: long, __rep: long"
+        )
+        return (
+            nodes.join(F.broadcast(label_df), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("__rep", "doc_id").alias("rep_id"),
+            )
+        )
     if num_partitions is None:
         num_partitions = max(
-            4, edges.sparkSession.sparkContext.defaultParallelism // 8
+            4, spark.sparkContext.defaultParallelism // 8
         )
     nodes = nodes.repartition(num_partitions, "doc_id")
     edges = edges.repartition(num_partitions, "a_id")
@@ -459,6 +525,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     ).unionByName(
         edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
     ).localCheckpoint(eager=True)
+    edges.unpersist()  # the size-probe cache; sym supersedes it
     # Convergence check: labels only ever decrease (min-propagation), so
     # Σ rep_id strictly decreases until the fixpoint. The checkpoint must
     # be EAGER: a lazy one never materializes through the sum-aggregate's
