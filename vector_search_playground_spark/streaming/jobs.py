@@ -51,6 +51,11 @@ _SAVED_TZ: list[str | None] = []
 # drains in several batches (AvailableNow honors maxFilesPerTrigger).
 _MAX_FILES_PER_TRIGGER: int | None = None
 
+# Shuffle-partition count pinned for the drain by run_available_now (state
+# stores are per-partition; fixture key domains need few). Module-level so
+# tests can exercise other values.
+_STREAM_SHUFFLE_PARTITIONS = 8
+
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as an unbounded source (same schema/normalization as
@@ -162,6 +167,21 @@ def run_available_now(
     qname = f"s_{name or 'q'}"
     ckpt = os.path.join(SCRATCH, f"ckpt_{qname}")
     shutil.rmtree(ckpt, ignore_errors=True)
+    spark = df.sparkSession
+    # Stateful operators allocate one state store per shuffle partition
+    # per micro-batch; a session sized for batch scans (or the driver's
+    # 200 default) pays that fixed cost for empty stores. State here is
+    # keyed by users/windows/segments — tiny key domains — so pin a small
+    # count for the drain and restore after (safe: the checkpoint is
+    # fresh each run, so no state-layout compatibility to preserve; at
+    # production key cardinality this knob is cluster-sized instead).
+    try:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    except Exception:
+        prev_parts = None
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(_STREAM_SHUFFLE_PARTITIONS)
+    )
     try:
         q = (
             df.writeStream.format("memory")
@@ -173,6 +193,10 @@ def run_available_now(
         )
         q.awaitTermination()
     finally:
+        if prev_parts is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         # undo read_events_stream's UTC pin — the caller's batch queries
         # must not silently keep running under UTC
         if _SAVED_TZ:
