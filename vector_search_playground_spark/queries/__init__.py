@@ -5,6 +5,7 @@ from vector_search_playground_spark.queries import (  # noqa: F401
     llm_pipeline,
     relational,
     surface,
+    trainprep,
     udf_surface,
     vector_search,
 )
