@@ -197,9 +197,20 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_playground_spark.operators.dedup import shingle_sets
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    ex = shingle_sets(docs).select("doc_id", F.explode("shingles").alias("s"))
-    bench = ex.where(F.col("doc_id") % 20 == 0).select("s").distinct()
-    train = ex.where(F.col("doc_id") % 20 != 0)
+
+    def shingled(pred):
+        # Filter BEFORE shingling: the modulo predicate reaches the
+        # parquet scan (PushedFilters can't take a modulo, but column
+        # pruning + an early Filter before the expensive HOF projection
+        # still apply), and each branch shingles only its own slice —
+        # a shared post-shingle DataFrame would re-shingle the full
+        # corpus once per consumer.
+        return shingle_sets(docs.where(pred)).select(
+            "doc_id", F.explode("shingles").alias("s")
+        )
+
+    bench = shingled(F.col("doc_id") % 20 == 0).select("s").distinct()
+    train = shingled(F.col("doc_id") % 20 != 0)
     return (
         train.join(F.broadcast(bench), "s")
         .groupBy("doc_id")
