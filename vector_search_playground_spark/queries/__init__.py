@@ -2,6 +2,7 @@
 
 from vector_search_playground_spark import streaming  # noqa: F401
 from vector_search_playground_spark.queries import (  # noqa: F401
+    corpusprep,
     llm_pipeline,
     relational,
     surface,
