@@ -22,3 +22,4 @@ from vector_search_playground_spark.queries import (  # noqa: F401
     llm_pipeline,
     trainprep,
 )
+from vector_search_playground_spark.queries import bucketjoin  # noqa: F401
