@@ -86,7 +86,9 @@ def test_fused_arrow_pipeline_matches_sql_pipeline(spark, sf_correct):
 
 def test_fused_minhash_emits_one_row_per_doc_no_exchange(spark, sf_correct):
     """The fused kernel's contract: signatures come out of a single Arrow
-    map — no explode, no exchange, one row per document."""
+    map — no explode, no aggregation shuffle, one row per document. (A
+    round-robin fan-out exchange IS allowed: it spreads a single-split
+    scan across cores and carries each input row exactly once.)"""
     from vector_search_playground_spark.operators.dedup import (
         minhash_signatures_fused,
     )
@@ -95,7 +97,7 @@ def test_fused_minhash_emits_one_row_per_doc_no_exchange(spark, sf_correct):
     sigs = minhash_signatures_fused(corpus)
     plan = sigs._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan, plan
-    assert "Exchange" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
     assert "Generate" not in plan, plan  # no explode
     assert sigs.count() == 60
     assert len(sigs.columns) == 33

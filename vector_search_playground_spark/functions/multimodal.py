@@ -284,9 +284,17 @@ def synthesize_real_media(docs: DataFrame) -> DataFrame:
     genuine WAV / PPM / Y4M bytestream (arithmetic content keyed by id —
     sine tones, gradients, moving patterns), so the decode path below
     parses actual container formats. Same kind assignment as
-    :func:`synthesize_media` (id % 3); generation is an Arrow-batched map
-    with no shuffle, like every other stage here."""
+    :func:`synthesize_media` (id % 3). Generation first fans the narrow
+    id projection across the session's full parallelism: payload
+    synthesis and codec encode are Python-bound, and a small fixture
+    arrives as ONE parquet split (a 5000-row file is a single row
+    group), which would serialize the whole Arrow stage on one core.
+    The exchange moves only 8-byte ids — negligible against the payload
+    work it parallelizes; at real scale the scan has natural splits and
+    the repartition cost stays proportionally irrelevant."""
     import numpy as np
+
+    from vector_search_playground_spark.sources import fan_out
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -334,7 +342,7 @@ def synthesize_real_media(docs: DataFrame) -> DataFrame:
                 rows, columns=["media_id", "kind", "payload", "meta"]
             )
 
-    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+    return fan_out(docs.select("doc_id")).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def _audio_features(samples, sr: int) -> list[float]:

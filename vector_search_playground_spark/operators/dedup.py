@@ -56,7 +56,15 @@ def shingle_sets(docs: DataFrame, *, id_col: str = "doc_id",
       ORDER within the array differs run-to-run (Python set iteration),
       which every consumer (min-hash, intersect/union, bit votes) is
       insensitive to.
+
+    Either kernel fans the input across full parallelism first
+    (``sources.fan_out``): per-row shingling — interpreted HOFs or
+    Python alike — is the cost center, and a single-split fixture scan
+    would otherwise serialize it on one core.
     """
+    from vector_search_playground_spark.sources import fan_out
+
+    docs = fan_out(docs)
     if kernel == "arrow":
         import pandas as pd
         from pyspark.sql.types import (
@@ -144,12 +152,15 @@ def minhash_signatures_fused(docs: DataFrame, *, id_col: str = "doc_id",
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
 
+    from vector_search_playground_spark.sources import fan_out
+
     rng = np.random.default_rng(20260813)
     A = (rng.integers(1, 2**63, size=num_hashes, dtype=np.uint64) * 2 + 1)
     B = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
 
-    in_df = docs.select(F.col(id_col).alias("doc_id"),
-                        F.col(text_col).alias("__text"))
+    # single-split fixtures would serialize the Arrow stage on one core
+    in_df = fan_out(docs.select(F.col(id_col).alias("doc_id"),
+                                F.col(text_col).alias("__text")))
     schema = StructType(
         [in_df.schema["doc_id"]]
         + [StructField(f"h{i}", LongType(), False) for i in range(num_hashes)]
@@ -182,8 +193,10 @@ def simhash_signatures_fused(docs: DataFrame, *, id_col: str = "doc_id",
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
 
-    in_df = docs.select(F.col(id_col).alias("doc_id"),
-                        F.col(text_col).alias("__text"))
+    from vector_search_playground_spark.sources import fan_out
+
+    in_df = fan_out(docs.select(F.col(id_col).alias("doc_id"),
+                                F.col(text_col).alias("__text")))
     schema = StructType(
         [in_df.schema["doc_id"], StructField("simhash", LongType(), False)]
     )

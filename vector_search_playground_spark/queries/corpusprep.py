@@ -258,8 +258,11 @@ def quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both branches key on doc_id, so the final join co-partitions.
     """
     from vector_search_playground_spark.operators.dedup import shingle_sets
+    from vector_search_playground_spark.sources import fan_out
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     wc = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .groupBy("doc_id", "w")

@@ -90,9 +90,11 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum. The bucket hash (first 16 bits of md5) is engine-portable, so
     the DuckDB oracle replays the identical featurization.
     """
-    tok = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
-    )
+    from vector_search_playground_spark.sources import fan_out
+
+    tok = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    ).select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
     b = tok.select(
         "doc_id",
         "lang",
@@ -179,8 +181,11 @@ def substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     only, so the join back onto the gram stream broadcasts in the
     common case where duplication is rare.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    docs = docs.where(F.length("text") >= SUBSTR_WINDOW)
+    from vector_search_playground_spark.sources import fan_out
+
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).where(F.length("text") >= SUBSTR_WINDOW)
     grams = F.array_distinct(
         F.filter(
             F.transform(

@@ -68,6 +68,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread ``df`` across the session's full parallelism when its scan
+    yields fewer splits than cores.
+
+    Python-heavy stages (Arrow kernels, codec decode) and explosive
+    per-row expansions inherit the SCAN's partitioning: a small fixture
+    is one parquet row group → one split → the whole stage runs on one
+    core regardless of cluster size. The exchange this inserts moves the
+    narrow input rows once — trivial next to the per-row work it
+    parallelizes — and is a NO-OP whenever the source already has enough
+    natural splits, which is exactly the 100 TB case (so production
+    plans never pay it).
+    """
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every fixture table as a temp view; returns the DataFrames.
 
