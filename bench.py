@@ -75,21 +75,53 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "reps": reps,
-                "stat": "median",
-                "categories": categories,
-            }
-        )
-    )
+    # The driver records only the LAST 2000 characters of output, so the
+    # final JSON line must fit that window end-to-end or it parses as null
+    # (rounds 2-3 both lost their numbers this way once the query count
+    # grew). Three-tier output:
+    #   1. full payload (all timings + categories) → BENCH_FULL.json on
+    #      disk, the durable record;
+    #   2. the same payload as an EARLY stdout line (humans, logs);
+    #   3. the final line, printed last after spark.stop(), with the
+    #      queries map trimmed fastest-first until the whole line fits the
+    #      capture window — the slowest queries are the signal.
+    full = {
+        "metric": "total_query_wall_seconds",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "reps": reps,
+        "stat": "median",
+        "n_queries": len(timings),
+        "categories": categories,
+    }
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_FULL.json"),
+            "w",
+        ) as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(full, separators=(",", ":")))
+
     spark.stop()
+
+    final = {k: v for k, v in full.items() if k != "categories"}
+    budget = 1900  # capture window minus margin for a trailing newline
+    by_time = sorted(timings, key=timings.get)  # fastest first
+    while (
+        len(json.dumps(final, separators=(",", ":"))) > budget
+        and len(final["queries"]) > 1
+    ):
+        drop = by_time.pop(0)
+        final["queries"] = {
+            k: v for k, v in final["queries"].items() if k != drop
+        }
+        final["queries_shown"] = len(final["queries"])
+    print(json.dumps(final, separators=(",", ":")))
 
 
 if __name__ == "__main__":

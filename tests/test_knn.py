@@ -56,10 +56,12 @@ def test_knn_batch_matches_single(spark, sf_smoke):
 
 
 def test_knn_batch_has_no_corpus_shuffle_before_distance(spark, sf_smoke):
-    """The corpus must reach the distance kernel un-shuffled (one Arrow
-    map stage over the scan, no join), and the only exchange in the plan
-    is the per-query window over the already-reduced local top-k
-    candidates — never the |Q|·|C| cross product."""
+    """The corpus must reach the selection kernel un-shuffled (one Arrow
+    map stage over the scan), the deterministic re-score join must be
+    broadcast (map-side — never a shuffled join of the corpus), and the
+    only exchange in the plan is the per-query window over the
+    already-reduced local top-k candidates — never the |Q|·|C| cross
+    product."""
     embs = load_table(spark, sf_smoke, "embeddings")
     queries = embs.limit(3).select(
         F.col("vec_id").alias("query_id"),
@@ -72,7 +74,8 @@ def test_knn_batch_has_no_corpus_shuffle_before_distance(spark, sf_smoke):
         .toString()
     )
     assert "MapInPandas" in plan
-    assert "Join" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
 
 

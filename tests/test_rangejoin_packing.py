@@ -19,7 +19,7 @@ def _plan(df) -> str:
 
 def _events_us(spark, sf):
     ev = load_table(spark, sf, "events")
-    return ev.select("event_id", F.expr("ts_ns div 1000").alias("ts_us"))
+    return ev.select("event_id", "ts_us")
 
 
 def test_interval_join_matches_naive_theta(spark, sf_smoke):
@@ -137,7 +137,7 @@ def test_rollup_hypertable_never_rescans_history(spark, sf_correct):
     df = R.rollup_hypertable(spark, sf_correct)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "rollup_hourly_" in plan, plan
-    # the raw parquet column is the int64 ns epoch (named `ts` on disk,
-    # ts_ns after normalize_events) — the split must reach it as a pushed
+    # the raw parquet column is the int64 µs epoch (named `ts` on disk,
+    # ts_us after normalize_events) — the split must reach it as a pushed
     # comparison, not evaluate post-scan on the derived µs timestamp
     assert "GreaterThanOrEqual(ts," in plan, plan

@@ -18,14 +18,14 @@ from vector_search_playground_spark.sources import normalize_events
 
 SCRATCH = "/root/repo/.scratch/streaming_tests"
 
-HOUR_NS = 3_600_000_000_000
-BASE_NS = 1_704_067_200_000_000_000  # 2024-01-01T00:00:00Z
+HOUR_US = 3_600_000_000
+BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
 
 
 def _write_batch(spark, src, rows):
-    """Append one file of events-shaped rows: (event_id, ts_ns offset hours)."""
+    """Append one file of events-shaped rows: (event_id, ts_us offset hours)."""
     data = [
-        (eid, BASE_NS + int(h * HOUR_NS), 1, "click", 1.0, "{}")
+        (eid, BASE_US + int(h * HOUR_US), 1, "click", 1.0, "{}")
         for eid, h in rows
     ]
     df = spark.createDataFrame(data, schemas.EVENTS_RAW)
@@ -214,6 +214,57 @@ def test_update_sink_reduces_to_final_totals_across_batches(
         assert abs(got[u][1] - want[u][1]) < 0.05, f"user {u} sum"
 
 
+def test_watermark_job_green_across_batches(
+    spark, sf_smoke, tmp_path, monkeypatch
+):
+    """stream_watermark over a TIME-SPLIT two-file source drained one file
+    per micro-batch: early half first, late half second (mtime-ordered —
+    the file source processes oldest-first). No row is late (the second
+    batch is entirely newer than the first's watermark), but the boundary
+    hour's window receives updates in BOTH batches, so the update-mode
+    sink holds two rows for it and the max/max_by reduction must pick the
+    final one. Result must equal the one-shot batch group-by (VERDICT r03
+    item 8)."""
+    from vector_search_playground_spark.sources import load_table
+    from vector_search_playground_spark.streaming import jobs
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    ev = load_table(spark, sf_smoke, "events")
+    d = tmp_path / "ev"
+    d.mkdir()
+    # flat files (the stream source's pathGlobFilter matches leaf names),
+    # time-split in half, early file mtime'd older so it drains first
+    tbl = pq.read_table(os.path.join(sf_smoke, "events.parquet"))
+    mid = pc.quantile(tbl["ts"].cast("int64"), 0.5)[0].as_py()
+    early, late = str(d / "events_a.parquet"), str(d / "events_b.parquet")
+    keep = pc.less(tbl["ts"].cast("int64"), mid)
+    pq.write_table(tbl.filter(keep), early)
+    pq.write_table(tbl.filter(pc.invert(keep)), late)
+    now = os.stat(late).st_mtime
+    os.utime(early, (now - 60, now - 60))
+    monkeypatch.setattr(jobs, "_MAX_FILES_PER_TRIGGER", 1)
+
+    got = {
+        r["hour"]: (r["n_events"], r["avg_value"])
+        for r in jobs.stream_watermark(spark, str(d)).collect()
+    }
+    want = {
+        r["hour"]: (r["n_events"], r["avg_value"])
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+            .alias("hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_kafka_shaped_parse_equals_file_source_schema(spark, sf_smoke):
     """parse_kafka_events on a batch frame in Kafka wire format must yield
     the exact columns the file source yields — the aggregations downstream
@@ -244,7 +295,7 @@ def test_kafka_shaped_parse_equals_file_source_schema(spark, sf_smoke):
     row = parsed.first()
     assert row["event_id"] == 1 and row["user_id"] == 7
     assert row["value"] == 1.5 and row["event_type"] == "click"
-    assert row["ts_ns"] == row["ts"].timestamp() * 0 + 1767225600 * 10**9
+    assert row["ts_us"] == row["ts"].timestamp() * 0 + 1767225600 * 10**6
 
 
 def test_kafka_shaped_stream_feeds_same_aggregation(spark):

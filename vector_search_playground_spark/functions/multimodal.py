@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
+from functools import lru_cache as _lru_cache
 from typing import Any
 
 import pandas as pd
@@ -279,6 +280,53 @@ def _features_from(decoded: bytes) -> list[float]:
     ]
 
 
+# --- memoized payload builders for synthesize_real_media -------------------
+# The arithmetic content is periodic in the id — image pixels depend only on
+# (w, h, 7·mid mod 256), audio samples on mid mod 40, video frames on
+# (n_frames, mid mod 256) — so the encoded payload for each distinct content
+# key is built ONCE per Python worker and reused byte-identically. This is
+# fixture synthesis, not the measured decode path: memoizing it keeps the
+# generator from dominating the bench (round-3: 8.4 s at sf0.1, mostly
+# mgrid/sin/encode re-run per row) while every downstream byte stays exactly
+# what the uncached loop produced. Module-level (not closures) so
+# cloudpickle ships them by reference and the cache lives per worker.
+
+
+@_lru_cache(maxsize=None)  # ≤ 32·256 image + 40 audio + 10·256 video keys
+def _image_payload(w: int, h: int, phase: int) -> bytes:
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = np.stack(
+        [(3 * xx + 5 * yy + phase + 11 * c) % 256 for c in range(3)],
+        axis=-1,
+    ).astype(np.uint8)
+    return encode_ppm(px)
+
+
+@_lru_cache(maxsize=None)
+def _audio_payload(step: int) -> bytes:
+    import numpy as np
+
+    sr, n = 16000, 800
+    t = np.arange(n) / sr
+    freq = 100.0 + step * 20.0
+    samples = 0.5 * np.sin(2 * np.pi * freq * t) + 0.25 * np.sin(
+        2 * np.pi * 2 * freq * t
+    )
+    return encode_wav(samples, sr)
+
+
+@_lru_cache(maxsize=None)
+def _video_payload(nf: int, phase: int) -> bytes:
+    import numpy as np
+
+    h, w = 16, 32
+    ff, yy, xx = np.mgrid[0:nf, 0:h, 0:w]
+    frames = ((xx + 2 * yy + 17 * ff + phase) % 256).astype(np.uint8)
+    return encode_y4m(frames)
+
+
 def synthesize_real_media(docs: DataFrame) -> DataFrame:
     """Deterministic media table with REAL payloads: each doc becomes a
     genuine WAV / PPM / Y4M bytestream (arithmetic content keyed by id —
@@ -292,8 +340,6 @@ def synthesize_real_media(docs: DataFrame) -> DataFrame:
     The exchange moves only 8-byte ids — negligible against the payload
     work it parallelizes; at real scale the scan has natural splits and
     the repartition cost stays proportionally irrelevant."""
-    import numpy as np
-
     from vector_search_playground_spark.sources import fan_out
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -304,38 +350,22 @@ def synthesize_real_media(docs: DataFrame) -> DataFrame:
                 kind = KINDS[mid % 3]
                 if kind == "image":
                     w, h = (mid % 8 + 1) * 16, (mid % 4 + 1) * 16
-                    yy, xx = np.mgrid[0:h, 0:w]
-                    px = np.stack(
-                        [(3 * xx + 5 * yy + 7 * mid + 11 * c) % 256
-                         for c in range(3)],
-                        axis=-1,
-                    ).astype(np.uint8)
                     rows.append(
-                        (mid, kind, encode_ppm(px),
+                        (mid, kind, _image_payload(w, h, (7 * mid) % 256),
                          {"format": "ppm", "width": w, "height": h,
                           "sample_rate": None, "n_frames": None})
                     )
                 elif kind == "audio":
-                    sr, n = 16000, 800
-                    t = np.arange(n) / sr
-                    freq = 100.0 + (mid % 40) * 20.0
-                    samples = 0.5 * np.sin(2 * np.pi * freq * t) + 0.25 * np.sin(
-                        2 * np.pi * 2 * freq * t
-                    )
                     rows.append(
-                        (mid, kind, encode_wav(samples, sr),
+                        (mid, kind, _audio_payload(mid % 40),
                          {"format": "wav", "width": None, "height": None,
-                          "sample_rate": sr, "n_frames": None})
+                          "sample_rate": 16000, "n_frames": None})
                     )
                 else:
-                    nf, h, w = mid % 10 + 2, 16, 32
-                    ff, yy, xx = np.mgrid[0:nf, 0:h, 0:w]
-                    frames = ((xx + 2 * yy + 17 * ff + mid) % 256).astype(
-                        np.uint8
-                    )
+                    nf = mid % 10 + 2
                     rows.append(
-                        (mid, kind, encode_y4m(frames),
-                         {"format": "y4m", "width": w, "height": h,
+                        (mid, kind, _video_payload(nf, mid % 256),
+                         {"format": "y4m", "width": 32, "height": 16,
                           "sample_rate": None, "n_frames": nf})
                     )
             yield pd.DataFrame(

@@ -111,13 +111,23 @@ def knn_batch(
 
     Physical shape: the query set is broadcast as a float64 matrix; each
     Arrow batch of the corpus computes its |batch|×|Q| distances in one
-    BLAS matmul and keeps only its LOCAL top-k per query, so the final
-    per-query window ranks ≤ batches·|Q|·k candidate rows — never the
-    |Q|·|C| cross product. (The previous crossJoin+window formulation
-    shuffled all |Q|·|C| distance rows: 21 s for 50×200k vs ~2 s here,
-    and unboundedly worse at corpus scale.) The local top-k uses the same
-    (dist, tiebreak) order as the final window, which makes the composition
-    exact, not approximate.
+    BLAS matmul and keeps only its LOCAL top-(k+pad) per query, so the
+    final per-query window ranks ≤ batches·|Q|·(k+pad) candidate rows —
+    never the |Q|·|C| cross product. (The previous crossJoin+window
+    formulation shuffled all |Q|·|C| distance rows: 21 s for 50×200k vs
+    ~2 s here, and unboundedly worse at corpus scale.)
+
+    Determinism: BLAS matmul summation order varies with threading, so a
+    distance at the rounding boundary can flip between runs (round-3
+    driver hash failure with identical row counts). NumPy therefore only
+    SELECTS candidates; the reported ``dist`` is recomputed on the
+    surviving ≤ batches·|Q|·(k+pad) rows with the deterministic
+    sequential-fold HOF kernel (functions/vector.py) via a broadcast join
+    back to the query vectors — the same kernel every single-query path
+    uses, so knn_batch(q)=knn(q) bit-for-bit. The local cut keeps a
+    ``pad`` margin (and a one-rounding-step threshold slack) so a
+    boundary flip in the selection pass can never drop a row the final
+    deterministic ranking needs.
     """
     import numpy as np
     import pandas as pd
@@ -140,14 +150,19 @@ def knn_batch(
     q_mat = np.array([r[query_vec] for r in qrows], dtype=np.float64)
     bc = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat))
 
+    # Selection margin: a BLAS-vs-HOF float discrepancy is ~1 ulp, so a
+    # rank flip only swaps near-equal neighbors; pad covers it with room
+    # to spare. Threshold slack likewise admits boundary rows locally —
+    # the deterministic filter below makes the final cut.
+    pad = 8
+    slack = 10.0 ** (-round_to) if round_to is not None else 1e-9
+
     out_fields = [f for f in corpus.schema.fields]
     qid_field = queries.schema[query_id]
-    from pyspark.sql.types import DoubleType, StructField, StructType
+    from pyspark.sql.types import StructField, StructType
 
     out_schema = StructType(
-        out_fields
-        + [StructField(query_id, qid_field.dataType, True),
-           StructField(dist_col, DoubleType(), True)]
+        out_fields + [StructField(query_id, qid_field.dataType, True)]
     )
     corpus_cols = [f.name for f in out_fields]
 
@@ -188,29 +203,49 @@ def knn_batch(
             for j in range(nq):
                 dj = dist[:, j]
                 keep = (
-                    np.flatnonzero(dj < threshold)
+                    np.flatnonzero(dj < threshold + slack)
                     if threshold is not None
                     else np.arange(len(dj))
                 )
                 if keep.size == 0:
                     continue
-                # same (dist, tiebreak) order as the final window → the
-                # local cut can never drop a row the global top-k needs
-                order_ix = keep[np.lexsort((tb[keep], dj[keep]))][:k]
+                # same (dist, tiebreak) order as the final window, plus
+                # the pad margin → the local cut can never drop a row the
+                # global deterministic top-k needs
+                order_ix = keep[np.lexsort((tb[keep], dj[keep]))][: k + pad]
                 sel = pdf.iloc[order_ix][corpus_cols].copy()
                 sel[query_id] = ids_q[j]
-                sel[dist_col] = dj[order_ix]
                 frames.append(sel)
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
     candidates = corpus.mapInPandas(local_topk, out_schema)
+
+    # Deterministic re-score: broadcast-join the tiny query table back on
+    # (map-side, no shuffle) and evaluate the HOF kernel — candidate count
+    # is ≤ batches·|Q|·(k+pad), so the expensive exact kernel touches a
+    # sliver of the corpus.
+    qv = "__knn_batch_query_vec"
+    rescored = candidates.join(
+        F.broadcast(
+            queries.select(
+                F.col(query_id), F.col(query_vec).alias(qv)
+            )
+        ),
+        on=query_id,
+    ).withColumn(dist_col, distance(metric, F.col(corpus_vec), F.col(qv)))
+    if round_to is not None:
+        rescored = rescored.withColumn(
+            dist_col, F.round(F.col(dist_col), round_to)
+        )
+    if threshold is not None:
+        rescored = rescored.where(F.col(dist_col) < F.lit(threshold))
     order = [F.col(dist_col).asc()]
     if tiebreak:
         order.append(F.col(tiebreak).asc())
     w = Window.partitionBy(query_id).orderBy(*order)
     return (
-        candidates.withColumn("__rn", F.row_number().over(w))
+        rescored.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
-        .drop("__rn")
+        .drop("__rn", qv)
     )

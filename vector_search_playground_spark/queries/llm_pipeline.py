@@ -641,18 +641,26 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SCRATCH = "/root/repo/.scratch"
 
+# Bump whenever the code that WRITES any .scratch artifact changes shape or
+# semantics (schema, units, aggregation logic). Mixing this into the
+# fingerprint invalidates every derived cache at once — without it, a writer
+# bug fix (e.g. round 3's timestamp-unit error) would keep serving the stale
+# materialization because the fixture itself never changed.
+CACHE_VERSION = "r4"
+
 
 def _fixture_fingerprint(sf_dir: str, table: str) -> str:
     """Content fingerprint of a fixture table: (name, size, mtime_ns) of
-    every file under the parquet path, hashed. Index caches key on this so
-    a rewritten fixture invalidates the cached index instead of silently
-    serving stale cells — "cache keyed by directory name only" was the
-    staleness bug called out in round 2's close-out notes."""
+    every file under the parquet path, hashed together with CACHE_VERSION
+    (the writer-code revision). Index caches key on this so a rewritten
+    fixture — or a rewritten writer — invalidates the cached artifact
+    instead of silently serving stale cells; "cache keyed by directory name
+    only" was the staleness bug called out in round 2's close-out notes."""
     import hashlib
     import os
 
     path = os.path.join(sf_dir, f"{table}.parquet")
-    parts: list[str] = []
+    parts: list[str] = [CACHE_VERSION]
     if os.path.isdir(path):
         for root, _dirs, files in os.walk(path):
             for f in sorted(files):

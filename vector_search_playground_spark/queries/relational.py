@@ -291,7 +291,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides (Spark µs ≡ DuckDB's ns→µs truncation)."""
     ev = load_table(spark, sf_dir, "events")
     # integer div — float division would lose precision beyond 2^53 ns
-    us = F.expr("ts_ns div 1000")
+    us = F.col("ts_us")
     clicks = ev.where(F.col("event_type") == "click").select(
         F.lit(None).cast("long").alias("event_id"),
         "user_id",
@@ -348,7 +348,7 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     window_us = 15 * 60 * 1_000_000
     ev = load_table(spark, sf_dir, "events")
-    us = F.expr("ts_ns div 1000")
+    us = F.col("ts_us")
     errors = ev.where(F.col("event_type") == "error").select(
         F.col("event_id").alias("err_id"),
         us.alias("start_us"),
@@ -521,7 +521,7 @@ def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag / lead / first_value over per-user event time."""
     ev = load_table(spark, sf_dir, "events")
-    us = F.expr("ts_ns div 1000")
+    us = F.col("ts_us")
     w = Window.partitionBy("user_id").orderBy(us, "event_id")
     wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return ev.select(
@@ -804,8 +804,11 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            len(embedding) AS dim,
            ROUND(CAST(embedding AS DOUBLE[])[1], 6) AS e1,
-           list_transform(CAST(embedding AS DOUBLE[])[1:3],
-                          x -> ROUND(x, 6)) AS head3,
+           list_aggregate(
+             list_transform(CAST(embedding AS DOUBLE[])[1:3],
+                            x -> CAST(CAST(ROUND(x, 6) AS DECIMAL(18,6))
+                                      AS VARCHAR)),
+             'string_agg', ',') AS head3,
            ROUND(list_max(CAST(embedding AS DOUBLE[])), 6) AS emax,
            ROUND(list_min(CAST(embedding AS DOUBLE[])), 6) AS emin
     FROM embeddings
@@ -813,14 +816,27 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array function family over the embedding column (cast to double on
-    both sides so rounding compares doubles with doubles)."""
+    both sides so rounding compares doubles with doubles). ``head3`` is
+    emitted as a comma-joined STRING on both engines: the driver's pandas
+    canonicalizer sorts/hashes cell values, and raw list cells are
+    unhashable there (round-3 driver error) — flattening to a scalar keeps
+    the array-function coverage while staying inside the hash contract.
+    The per-element render goes through DECIMAL(18,6), not a double→string
+    cast: Spark prints |x|<1e-3 doubles in scientific notation ("4.61E-4")
+    where DuckDB prints fixed-point — decimal pins both to 6dp fixed."""
     e = load_table(spark, sf_dir, "embeddings")
     emb = F.col("embedding").cast("array<double>")
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
         F.round(F.element_at(emb, 1), 6).alias("e1"),
-        F.transform(F.slice(emb, 1, 3), lambda x: F.round(x, 6)).alias("head3"),
+        F.array_join(
+            F.transform(
+                F.slice(emb, 1, 3),
+                lambda x: F.round(x, 6).cast("decimal(18,6)").cast("string"),
+            ),
+            ",",
+        ).alias("head3"),
         F.round(F.array_max(emb), 6).alias("emax"),
         F.round(F.array_min(emb), 6).alias("emin"),
     )
@@ -1118,7 +1134,8 @@ def profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "scan_csv",
     oracle="""
-    SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
     FROM documents GROUP BY lang
     """,
 )
@@ -1187,11 +1204,11 @@ def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fixture_fingerprint,
     )
 
-    # split instant, expressed on the STORED column (ts_ns, int64 epoch
-    # nanoseconds): a predicate on the derived µs `ts` projection cannot
-    # reach the parquet scan, one on ts_ns shows up in PushedFilters
+    # split instant, expressed on the STORED column (ts_us, int64 epoch
+    # microseconds): a predicate on the derived `ts` timestamp projection
+    # cannot reach the parquet scan, one on ts_us shows up in PushedFilters
     # (plan-asserted in tests/test_rangejoin_packing.py)
-    SPLIT_NS = 1706140800 * 1_000_000_000  # 2024-01-25T00:00:00Z
+    SPLIT_US = 1706140800 * 1_000_000  # 2024-01-25T00:00:00Z
 
     def hourly(df: DataFrame) -> DataFrame:
         return df.groupBy(
@@ -1210,10 +1227,10 @@ def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(SCRATCH, f"rollup_hourly_{tag}_{fp}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         hourly(
-            ev.where(F.col("ts_ns") < F.lit(SPLIT_NS))
+            ev.where(F.col("ts_us") < F.lit(SPLIT_US))
         ).write.mode("overwrite").parquet(path)
     history = spark.read.parquet(path)
-    tail = hourly(ev.where(F.col("ts_ns") >= F.lit(SPLIT_NS)))
+    tail = hourly(ev.where(F.col("ts_us") >= F.lit(SPLIT_US)))
     return history.unionByName(tail).select(
         "hour",
         "event_type",

@@ -84,7 +84,7 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the hash comparison is float-free.
     """
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.expr("ts_ns div 1000").alias("ts_us")
+        "user_id", "event_id", "ts_us"
     )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     gap = F.col("ts_us") - F.lag("ts_us").over(w)

@@ -92,13 +92,14 @@ LINEITEM = _st(
     ("l_shipdate", TimestampNTZType()),
 )
 
-# events.parquet stores ts as parquet TIMESTAMP(NANOS); Spark reads it as a
-# raw int64 (epoch nanoseconds) under spark.sql.legacy.parquet.nanosAsLong.
-# sources/tables.py derives a proper `ts` timestamp (µs-truncated) and keeps
-# the exact `ts_ns` long for nanosecond-exact arithmetic (session islands).
+# events.parquet stores ts as parquet timestamp[us] (verified with pyarrow
+# at every SF); declaring LongType here makes Spark surface the raw int64
+# (epoch MICROseconds). sources/tables.py derives the proper `ts` timestamp
+# and keeps the exact `ts_us` long for integer time arithmetic that must
+# match DuckDB's epoch_us(ts) (session islands, range buckets).
 EVENTS_RAW = _st(
     ("event_id", LongType()),
-    ("ts", LongType()),  # epoch nanoseconds on disk
+    ("ts", LongType()),  # epoch MICROseconds on disk (timestamp[us])
     ("user_id", LongType()),
     ("event_type", StringType()),
     ("value", DoubleType()),

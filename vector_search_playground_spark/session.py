@@ -18,8 +18,11 @@ from pyspark.sql import SparkSession
 # runtime, so the static value only caps initial parallelism.
 _DEFAULTS: dict[str, str] = {
     # --- correctness-critical ---
-    # Fixture events.parquet stores TIMESTAMP(NANOS); Spark has no ns type.
-    # Read the raw int64 and convert explicitly (sources/tables.py).
+    # Fixture events.parquet stores timestamp[us]; we read it under an
+    # explicit LongType schema as the raw epoch-µs int64 and convert
+    # explicitly (sources/tables.py). nanosAsLong stays on defensively: if a
+    # fixture ever ships TIMESTAMP(NANOS), the read surfaces the int64
+    # instead of failing (normalize_events would then need a unit probe).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # One timezone everywhere so timestamp math matches the DuckDB oracle.
     "spark.sql.session.timeZone": "UTC",

@@ -1,7 +1,7 @@
 """Parquet table loaders for the fixture star schema.
 
 Single choke point for every scan: explicit schema (no inference), and the
-events nanosecond-timestamp normalization happens here so downstream
+events timestamp normalization happens here so downstream
 operators see a clean surface.
 
 At 100 TB the same loaders work unchanged — ``sf_dir`` becomes an object-store
@@ -35,23 +35,27 @@ TABLE_NAMES = (
 def normalize_events(df: DataFrame) -> DataFrame:
     """Derive the two time columns every events consumer uses:
 
-    - ``ts``   — TIMESTAMP_NTZ, truncated to microseconds (Spark's max
+    - ``ts``   — TIMESTAMP_NTZ at microsecond precision (Spark's native
       precision). Use for windows / date functions.
-    - ``ts_ns`` — the exact epoch-nanosecond int64 from disk. Use when
-      nanosecond-exact arithmetic must match the DuckDB oracle (which reads
-      the full ns precision).
+    - ``ts_us`` — the exact epoch-microsecond int64 from disk. Use for
+      integer time arithmetic that must match the DuckDB oracle's
+      ``epoch_us(ts)`` bit-for-bit (session islands, range buckets).
+
+    The fixture stores ``ts`` as parquet ``timestamp[us]``; reading it
+    under the declared LongType schema yields the raw epoch-µs int64
+    (verified with pyarrow against /root/testdata/sf*/events.parquet).
 
     Shared by the batch loader below and the streaming source
     (streaming/jobs.py) so both surfaces see one schema.
     """
     return (
-        df.withColumnRenamed("ts", "ts_ns")
+        df.withColumnRenamed("ts", "ts_us")
         .withColumn(
             "ts",
-            F.expr("timestamp_micros(ts_ns div 1000)").cast("timestamp_ntz"),
+            F.expr("timestamp_micros(ts_us)").cast("timestamp_ntz"),
         )
         .select(
-            "event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props"
+            "event_id", "ts", "ts_us", "user_id", "event_type", "value", "props"
         )
     )
 

@@ -107,7 +107,7 @@ def parse_kafka_events(kafka_df: DataFrame) -> DataFrame:
             F.from_json(F.col("value").cast("string"), payload).alias("e")
         )
         .select("e.*")
-        .withColumn("ts_ns", F.unix_micros("ts") * F.lit(1000))
+        .withColumn("ts_us", F.unix_micros("ts"))
     )
 
 
@@ -308,14 +308,14 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.session_window("ts", "6 hours").alias("w"), "user_id"
         )
         .agg(
-            F.min("ts_ns").alias("start_ns"),
+            F.min("ts_us").alias("start_us"),
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), ROUND_MONEY).alias("sum_value"),
         )
     )
     out = agg.select(
         "user_id",
-        F.expr("start_ns div 1000").alias("session_start_us"),
+        F.col("start_us").alias("session_start_us"),
         "n_events",
         "sum_value",
     )
@@ -388,7 +388,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select(
             "event_id",
-            F.expr("ts_ns div 1000").alias("ts_us"),
+            F.col("ts_us"),
             "user_id",
             "event_type",
             "value",
