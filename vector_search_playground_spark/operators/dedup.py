@@ -97,7 +97,19 @@ def shingle_sets(docs: DataFrame, *, id_col: str = "doc_id",
 
         return in_df.mapInPandas(gen, schema)
 
-    tok = F.split(F.col(text_col), " ")
+    # Materialize the token array ONCE per row in its own projection. The
+    # obvious single-projection form — tok = F.split(...) referenced from
+    # inside the transform lambda — re-evaluates the split for EVERY
+    # sequence element (HOF lambdas are interpreted; no CSE reaches a
+    # captured expression), turning shingling O(tokens²) in string work:
+    # measured 2.6 s for 5k×54-token docs, ~8× the materialized form.
+    # CollapseProject leaves the two projections apart because the token
+    # array is referenced more than once downstream.
+    tokenized = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("__tok"),
+    )
+    tok = F.col("__tok")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(tok) - F.lit(n - 1)),
         lambda i: F.concat_ws(" ", F.slice(tok, i, n)),
@@ -105,8 +117,7 @@ def shingle_sets(docs: DataFrame, *, id_col: str = "doc_id",
     shingles = F.array_distinct(
         F.when(F.size(tok) >= n, grams).otherwise(tok)
     )
-    return docs.select(F.col(id_col).alias("doc_id"),
-                       shingles.alias("shingles"))
+    return tokenized.select("doc_id", shingles.alias("shingles"))
 
 
 def _shingle_py(text: str, n: int) -> set[str]:

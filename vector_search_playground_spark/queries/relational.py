@@ -1109,14 +1109,22 @@ def profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    u = li.select(
-        F.explode(
-            F.create_map(
-                F.lit("l_quantity"), F.col("l_quantity"),
-                F.lit("l_extendedprice"), F.col("l_extendedprice"),
-                F.lit("l_discount"), F.col("l_discount"),
-            )
-        ).alias("col", "v")
+    from vector_search_playground_spark.sources import fan_out
+
+    # fan_out BEFORE persist: the cache inherits the scan's split count
+    # (a single-file fixture = 2-3 splits), and every downstream pass —
+    # the metric agg and each selection scan — would run its map side at
+    # that width. Caching at full parallelism makes all consumers wide.
+    u = fan_out(
+        li.select(
+            F.explode(
+                F.create_map(
+                    F.lit("l_quantity"), F.col("l_quantity"),
+                    F.lit("l_extendedprice"), F.col("l_extendedprice"),
+                    F.lit("l_discount"), F.col("l_discount"),
+                )
+            ).alias("col", "v")
+        )
     ).persist()  # feeds the metric agg + the selection passes
     p50 = exact_quantile(u, "col", "v", 0.5)
     p50_map = F.create_map(
