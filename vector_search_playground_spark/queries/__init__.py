@@ -23,3 +23,4 @@ from vector_search_playground_spark.queries import (  # noqa: F401
     trainprep,
 )
 from vector_search_playground_spark.queries import bucketjoin  # noqa: F401
+from vector_search_playground_spark.queries import analytics  # noqa: F401

@@ -1,0 +1,169 @@
+"""Event-analytics tier: funnel conversion, retention cohorts, and
+time-range window frames over the events table.
+
+The reference's surface is point-lookup retrieval (`/root/reference/
+src/main.rs:85-96`); an analytics engine over the same data model also
+answers the classic product-analytics questions — "how many users made it
+through view → click → purchase?", "how well does each signup cohort
+retain?", "what happened in the hour before each event?". All three are
+oracle-backed with exact SQL semantics.
+
+Scale discipline:
+- ``funnel_events`` — three aggregations, all keyed on ``user_id``:
+  Catalyst reuses one hash partitioning across every stage, so the whole
+  funnel is a single shuffle of the events relation no matter how many
+  stages the funnel has. Stage relations (users who reached stage k) only
+  ever shrink, and the final count is metadata-sized.
+- ``retention_cohorts`` — cohort assignment is a per-user min (one
+  shuffle on user_id); activity days join back on the same key (reused
+  partitioning), and the output is |cohort_days| × |offsets| rows —
+  metadata-sized regardless of corpus scale.
+- ``win_range_time`` — a RANGE frame over epoch-µs integers: Spark
+  evaluates it with one shuffle on user_id and a per-partition two-pointer
+  sweep (no self-join, no interval explosion). The equivalent θ-self-join
+  at 100 TB is quadratic in hot users; the range frame is linear after
+  the per-user sort. Frame bounds on the INTEGER ts_us column make Spark
+  and DuckDB agree bit-for-bit (both engines' RANGE frames include all
+  peers, so ties are deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_search_playground_spark.registry import query
+from vector_search_playground_spark.sources import load_table
+
+HOUR_US = 3_600 * 1_000_000
+
+
+@query(
+    "funnel_events",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t0 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t1
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t0
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t1
+        GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_view_click,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_full_funnel
+    """,
+)
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: users counted at stage k
+    only if stage k's first event happens strictly after their first
+    stage-(k-1) event. Three per-user min-aggregations, each keyed on
+    user_id so the exchange is planned once and reused; the stage
+    relations shrink monotonically, and the broadcast side of each join
+    is the (small) survivor set, never the event stream."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    counts = [
+        df.agg(F.count(F.lit(1)).alias(name))
+        for df, name in ((v, "n_view"), (c, "n_view_click"), (p, "n_full_funnel"))
+    ]
+    return counts[0].crossJoin(counts[1]).crossJoin(counts[2])
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH first_day AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    )
+    SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS BIGINT)
+             AS day_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM events e JOIN first_day f ON e.user_id = f.user_id
+    WHERE date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) BETWEEN 0 AND 7
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: users cohorted by first-seen day, distinct
+    actives counted at day offsets 0..7. The cohort map is one per-user
+    aggregate (shuffle on user_id, reused by the join back); the distinct
+    count shuffles (cohort_day, day_offset, user_id) triples — already a
+    projection of the event stream — and the result is triangle-sized
+    metadata."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first_day, "user_id")
+        .withColumn("day_offset", F.datediff("day", "cohort_day").cast("long"))
+        .where(F.col("day_offset").between(0, 7))
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@query(
+    "win_range_time",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_prev_1h,
+           ROUND(sum(value) OVER w, 4) AS sum_value_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN {HOUR_US} PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-hour context: how many events (and how much
+    value) the same user produced in the 60 minutes up to and including
+    this one. RANGE frame over the epoch-µs integer — a value-based
+    frame, not a row count, so simultaneous events are peers on both
+    engines and the result is tie-deterministic. One shuffle on user_id;
+    the frame itself is a linear two-pointer sweep per partition."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-HOUR_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_prev_1h"),
+        F.round(F.sum("value").over(w), 4).alias("sum_value_1h"),
+    )
