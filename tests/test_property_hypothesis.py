@@ -219,6 +219,38 @@ def test_exact_quantile_matches_holistic_percentile(spark, values, q,
 
 
 @given(
+    values=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+                  allow_subnormal=False),
+        min_size=1, max_size=40,
+    ),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_exact_quantiles_multi_q_matches_singles(spark, values):
+    """Batched quantiles (one shared pass set) must equal the per-q
+    single calls for every requested q — the union-of-indices logic must
+    not perturb any individual quantile."""
+    from vector_search_playground_spark.operators.selection import (
+        exact_quantile,
+        exact_quantiles,
+    )
+
+    qs = [0.0, 0.5, 0.95, 1.0]
+    rows = [("a", float(v)) for v in values]
+    df = spark.createDataFrame(rows, "col: string, v: double")
+    multi = exact_quantiles(df, "col", "v", qs, num_buckets=8)
+    for q in qs:
+        single = exact_quantile(df, "col", "v", q, num_buckets=8)
+        for k in single:
+            assert math.isclose(multi[k][q], single[k], rel_tol=1e-12,
+                                abs_tol=1e-12), (k, q)
+
+
+@given(
     edges=st.lists(
         st.tuples(st.integers(min_value=0, max_value=14),
                   st.integers(min_value=0, max_value=14)),

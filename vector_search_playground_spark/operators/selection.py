@@ -44,7 +44,25 @@ def exact_quantile(
     *,
     num_buckets: int = 64,
 ) -> dict[str, float]:
-    """{key: exact interpolated q-quantile of value} for every key.
+    """{key: exact interpolated q-quantile of value} for every key."""
+    multi = exact_quantiles(df, key_col, value_col, [q], num_buckets=num_buckets)
+    return {k: per[q] for k, per in multi.items()}
+
+
+def exact_quantiles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    qs: "list[float]",
+    *,
+    num_buckets: int = 64,
+) -> dict[str, dict[float, float]]:
+    """{key: {q: exact interpolated quantile}} for every key and every q.
+
+    All requested quantiles share the SAME three passes (stats, histogram,
+    straddling-bucket rank): the per-key target indices are the union over
+    qs, so asking for p50+p95+p99 costs exactly what p50 alone does — the
+    rank pass just touches a couple more buckets.
 
     Contract: the key domain is bounded (profiling columns, metric names —
     never a data-scale id); values must be non-null doubles.
@@ -92,12 +110,17 @@ def exact_quantile(
         .collect()
     }
 
-    # global index -> (bucket, local index) per key, from cumulative counts
+    # global index -> (bucket, local index) per key, from cumulative
+    # counts; indices are the UNION over all requested quantiles
     needed: dict[str, dict[int, tuple[int, int]]] = {}
     for k, (n, _, _) in stats.items():
-        t = (n - 1) * q
-        lo = int(t)
-        idxs = {lo} if t == lo else {lo, lo + 1}
+        idxs: set[int] = set()
+        for q in qs:
+            t = (n - 1) * q
+            lo = int(t)
+            idxs.add(lo)
+            if t != lo:
+                idxs.add(lo + 1)
         cum = 0
         per_key = {}
         for b in range(1, num_buckets + 1):
@@ -133,11 +156,16 @@ def exact_quantile(
     for r in ranked.where(pick_cond).collect():
         picked[(r["k"], local_wanted[(r["k"], r["b"], r["r"])])] = r["v"]
 
-    out: dict[str, float] = {}
+    out: dict[str, dict[float, float]] = {}
     for k, (n, _, _) in stats.items():
-        t = (n - 1) * q
-        lo = int(t)
-        frac = t - lo
-        vlo = picked[(k, lo)]
-        out[k] = vlo if frac == 0 else vlo + (picked[(k, lo + 1)] - vlo) * frac
+        per_q: dict[float, float] = {}
+        for q in qs:
+            t = (n - 1) * q
+            lo = int(t)
+            frac = t - lo
+            vlo = picked[(k, lo)]
+            per_q[q] = (
+                vlo if frac == 0 else vlo + (picked[(k, lo + 1)] - vlo) * frac
+            )
+        out[k] = per_q
     return out

@@ -138,6 +138,97 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quantile_groups",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def quantile_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (p50 + p95 of event value per type)
+    WITHOUT a holistic aggregate: Spark's ``percentile`` buffers an
+    entire group inside one task — the first casualty at 100 TB.
+    ``operators/selection.exact_quantiles`` computes both quantiles by
+    distributed selection in three shared passes (per-key stats →
+    width_bucket histogram → rank of straddling buckets only), so p95
+    rides along with p50 at zero extra scans; results match DuckDB's
+    ``quantile_cont`` bit-for-bit after rounding."""
+    from vector_search_playground_spark.operators.selection import (
+        exact_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    per = exact_quantiles(ev, "event_type", "value", [0.5, 0.95])
+    rows = [
+        (k, round(v[0.5], 6), round(v[0.95], 6))
+        for k, v in sorted(per.items())
+    ]
+    return spark.createDataFrame(rows, "event_type string, p50 double, p95 double")
+
+
+@query(
+    "time_bucket_gapfill",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(date_trunc('hour', ts)) AS lo,
+               max(date_trunc('hour', ts)) AS hi
+        FROM events
+    ),
+    hours AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(hours.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           types.event_type,
+           CAST(COALESCE(agg.n_events, 0) AS BIGINT) AS n_events
+    FROM hours CROSS JOIN types
+    LEFT JOIN agg ON agg.h = hours.h AND agg.event_type = types.event_type
+    """,
+)
+def time_bucket_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup (the hypertable ``time_bucket_gapfill``
+    verb): every (hour × event_type) cell between the corpus's first and
+    last hour, zero-filled where no events landed — the shape dashboards
+    and downsampling jobs need, where a plain group-by silently omits
+    empty buckets. The hour spine comes from ONE metadata-sized min/max
+    aggregate expanded with ``sequence`` (never a driver loop); spine ×
+    types is broadcast against the aggregated (not raw) relation, so the
+    gap-fill costs |hours|·|types| rows regardless of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    bounds = ev.agg(
+        F.min(F.date_trunc("hour", "ts")).alias("lo"),
+        F.max(F.date_trunc("hour", "ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    spine = hours.crossJoin(types)
+    # broadcast the AGGREGATED side: the spine is the preserved side of
+    # the left join (un-broadcastable by definition), and hourly is
+    # |hours|·|types| rows at most — metadata-sized
+    return (
+        spine.join(F.broadcast(hourly), ["h", "event_type"], "left")
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+@query(
     "win_range_time",
     oracle=f"""
     SELECT event_id, user_id,

@@ -196,6 +196,41 @@ def ids_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dense_ids(docs, "doc_id").select("rid", "doc_id")
 
 
+@query(
+    "knn_prefiltered",
+    oracle=f"""
+    SELECT e.vec_id, {_DDIST} AS dist
+    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id, {_Q0}
+    WHERE d.lang = 'en' AND {_DDIST} < {THRESHOLD}
+    ORDER BY dist ASC, e.vec_id ASC
+    LIMIT {K}
+    """,
+)
+def knn_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-prefiltered KNN — the pgvector pattern the reference's
+    users hit the moment they add a WHERE clause to the search verb
+    (`SELECT ... WHERE lang='en' ORDER BY vector <=> q LIMIT k`). The
+    metadata predicate applies BEFORE the distance kernel, so the HOF
+    aggregate runs only on surviving rows and the top-k heap
+    (TakeOrderedAndProject) sees the filtered stream. The doc↔embedding
+    join is 1:1 on the id; at scale the metadata lives as columns of the
+    vector table (zero join) or in bucketed storage co-located on the id
+    (exchange-free SortMergeJoin, sources/bucketed.py) — here AQE picks
+    the physical join for the fixture layout. Filtered-ANN recall decay
+    (the reason pgvector added iterative index scans) is an index-path
+    concern; this exact path is the oracle-checkable anchor."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    embs = _with_query_vec(spark, sf_dir)
+    return (
+        embs.join(docs, embs.vec_id == docs.doc_id)
+        .where(F.col("lang") == "en")
+        .where(F.col("dist") < THRESHOLD)
+        .orderBy(F.asc("dist"), F.asc("vec_id"))
+        .limit(K)
+        .select("vec_id", "dist")
+    )
+
+
 @query("ids_fast")  # rows-only: values are partition-dependent by design
 def ids_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalable unique-id assignment: monotonically_increasing_id — no
