@@ -75,3 +75,20 @@ def test_normalized_fast_path_equivalence(spark):
         V.cosine_distance(F.col("a"), F.col("b"), normalized=True).alias("fast"),
     ).first()
     assert r.gen == pytest.approx(r.fast, abs=1e-6)
+
+
+def test_quantized_knn_recall_vs_exact(spark, sf_smoke):
+    """Int8 scalar quantization is lossy but must stay faithful on real
+    embeddings: the quantized top-10 (quantize_embed) should recover most
+    of the exact cosine top-10 for the same query vector. 384-dim unit
+    vectors quantized at 127 levels keep relative error ~1e-2, so
+    near-total overlap is the expectation, not a tuned threshold."""
+    from vector_search_playground_spark.queries.vector_search import (
+        quantize_embed,
+        topk_limit,
+    )
+
+    q = {r["vec_id"] for r in quantize_embed(spark, sf_smoke).collect()}
+    exact = {r["vec_id"] for r in topk_limit(spark, sf_smoke).collect()}
+    assert len(q) == 10
+    assert len(q & exact) >= 7, (sorted(q), sorted(exact))
