@@ -137,6 +137,65 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+@query(
+    "chunk_documents",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    )
+    SELECT doc_id,
+           CAST(s - 1 AS BIGINT) // {CHUNK_STRIDE} AS chunk_id,
+           array_to_string(w[s:s + {CHUNK_TOKENS} - 1], ' ') AS chunk_text,
+           CAST(least(len(w) - s + 1, {CHUNK_TOKENS}) AS BIGINT)
+             AS n_tokens
+    FROM tok,
+         unnest(range(1, greatest(len(w) - {CHUNK_TOKENS - 1}, 1) + 1,
+                      {CHUNK_STRIDE})) AS t(s)
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the RAG-ingestion step between
+    raw documents and the embedding stage ({CHUNK_TOKENS}-token windows,
+    {CHUNK_STRIDE}-token stride, tail windows kept). The reference embeds
+    whole documents (src/main.rs:52-60); real corpora chunk first so
+    retrieval granularity matches context budgets. Pure row-local
+    expansion: tokenize once per row (materialized array, same
+    O(tokens²)-avoidance as the shingle kernel), window starts from
+    ``sequence``, posexplode — zero shuffles at any corpus size, and the
+    expansion factor (~tokens/stride) is bounded by construction."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tokenized = docs.select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    w = F.col("w")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(w) - F.lit(CHUNK_TOKENS - 1), F.lit(1)),
+        F.lit(CHUNK_STRIDE),
+    )
+    return (
+        tokenized.select(
+            "doc_id", w, F.explode(starts).alias("s")
+        )
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / F.lit(CHUNK_STRIDE))
+            .cast("long")
+            .alias("chunk_id"),
+            F.array_join(
+                F.slice(w, F.col("s"), CHUNK_TOKENS), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.size(w) - F.col("s") + 1, F.lit(CHUNK_TOKENS)
+            ).cast("long").alias("n_tokens"),
+        )
+    )
+
+
 @query(
     "quantile_groups",
     oracle="""

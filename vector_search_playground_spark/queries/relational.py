@@ -325,6 +325,59 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_fwd",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           epoch_us(p.ts) AS purchase_us, epoch_us(c.ts) AS click_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+)
+def join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for every purchase, the EARLIEST click at-or-
+    after it by the same user (the "what did they do next" direction;
+    `join_asof` is the backward twin). Same join-free construction —
+    union the streams, scan each user's timeline once — but ordered
+    DESCENDING so "last click seen" means "earliest click ≥ here"; at
+    equal timestamps the click sorts before the purchase in scan order,
+    matching the oracle's inclusive `p.ts <= c.ts`. Still a single
+    user_id shuffle, no range-join blowup."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.col("ts_us")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        us.alias("ts_us"),
+        F.lit(0).alias("tag"),
+        us.alias("click_us"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        us.alias("ts_us"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("click_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts_us"), F.asc("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("asof_click_us", F.last("click_us", ignorenulls=True).over(w))
+        .where(F.col("tag") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts_us").alias("purchase_us"),
+            F.col("asof_click_us").alias("click_us"),
+        )
+    )
+
+
+@query(
     "join_range",
     oracle="""
     SELECT a.event_id AS err_id, b.event_id AS evt_id,
