@@ -137,6 +137,64 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+K_ANON = 5
+
+
+@query(
+    "k_anonymity",
+    oracle=f"""
+    SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    HAVING count(*) < {K_ANON}
+    """,
+)
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair (nation, market
+    segment): every equivalence class smaller than k={K_ANON} is a
+    re-identification risk a training-data release must suppress or
+    generalize. One hash-aggregate shuffle on the quasi-identifier tuple;
+    the risky-class output is bounded by the QI domain, not the table.
+    Complements ``pii_redact`` (direct identifiers) with the
+    quasi-identifier side of the governance story."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") < K_ANON)
+    )
+
+
+@query(
+    "corr_matrix",
+    oracle="""
+    SELECT 'qty_price' AS pair,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS r
+    FROM lineitem
+    UNION ALL
+    SELECT 'qty_disc', ROUND(corr(l_quantity, l_discount), 6) FROM lineitem
+    UNION ALL
+    SELECT 'price_disc', ROUND(corr(l_extendedprice, l_discount), 6)
+    FROM lineitem
+    """,
+)
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem measures — the
+    data-profiling companion to ``profile_numeric``. All three
+    coefficients come from ONE aggregation pass over the scan (Spark
+    plans the co-moment accumulators side by side; no per-pair rescan),
+    reduced map-side to a single row then unpivoted to long form.
+    Correlation is algebraic (sum/count co-moments), so it distributes
+    exactly; 6-dp rounding absorbs f64 summation-order noise."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("qty_disc"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("price_disc"),
+    )
+    return wide.unpivot([], ["qty_price", "qty_disc", "price_disc"], "pair", "r")
+
+
 CHUNK_TOKENS = 64
 CHUNK_STRIDE = 48
 
