@@ -240,8 +240,14 @@ def minhash_signatures(shingled: DataFrame,
     aggregates in a single hash-aggregate pass: one shuffle on doc_id,
     whole-stage-codegen'd hashing, no per-seed re-scan.
     """
+    # explode_outer, not explode: plain explode makes Generate inject a
+    # size(...)>0 AND isnotnull(...) filter, and predicate pushdown drags
+    # that filter (with the WHOLE array expression substituted back in,
+    # pre-materialization form) below the fan-out exchange — the shingle
+    # computation then runs twice, once single-threaded at the scan.
+    # Shingle arrays are non-empty by construction, so outer ≡ inner here.
     exploded = shingled.select(
-        "doc_id", F.explode("shingles").alias("shingle")
+        "doc_id", F.explode_outer("shingles").alias("shingle")
     )
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
@@ -261,8 +267,10 @@ def simhash_signatures(shingled: DataFrame, *, nbits: int = 64) -> DataFrame:
     hash-aggregate shuffle on doc_id, all JVM-side. 64 conditional-sum
     aggregates (one per bit) then a bitwise pack.
     """
+    # explode_outer: see minhash_signatures — avoids the Generate filter
+    # re-evaluating the shingle expression below the exchange
     ex = shingled.select(
-        "doc_id", F.explode("shingles").alias("shingle")
+        "doc_id", F.explode_outer("shingles").alias("shingle")
     ).select("doc_id", F.xxhash64("shingle").alias("h"))
     aggs = [
         F.sum(

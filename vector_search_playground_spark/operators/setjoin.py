@@ -46,7 +46,9 @@ def jaccard_join(
     shingled = shingled.persist()
     ex = shingled.select(
         "doc_id", F.size("shingles").alias("n"),
-        F.explode("shingles").alias("shingle"),
+        F.explode_outer("shingles").alias("shingle"),  # non-empty by
+        # construction; outer avoids the Generate-injected filter
+        # re-evaluating the shingle expression below the exchange
     )
     freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
 

@@ -237,7 +237,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         tokenized.select(
-            "doc_id", w, F.explode(starts).alias("s")
+            "doc_id", w, F.explode_outer(starts).alias("s")
         )
         .select(
             "doc_id",

@@ -264,7 +264,9 @@ def quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
     wc = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        docs.select(
+            "doc_id", F.explode_outer(F.split("text", " ")).alias("w")
+        )
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -331,7 +333,7 @@ def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return (
         shingle_sets(docs)
-        .select(F.explode("shingles").alias("ngram"))
+        .select(F.explode_outer("shingles").alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("df"))
         .orderBy(F.desc("df"), "ngram")

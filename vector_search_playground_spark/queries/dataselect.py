@@ -94,7 +94,10 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tok = fan_out(
         load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    ).select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+    ).select(  # explode_outer: split() is never empty; avoids the
+        # Generate filter re-running split at the scan (operators/dedup.py)
+        "doc_id", "lang", F.explode_outer(F.split("text", " ")).alias("w")
+    )
     b = tok.select(
         "doc_id",
         "lang",
@@ -201,9 +204,16 @@ def substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long") % SUBSTR_MODP == 0,
         )
     )
-    g = docs.select(
-        "doc_id", F.explode(grams).alias("gram")
-    ).select("doc_id", F.xxhash64("gram").alias("gh"))
+    # explode_outer + explicit null drop: grams CAN be empty (the md5
+    # stride filter may reject every window of a doc); plain explode's
+    # injected non-empty filter would re-evaluate the whole gram pipeline
+    # (substring transform + md5 per window) below the exchange. The
+    # post-generate isNotNull runs on the exploded column — free.
+    g = (
+        docs.select("doc_id", F.explode_outer(grams).alias("gram"))
+        .where(F.col("gram").isNotNull())
+        .select("doc_id", F.xxhash64("gram").alias("gh"))
+    )
     dupes = (
         g.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("c"))

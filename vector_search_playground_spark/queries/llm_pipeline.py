@@ -145,7 +145,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
-        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+        "doc_id", "lang", F.explode_outer(F.split("text", " ")).alias("token")
     )
     return tok.groupBy("lang").agg(
         F.countDistinct("doc_id").alias("n_docs"),
@@ -186,7 +186,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
-        "doc_id", "n_chars", F.explode(F.split("text", " ")).alias("token")
+        "doc_id", "n_chars", F.explode_outer(F.split("text", " ")).alias("token")
     )
     n = F.count(F.lit(1))
     return tok.groupBy("doc_id").agg(
@@ -368,7 +368,7 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
+        "doc_id", F.explode_outer(F.split("text", " ")).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

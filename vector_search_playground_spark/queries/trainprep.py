@@ -206,7 +206,7 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a shared post-shingle DataFrame would re-shingle the full
         # corpus once per consumer.
         return shingle_sets(docs.where(pred)).select(
-            "doc_id", F.explode("shingles").alias("s")
+            "doc_id", F.explode_outer("shingles").alias("s")
         )
 
     bench = shingled(F.col("doc_id") % 20 == 0).select("s").distinct()
@@ -274,7 +274,7 @@ def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
     )
     tf = (
-        docs.select("doc_id", F.explode(toks).alias("w"))
+        docs.select("doc_id", F.explode_outer(toks).alias("w"))
         .where(F.col("w").isin(*BM25_TERMS))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
