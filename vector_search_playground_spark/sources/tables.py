@@ -48,11 +48,20 @@ def normalize_events(df: DataFrame) -> DataFrame:
     Shared by the batch loader below and the streaming source
     (streaming/jobs.py) so both surfaces see one schema.
     """
+    # NTZ via pure integer arithmetic on an NTZ literal — NOT
+    # timestamp_micros(..).cast("timestamp_ntz"): timestamp_micros yields
+    # TIMESTAMP_LTZ and the LTZ→NTZ cast renders the instant in the
+    # SESSION timezone, so a driver session running America/New_York would
+    # shift every event wall-clock by -5h (caught by the vanilla-session
+    # oracle check; the engine must not require its own session factory).
     return (
         df.withColumnRenamed("ts", "ts_us")
         .withColumn(
             "ts",
-            F.expr("timestamp_micros(ts_us)").cast("timestamp_ntz"),
+            F.expr(
+                "timestampadd(MICROSECOND, ts_us,"
+                " timestamp_ntz'1970-01-01 00:00:00')"
+            ),
         )
         .select(
             "event_id", "ts", "ts_us", "user_id", "event_type", "value", "props"
