@@ -384,3 +384,28 @@ def test_parquet_production_sink_roundtrip(spark, sf_smoke, tmp_path):
         want.agg(F.sum("value")).first()[0]
     )
     assert set(got.columns) == {"event_id", "user_id", "event_type", "value"}
+
+
+def test_stream_index_append_equals_batch_index(spark, sf_smoke):
+    """The stream-ingested bucket-partitioned LSH index must serve
+    EXACTLY the results of the batch-built in-memory index: same planes,
+    same multiprobe set, same exact ranking inside probed buckets —
+    layout and ingestion mode must never change answers."""
+    from vector_search_playground_spark.plans.lsh import (
+        build_lsh,
+        hyperplanes,
+        search_lsh,
+    )
+    from vector_search_playground_spark.sources import load_table
+    from vector_search_playground_spark.streaming import jobs
+
+    streamed = jobs.stream_index_append(spark, sf_smoke).collect()
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    planes = hyperplanes(len(qvec), nbits=8, seed=42)
+    batch = search_lsh(build_lsh(emb, planes), planes, qvec, k=10).collect()
+
+    assert [(r["vec_id"], r["dist"]) for r in streamed] == [
+        (r["vec_id"], r["dist"]) for r in batch
+    ]

@@ -541,3 +541,63 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
     )
     return run_available_now(joined, output_mode="append", name="join")
+
+
+@query("stream_index_append")  # rows-only: LSH search is approximate; the
+# streamed-index-equals-batch-index invariant is the exact property test
+def stream_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-ingested vector index: the embeddings stream flows
+    through LSH bucket assignment (a pure codegen'd map — streaming-safe,
+    no state) into a **bucket-partitioned parquet sink**, then a
+    multiprobe search runs against the on-disk index it produced.
+
+    This is the production shape for a vector store that never stops
+    ingesting: each micro-batch appends only to the partitions its rows
+    hash into, the checkpoint makes ingestion incremental (a re-run with
+    files already seen appends NOTHING — exactly-once per file), and the
+    search side prunes to the probed buckets at file-listing time
+    (PartitionFilters), identical to the batch-built index. The reference
+    re-embeds and rewrites its whole table to update (src/main.rs:62-83);
+    here new vectors are visible to search after their micro-batch
+    commits. Equality with the batch-built in-memory index is asserted in
+    tests/test_streaming.py."""
+    import json
+    import os
+
+    from vector_search_playground_spark.plans.lsh import (
+        hyperplanes,
+        bucket_expr,
+        search_lsh_partitioned,
+    )
+    from vector_search_playground_spark.queries.llm_pipeline import (
+        SCRATCH as LLM_SCRATCH,
+        _fixture_fingerprint,
+    )
+    from vector_search_playground_spark.sources import load_table
+
+    emb_batch = load_table(spark, sf_dir, "embeddings")
+    first = emb_batch.where(F.col("vec_id") == 0).first()
+    qvec = [float(x) for x in first["embedding"]]
+    planes = hyperplanes(len(qvec), nbits=8, seed=42)
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    fp = _fixture_fingerprint(sf_dir, "embeddings")
+    root = os.path.join(LLM_SCRATCH, f"stream_lsh_{tag}_{fp}")
+    path, ckpt = os.path.join(root, "index"), os.path.join(root, "ckpt")
+
+    raw = (
+        spark.readStream.schema(schemas.EMBEDDINGS)
+        .option("pathGlobFilter", "embeddings*.parquet")
+        .parquet(sf_dir)
+    )
+    indexed = raw.withColumn("bucket", bucket_expr(F.col("embedding"), planes))
+    q = (
+        indexed.writeStream.format("parquet")
+        .partitionBy("bucket")
+        .option("path", path)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return search_lsh_partitioned(spark, path, planes, qvec, k=10)
