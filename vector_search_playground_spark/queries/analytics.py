@@ -137,6 +137,38 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "centroid_groups",
+    oracle="""
+    SELECT d.lang, CAST(t.i AS BIGINT) AS dim_idx,
+           ROUND(avg(CAST(e.embedding AS DOUBLE[])[t.i]), 6) AS mean_v
+    FROM embeddings e
+    JOIN documents d ON d.doc_id = e.vec_id,
+         unnest(range(1, len(e.embedding) + 1)) AS t(i)
+    GROUP BY d.lang, t.i
+    """,
+)
+def centroid_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group embedding centroid (mean vector per language), long form
+    (lang, dim_idx, mean) — the embedding-drift / cluster-profile
+    diagnostic an embedding pipeline runs per source or time slice.
+    posexplode → ONE hash-agg on (lang, dim): the shuffle carries
+    (group × dim) partial sums, not vectors, and map-side combine reduces
+    each task to ≤ |groups|·dim rows regardless of corpus size. Mean is
+    algebraic — exact distribution, 6-dp rounding absorbs f64 order
+    noise."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    joined = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        "lang", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return (
+        joined.select("lang", F.posexplode("v").alias("pos", "x"))
+        .groupBy("lang", (F.col("pos") + 1).cast("long").alias("dim_idx"))
+        .agg(F.round(F.avg("x"), 6).alias("mean_v"))
+    )
+
+
 K_ANON = 5
 
 
