@@ -25,31 +25,53 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def _driver_checked_ids() -> set[str]:
-    """IDs that already have an entry in any prior CORRECTNESS_r*.json."""
+def _driver_status() -> tuple[set[str], set[str]]:
+    """(ever-checked ids, ids whose LATEST driver check failed).
+
+    Round files are read in round order so the newest verdict per id wins:
+    an id that failed in r3 but passed in r4 is not re-prioritized."""
     seen: set[str] = set()
-    for path in glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")):
+    last_ok: dict[str, bool] = {}
+    for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
                 data = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
-        if isinstance(data, dict):
-            seen.update(data.keys())
-    return seen
+        if not isinstance(data, dict):
+            continue
+        seen.update(data.keys())
+        for qid, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("err") == "no_oracle":
+                # rows-only by design: the weak check passed iff the
+                # query executed (a row count was recorded)
+                ok = row.get("spark_rows") is not None
+            else:
+                ok = (
+                    row.get("err") is None
+                    and row.get("rows_match") is not False
+                    and row.get("hash_match") is not False
+                )
+            last_ok[qid] = ok
+    failed = {q for q, ok in last_ok.items() if not ok}
+    return seen, failed
 
 
 def _prioritized(d: dict) -> dict:
-    """Never-driver-checked IDs first (registration order within each group).
+    """Never-driver-checked IDs first, then IDs whose latest driver check
+    FAILED (the repaired-bug re-verification), then the stable greens —
+    registration order within each group.
 
-    The per-round correctness run covers a bounded number of queries; listing
-    unverified IDs first guarantees every registered query eventually gets a
-    driver entry regardless of which end of the dict the cap lands on.
-    """
-    seen = _driver_checked_ids()
+    The per-round correctness run covers a bounded number of queries;
+    this ordering guarantees every new query eventually gets a driver
+    entry AND every fix gets re-judged before the cap can cut it off."""
+    seen, failed = _driver_status()
     head = {k: v for k, v in d.items() if k not in seen}
-    tail = {k: v for k, v in d.items() if k in seen}
-    return {**head, **tail}
+    repair = {k: v for k, v in d.items() if k in failed and k in seen}
+    tail = {k: v for k, v in d.items() if k in seen and k not in failed}
+    return {**head, **repair, **tail}
 
 
 def entry(spark: SparkSession) -> DataFrame:
