@@ -138,6 +138,87 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping sets — including
+    the (priority)-only marginal ROLLUP can't produce — in ONE pass over
+    the scan (Catalyst expands the grouping-set id map-side; still a
+    single exchange). Completes the multi-dimensional aggregate family
+    next to `grouping_sets`' ROLLUP."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "win_ntile",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+                               ORDER BY o_totalprice, o_orderkey)
+                AS BIGINT) AS price_quartile
+    FROM orders
+    """,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status price quartiles via NTILE — the equal-frequency
+    bucketing verb (data binning for drift monitors, spend tiers).
+    Deterministic because the window order carries the o_orderkey
+    tiebreak: NTILE's bucket boundaries depend on row order, so an
+    untied ORDER BY is the difference between a hashable result and a
+    flaky one. One shuffle on the partition key."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
+    )
+
+
+@query(
+    "join_fuzzy",
+    oracle="""
+    SELECT a.n_name AS a_name, b.n_name AS b_name,
+           CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
+    FROM nation a JOIN nation b
+      ON a.n_name < b.n_name
+     AND levenshtein(a.n_name, b.n_name) <= 4
+    """,
+)
+def join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy join over a dimension (entity-resolution /
+    name-matching verb): all nation-name pairs within Levenshtein 4.
+    Dimension×dimension is broadcast territory — the θ-predicate runs
+    inside one codegen stage over a 25×25 space. At fact scale the same
+    verb needs a blocking key first (first-letter, length band, phonetic
+    code) so candidate pairs stay near-linear — exactly the LSH-banding
+    discipline the dedup family uses; this registered exact form is the
+    oracle anchor for that path."""
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    a = n.select(F.col("n_name").alias("a_name"))
+    b = n.select(F.col("n_name").alias("b_name"))
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("a_name") < F.col("b_name"))
+            & (F.levenshtein("a_name", "b_name") <= 4),
+        )
+        .select(
+            "a_name",
+            "b_name",
+            F.levenshtein("a_name", "b_name").cast("long").alias("dist"),
+        )
+    )
+
+
+@query(
     "centroid_groups",
     oracle="""
     SELECT d.lang, CAST(t.i AS BIGINT) AS dim_idx,
