@@ -324,7 +324,10 @@ CHUNK_STRIDE = 48
            CAST(least(len(w) - s + 1, {CHUNK_TOKENS}) AS BIGINT)
              AS n_tokens
     FROM tok,
-         unnest(range(1, greatest(len(w) - {CHUNK_TOKENS - 1}, 1) + 1,
+         unnest(range(1,
+                      1 + CAST(ceil(greatest(len(w) - {CHUNK_TOKENS}, 0)
+                                    / {CHUNK_STRIDE}.0) AS INT)
+                        * {CHUNK_STRIDE} + 1,
                       {CHUNK_STRIDE})) AS t(s)
     """,
 )
@@ -343,9 +346,17 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split("text", " ").alias("w")
     )
     w = F.col("w")
+    # Last window start = 1 + ceil((n - width)/stride)·stride: the final
+    # window always reaches token n (a 65-token doc gets starts [1, 49],
+    # not just [1] — the naive n-width+1 bound silently dropped the tail
+    # past the last FULL window; caught by the coverage property test).
+    n_wins = F.ceil(
+        F.greatest(F.size(w) - F.lit(CHUNK_TOKENS), F.lit(0))
+        / F.lit(float(CHUNK_STRIDE))
+    ).cast("int")
     starts = F.sequence(
         F.lit(1),
-        F.greatest(F.size(w) - F.lit(CHUNK_TOKENS - 1), F.lit(1)),
+        F.lit(1) + n_wins * F.lit(CHUNK_STRIDE),
         F.lit(CHUNK_STRIDE),
     )
     return (
