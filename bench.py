@@ -65,6 +65,14 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         if not runs:
             continue
+        # Drop cached relations between queries: persists are intra-query
+        # (each query re-reads parquet), and letting block-manager state
+        # accumulate across 135 queries is what pushed the heap over in a
+        # full run. Not timed — runs are already recorded.
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
         dt = statistics.median(runs)
         timings[qid] = round(dt, 4)
         categories[qid] = "build" if qid in BUILD_IDS else "query"

@@ -51,10 +51,10 @@ def test_knn_prefiltered_heap_and_filter_before_topk(spark, sf_smoke):
 
 
 def test_quantize_embed_shuffle_free_scan(spark, sf_smoke):
-    """The corpus scan must stay shuffle-free: 1-row broadcast of the
-    quantized query (BroadcastNestedLoopJoin) + TakeOrderedAndProject —
-    no Exchange hashpartitioning anywhere."""
+    """The corpus scan must stay shuffle- and join-free: the quantized
+    query ships as a constant-folded literal inside the plan, and the
+    top-k is TakeOrderedAndProject — no Exchange, no Join anywhere."""
     plan = _plan(V.quantize_embed(spark, sf_smoke))
     assert "TakeOrderedAndProject" in plan, plan
-    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "Join" not in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan

@@ -17,6 +17,15 @@ from pyspark.sql import SparkSession
 # hardcoded to a huge number: AQE coalesces post-shuffle partitions at
 # runtime, so the static value only caps initial parallelism.
 _DEFAULTS: dict[str, str] = {
+    # --- memory envelope ---
+    # In local mode one JVM is driver + all executors; Spark's 1g default
+    # heap OOMs once a long session accumulates block-manager state
+    # (persists, localCheckpoints) across many queries — observed killing
+    # a full 135-query bench run mid-flight. Sized for the 128 GiB test
+    # box with headroom for ~32 Python workers; on a real cluster
+    # spark-submit overrides this per executor. Only honored when this
+    # factory CREATES the JVM (first session in the process).
+    "spark.driver.memory": "64g",
     # --- correctness-critical ---
     # Fixture events.parquet stores timestamp[us]; we read it under an
     # explicit LongType schema as the raw epoch-µs int64 and convert
