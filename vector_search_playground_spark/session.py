@@ -21,11 +21,13 @@ _DEFAULTS: dict[str, str] = {
     # In local mode one JVM is driver + all executors; Spark's 1g default
     # heap OOMs once a long session accumulates block-manager state
     # (persists, localCheckpoints) across many queries — observed killing
-    # a full 135-query bench run mid-flight. Sized for the 128 GiB test
-    # box with headroom for ~32 Python workers; on a real cluster
-    # spark-submit overrides this per executor. Only honored when this
-    # factory CREATES the JVM (first session in the process).
-    "spark.driver.memory": "64g",
+    # a full 135-query bench run mid-flight. 16g = 16× that envelope.
+    # NOT larger: an A/B showed a 64g heap costs 2.7× on the
+    # allocation-heavy PPJoin (G1 large-heap young collections), while
+    # 8g/16g match the 1g latency profile. On a real cluster spark-submit
+    # overrides this per executor. Only honored when this factory CREATES
+    # the JVM (first session in the process).
+    "spark.driver.memory": "16g",
     # --- correctness-critical ---
     # Fixture events.parquet stores timestamp[us]; we read it under an
     # explicit LongType schema as the raw epoch-µs int64 and convert
