@@ -14,6 +14,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,14 +26,21 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def _driver_status() -> tuple[set[str], set[str]]:
-    """(ever-checked ids, ids whose LATEST driver check failed).
+def _driver_status() -> tuple[dict[str, int], set[str]]:
+    """(id -> round of its newest driver check, ids whose LATEST check failed).
 
-    Round files are read in round order so the newest verdict per id wins:
-    an id that failed in r3 but passed in r4 is not re-prioritized."""
-    seen: set[str] = set()
+    Round files are read in numeric round order so the newest verdict per id
+    wins: an id that failed in r3 but passed in r4 is not re-prioritized.
+    Numeric (not lexicographic) ordering matters once rounds outgrow the
+    zero-padding: r10 must sort after r9, not between r1 and r2."""
+    last_round: dict[str, int] = {}
     last_ok: dict[str, bool] = {}
-    for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
+    paths = []
+    for path in glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if m:
+            paths.append((int(m.group(1)), path))
+    for rnd, path in sorted(paths):
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -40,8 +48,8 @@ def _driver_status() -> tuple[set[str], set[str]]:
             continue
         if not isinstance(data, dict):
             continue
-        seen.update(data.keys())
         for qid, row in data.items():
+            last_round[qid] = rnd
             if not isinstance(row, dict):
                 continue
             if row.get("err") == "no_oracle":
@@ -56,21 +64,28 @@ def _driver_status() -> tuple[set[str], set[str]]:
                 )
             last_ok[qid] = ok
     failed = {q for q, ok in last_ok.items() if not ok}
-    return seen, failed
+    return last_round, failed
 
 
 def _prioritized(d: dict) -> dict:
     """Never-driver-checked IDs first, then IDs whose latest driver check
-    FAILED (the repaired-bug re-verification), then the stable greens —
-    registration order within each group.
+    FAILED (the repaired-bug re-verification), then the stable greens
+    ordered least-recently-driver-checked first.
 
     The per-round correctness run covers a bounded number of queries;
     this ordering guarantees every new query eventually gets a driver
-    entry AND every fix gets re-judged before the cap can cut it off."""
-    seen, failed = _driver_status()
-    head = {k: v for k, v in d.items() if k not in seen}
-    repair = {k: v for k, v in d.items() if k in failed and k in seen}
-    tail = {k: v for k, v in d.items() if k in seen and k not in failed}
+    entry, every fix gets re-judged before the cap can cut it off, AND
+    stable greens rotate: code that changed since an old certification
+    (e.g. the r2-era streaming checks that predate the events ts-unit
+    fix) cannot be starved behind newer rows forever."""
+    last_round, failed = _driver_status()
+    head = {k: v for k, v in d.items() if k not in last_round}
+    repair = {k: v for k, v in d.items() if k in failed and k in last_round}
+    green = sorted(
+        (k for k in d if k in last_round and k not in failed),
+        key=lambda k: last_round[k],
+    )
+    tail = {k: d[k] for k in green}
     return {**head, **repair, **tail}
 
 

@@ -100,3 +100,32 @@ def test_knn_batch_rejects_oversized_query_set(spark, sf_smoke, monkeypatch):
     monkeypatch.setattr(knn_mod, "MAX_BATCH_QUERIES", 3)
     with pytest.raises(ValueError, match="broadcast build side"):
         knn_batch(embs, queries, k=5, tiebreak="vec_id")
+
+
+def test_knn_batch_tie_group_wider_than_k_survives_local_cut(spark):
+    """Regression (round-5 advice): when ``round_to`` collapses many
+    distances into one tie group spanning the k-th boundary inside a
+    single Arrow batch, the value-based local cut must keep the whole
+    group — a position cut (top k+pad) would evict rows the final
+    deterministic (dist, tiebreak) ranking needs."""
+    import math
+
+    # 40 corpus vectors at the SAME angle from the query (one rounded
+    # tie group), plus one exact match. k=5 cuts inside the tie group.
+    theta = 0.7
+    rows = [(0, [1.0, 0.0])] + [
+        (i, [math.cos(theta), math.sin(theta)]) for i in range(1, 41)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    # single partition → single Arrow batch → the whole tie group meets
+    # the local cut at once
+    corpus = corpus.coalesce(1)
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id int, query_embedding array<double>"
+    )
+    got = knn_batch(
+        corpus, queries, k=5, tiebreak="vec_id", round_to=4
+    ).collect()
+    # deterministic winner set: the exact match then tie-group members in
+    # tiebreak order
+    assert sorted(r.vec_id for r in got) == [0, 1, 2, 3, 4]

@@ -248,7 +248,7 @@ def minhash_signatures(shingled: DataFrame,
     # Shingle arrays are non-empty by construction, so outer ≡ inner here.
     exploded = shingled.select(
         "doc_id", F.explode_outer("shingles").alias("shingle")
-    )
+    ).where(F.col("shingle").isNotNull())  # null-text doc → null array
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -271,6 +271,7 @@ def simhash_signatures(shingled: DataFrame, *, nbits: int = 64) -> DataFrame:
     # re-evaluating the shingle expression below the exchange
     ex = shingled.select(
         "doc_id", F.explode_outer("shingles").alias("shingle")
+    ).where(F.col("shingle").isNotNull()  # null-text doc → null array
     ).select("doc_id", F.xxhash64("shingle").alias("h"))
     aggs = [
         F.sum(

@@ -111,8 +111,8 @@ def knn_batch(
 
     Physical shape: the query set is broadcast as a float64 matrix; each
     Arrow batch of the corpus computes its |batch|×|Q| distances in one
-    BLAS matmul and keeps only its LOCAL top-(k+pad) per query, so the
-    final per-query window ranks ≤ batches·|Q|·(k+pad) candidate rows —
+    BLAS matmul and keeps only its LOCAL top-k-plus-ties per query, so
+    the final per-query window ranks ≤ batches·|Q|·(k+ties) candidate rows —
     never the |Q|·|C| cross product. (The previous crossJoin+window
     formulation shuffled all |Q|·|C| distance rows: 21 s for 50×200k vs
     ~2 s here, and unboundedly worse at corpus scale.)
@@ -121,13 +121,17 @@ def knn_batch(
     distance at the rounding boundary can flip between runs (round-3
     driver hash failure with identical row counts). NumPy therefore only
     SELECTS candidates; the reported ``dist`` is recomputed on the
-    surviving ≤ batches·|Q|·(k+pad) rows with the deterministic
+    surviving ≤ batches·|Q|·(k+ties) rows with the deterministic
     sequential-fold HOF kernel (functions/vector.py) via a broadcast join
     back to the query vectors — the same kernel every single-query path
-    uses, so knn_batch(q)=knn(q) bit-for-bit. The local cut keeps a
-    ``pad`` margin (and a one-rounding-step threshold slack) so a
-    boundary flip in the selection pass can never drop a row the final
-    deterministic ranking needs.
+    uses, so knn_batch(q)=knn(q) bit-for-bit. The local cut is
+    VALUE-based, not position-based: it keeps every row within two
+    rounding steps of the batch-local k-th distance (plus the same slack
+    on the threshold). Two steps because the one-step BLAS-vs-HOF flip
+    can move both the candidate row and the k-th anchor row; a
+    position cut (top k+pad) is unsafe when rounding creates tie groups
+    wider than the pad — a tie group spanning the k-th boundary could
+    locally evict a row the final deterministic ranking needs.
     """
     import numpy as np
     import pandas as pd
@@ -150,11 +154,11 @@ def knn_batch(
     q_mat = np.array([r[query_vec] for r in qrows], dtype=np.float64)
     bc = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat))
 
-    # Selection margin: a BLAS-vs-HOF float discrepancy is ~1 ulp, so a
-    # rank flip only swaps near-equal neighbors; pad covers it with room
-    # to spare. Threshold slack likewise admits boundary rows locally —
-    # the deterministic filter below makes the final cut.
-    pad = 8
+    # Selection margin: with round_to set, a BLAS-vs-HOF discrepancy is at
+    # most one rounding step; unrounded it is ~1 ulp. The value cut below
+    # admits 2·slack past the local k-th distance (candidate flip + anchor
+    # flip); threshold slack likewise admits boundary rows locally — the
+    # deterministic filter below makes the final cut.
     slack = 10.0 ** (-round_to) if round_to is not None else 1e-9
 
     out_fields = [f for f in corpus.schema.fields]
@@ -196,9 +200,6 @@ def knn_batch(
                 raise ValueError(f"metric {metric!r} not in {sorted(METRICS)}")
             if round_to is not None:
                 dist = np.round(dist, round_to)
-            tb = (
-                pdf[tiebreak].to_numpy() if tiebreak else np.arange(len(pdf))
-            )
             frames = []
             for j in range(nq):
                 dj = dist[:, j]
@@ -209,11 +210,19 @@ def knn_batch(
                 )
                 if keep.size == 0:
                     continue
-                # same (dist, tiebreak) order as the final window, plus
-                # the pad margin → the local cut can never drop a row the
-                # global deterministic top-k needs
-                order_ix = keep[np.lexsort((tb[keep], dj[keep]))][: k + pad]
-                sel = pdf.iloc[order_ix][corpus_cols].copy()
+                # value-based cut: every row the global deterministic
+                # top-k could need from this batch has HOF dist ≤ the
+                # batch k-th HOF dist; both sides may flip one rounding
+                # step vs the BLAS values we have, hence 2·slack. Tie
+                # groups of any width survive intact.
+                dk = dj[keep]
+                kth = (
+                    np.partition(dk, k - 1)[k - 1]
+                    if keep.size > k
+                    else dk.max()
+                )
+                sel_ix = keep[dk <= kth + 2.0 * slack]
+                sel = pdf.iloc[sel_ix][corpus_cols].copy()
                 sel[query_id] = ids_q[j]
                 frames.append(sel)
             if frames:
@@ -223,7 +232,7 @@ def knn_batch(
 
     # Deterministic re-score: broadcast-join the tiny query table back on
     # (map-side, no shuffle) and evaluate the HOF kernel — candidate count
-    # is ≤ batches·|Q|·(k+pad), so the expensive exact kernel touches a
+    # is ≤ batches·|Q|·(k+ties), so the expensive exact kernel touches a
     # sliver of the corpus.
     qv = "__knn_batch_query_vec"
     rescored = candidates.join(

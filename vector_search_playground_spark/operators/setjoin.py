@@ -49,7 +49,7 @@ def jaccard_join(
         F.explode_outer("shingles").alias("shingle"),  # non-empty by
         # construction; outer avoids the Generate-injected filter
         # re-evaluating the shingle expression below the exchange
-    )
+    ).where(F.col("shingle").isNotNull())  # null-text doc → null array
     freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
 
     # All ceil() thresholds below get a tiny epsilon pulled off first:

@@ -363,6 +363,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokenized.select(
             "doc_id", w, F.explode_outer(starts).alias("s")
         )
+        .where(F.col("s").isNotNull())  # null-doc guard (unnest semantics)
         .select(
             "doc_id",
             ((F.col("s") - 1) / F.lit(CHUNK_STRIDE))

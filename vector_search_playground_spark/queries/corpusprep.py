@@ -267,6 +267,7 @@ def quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "doc_id", F.explode_outer(F.split("text", " ")).alias("w")
         )
+        .where(F.col("w").isNotNull())  # null-doc guard (unnest semantics)
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -334,6 +335,7 @@ def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         shingle_sets(docs)
         .select(F.explode_outer("shingles").alias("ngram"))
+        .where(F.col("ngram").isNotNull())  # null-doc guard
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("df"))
         .orderBy(F.desc("df"), "ngram")

@@ -97,7 +97,7 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(  # explode_outer: split() is never empty; avoids the
         # Generate filter re-running split at the scan (operators/dedup.py)
         "doc_id", "lang", F.explode_outer(F.split("text", " ")).alias("w")
-    )
+    ).where(F.col("w").isNotNull())  # null-doc guard (unnest semantics)
     b = tok.select(
         "doc_id",
         "lang",

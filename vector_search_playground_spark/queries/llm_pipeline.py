@@ -146,7 +146,8 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "lang", F.explode_outer(F.split("text", " ")).alias("token")
-    )
+    ).where(F.col("token").isNotNull())  # null text → null split; drop like
+    # SQL unnest(NULL) does, so a null doc adds neither tokens nor a doc_id
     return tok.groupBy("lang").agg(
         F.countDistinct("doc_id").alias("n_docs"),
         F.count(F.lit(1)).alias("n_tokens"),
@@ -187,7 +188,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "n_chars", F.explode_outer(F.split("text", " ")).alias("token")
-    )
+    ).where(F.col("token").isNotNull())  # null-doc guard (unnest semantics)
     n = F.count(F.lit(1))
     return tok.groupBy("doc_id").agg(
         F.any_value("n_chars").alias("n_chars"),
@@ -339,7 +340,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     df AS (
         SELECT term, count(*) AS df FROM tf GROUP BY term
     ),
-    n AS (SELECT count(*) AS n FROM documents),
+    n AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
     scored AS (
         SELECT tf.doc_id, tf.term,
                ROUND(tf.tf * ln(n.n / df.df), 6) AS tfidf
@@ -369,10 +370,14 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode_outer(F.split("text", " ")).alias("term")
-    )
+    ).where(F.col("term").isNotNull())  # null-doc guard (unnest semantics)
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    # IDF corpus size = docs that can contribute terms; a null-text doc is
+    # not a document for TF-IDF purposes (keeps null docs fully inert)
+    n = docs.where(F.col("text").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n")
+    )
     scored = (
         tf.join(F.broadcast(df), "term")
         .crossJoin(F.broadcast(n))

@@ -207,7 +207,7 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # corpus once per consumer.
         return shingle_sets(docs.where(pred)).select(
             "doc_id", F.explode_outer("shingles").alias("s")
-        )
+        ).where(F.col("s").isNotNull())  # null-doc guard
 
     bench = shingled(F.col("doc_id") % 20 == 0).select("s").distinct()
     train = shingled(F.col("doc_id") % 20 != 0)
