@@ -71,3 +71,58 @@ def test_join_asof_fwd_is_minimal_following_click(spark, sf_smoke):
         assert got[r["event_id"]] == want, (r["event_id"], got[r["event_id"]], want)
         checked += 1
     assert checked > 0
+
+
+def test_passjoin_matches_bruteforce_random(spark):
+    """PassJoin completeness/precision on adversarial random strings:
+    variable lengths (including below the segment-degeneracy threshold),
+    edit-mutated clusters, and a tiny alphabet to force block collisions.
+    The blocked result must equal the brute-force O(n²) answer exactly."""
+    import random
+
+    from vector_search_playground_spark.operators.passjoin import (
+        edit_distance_pairs,
+    )
+
+    rng = random.Random(425)
+    alpha = "abc"
+    base = ["".join(rng.choice(alpha) for _ in range(rng.randint(0, 24)))
+            for _ in range(40)]
+    strings = list(base)
+    for s in base:  # mutated near-neighbors (subs/ins/dels)
+        t = list(s)
+        for _ in range(rng.randint(1, 5)):
+            op = rng.choice("sid")
+            if op == "s" and t:
+                t[rng.randrange(len(t))] = rng.choice(alpha)
+            elif op == "i":
+                t.insert(rng.randint(0, len(t)), rng.choice(alpha))
+            elif op == "d" and t:
+                del t[rng.randrange(len(t))]
+        strings.append("".join(t))
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    D = 4
+    want = {
+        (i, j, lev(strings[i], strings[j]))
+        for i in range(len(strings))
+        for j in range(i + 1, len(strings))
+        if lev(strings[i], strings[j]) <= D
+    }
+    df = spark.createDataFrame(
+        list(enumerate(strings)), "doc_id int, name string"
+    )
+    got = {
+        (r.a_id, r.b_id, r.dist)
+        for r in edit_distance_pairs(df, max_dist=D).collect()
+    }
+    assert got == want
