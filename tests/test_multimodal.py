@@ -55,10 +55,11 @@ def test_video_frame_sampling(media):
 
 
 def test_decode_stub_is_honest():
+    # jpeg stays behind the library seam (png graduated in round 5)
     with pytest.raises(NotImplementedError):
-        decode_media("image", b"\x00" * 16, {"format": "png"}, fake=False)
-    d1 = decode_media("image", b"\x00" * 16, {"format": "png"}, fake=True)
-    d2 = decode_media("image", b"\x00" * 16, {"format": "png"}, fake=True)
+        decode_media("image", b"\x00" * 16, {"format": "jpeg"}, fake=False)
+    d1 = decode_media("image", b"\x00" * 16, {"format": "jpeg"}, fake=True)
+    d2 = decode_media("image", b"\x00" * 16, {"format": "jpeg"}, fake=True)
     assert d1 == d2
 
 
@@ -154,5 +155,116 @@ def test_real_pipeline_decodes_and_is_partition_invariant(spark, sf_smoke):
 
 
 def test_compressed_formats_remain_a_seam():
-    with pytest.raises(NotImplementedError):
-        decode_media("image", b"\x89PNG", {"format": "png"}, fake=False)
+    # png moved behind a real built-in decoder in round 5; jpeg/mp4/flac
+    # still mark the library seam
+    for fmt in ("jpeg", "mp4", "flac"):
+        with pytest.raises(NotImplementedError):
+            decode_media("image", b"\xff\xd8", {"format": fmt}, fake=False)
+
+
+# --- png codec (round 5) ---------------------------------------------------
+
+
+def test_png_roundtrip_all_filters():
+    """Every scanline filter type (None/Sub/Up/Average/Paeth) must
+    reconstruct exactly: 'mixed' mode cycles filters per row."""
+    import numpy as np
+
+    from vector_search_playground_spark.functions.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(425)
+    for shape in [(1, 1, 3), (5, 7, 3), (64, 200, 3), (33, 17)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for mode in ("none", "mixed"):
+            got = decode_png(encode_png(px, filter_mode=mode))
+            assert got.shape == px.shape and (got == px).all(), (shape, mode)
+    # smooth gradient: the content filters were designed for (Sub/Paeth
+    # residuals near zero) — catches sign/modulo slips random data hides
+    g = (
+        np.add.outer(np.arange(100), np.arange(200))[..., None]
+        .repeat(3, -1) % 256
+    ).astype(np.uint8)
+    assert (decode_png(encode_png(g, filter_mode="mixed")) == g).all()
+
+
+def test_png_golden_bytes():
+    """Golden-file check against a byte-literal PNG built from the spec
+    by hand (not by our encoder): 2×2 RGB, Sub filter on row 0, Up on
+    row 1. Guards the decoder against self-consistent encode/decode bugs
+    that a round-trip can't see."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from vector_search_playground_spark.functions.multimodal import decode_png
+
+    # pixels: [[(10,20,30),(11,22,33)], [(13,24,35),(15,27,39)]]
+    # row0 Sub(1): 10,20,30 then 11-10,22-20,33-30 = 1,2,3
+    # row1 Up(2):  13-10,24-20,35-30 = 3,4,5 then 15-11,27-22,39-33 = 4,5,6
+    scanlines = bytes([1, 10, 20, 30, 1, 2, 3]) + bytes([2, 3, 4, 5, 4, 5, 6])
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+    want = np.array(
+        [[[10, 20, 30], [11, 22, 33]], [[13, 24, 35], [15, 27, 39]]],
+        dtype=np.uint8,
+    )
+    assert (decode_png(png) == want).all()
+
+
+def test_png_rejects_corrupt_crc():
+    import numpy as np
+    import pytest
+
+    from vector_search_playground_spark.functions.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    payload = bytearray(
+        encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    )
+    payload[40] ^= 0xFF  # flip a byte inside IDAT
+    with pytest.raises(ValueError):
+        decode_png(bytes(payload))
+
+
+def test_media_pipeline_carries_png(spark, sf_smoke):
+    """The registered real-media pipeline must ship BOTH image containers
+    (alternating png/ppm) and featurize them identically to a direct
+    decode."""
+    from pyspark.sql import functions as F
+
+    from vector_search_playground_spark.functions.multimodal import (
+        extract_features,
+        synthesize_real_media,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents").limit(60)
+    media = synthesize_real_media(docs)
+    fmts = {
+        r["fmt"]
+        for r in media.where(F.col("kind") == "image")
+        .select(F.col("meta.format").alias("fmt"))
+        .distinct()
+        .collect()
+    }
+    assert fmts == {"png", "ppm"}
+    feats = extract_features(media, fake=False)
+    img = feats.where(F.col("kind") == "image")
+    assert img.count() > 0
+    assert img.where(F.size("features") == 0).count() == 0

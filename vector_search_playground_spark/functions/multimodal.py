@@ -235,7 +235,163 @@ def decode_y4m(payload: bytes):
     return np.stack(frames), (w, h)
 
 
-_REAL_DECODERS = {"wav": decode_wav, "ppm": decode_ppm, "y4m": decode_y4m}
+def encode_png(pixels, *, filter_mode: str = "none") -> bytes:
+    """Spec-conformant PNG from (h, w, 3) uint8 RGB or (h, w) uint8 gray:
+    signature + IHDR + one zlib IDAT + IEND, stdlib only. ``filter_mode``
+    "none" emits filter byte 0 per scanline (fastest); "fast" cycles the
+    vectorizable filters 0-2 (None/Sub/Up — what the media pipeline
+    uses, both directions stay numpy-whole-row); "mixed" cycles all five
+    filter types 0-4 per row — used by tests to exercise the
+    Average/Paeth unfilter paths, whose left-pixel dependency forces a
+    sequential walk on decode."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    ch = 1 if gray else px.shape[2]
+    if ch not in (1, 3):
+        raise ValueError("only gray or RGB supported by the built-in codec")
+    rows = px.reshape(h, w * ch).astype(np.int16)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+        return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+    out = bytearray()
+    prev = np.zeros(w * ch, np.int16)
+    for y in range(h):
+        raw = rows[y]
+        if filter_mode == "none":
+            ft = 0
+        elif filter_mode == "fast":
+            ft = y % 3
+        else:
+            ft = y % 5
+        left = np.concatenate([np.zeros(ch, np.int16), raw[:-ch]])
+        ul = np.concatenate([np.zeros(ch, np.int16), prev[:-ch]])
+        if ft == 0:
+            filt = raw
+        elif ft == 1:
+            filt = raw - left
+        elif ft == 2:
+            filt = raw - prev
+        elif ft == 3:
+            filt = raw - (left + prev) // 2
+        else:
+            filt = raw - paeth(left, prev, ul)
+        out.append(ft)
+        out.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = raw
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if gray else 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """uint8 pixel array ((h, w, 3) RGB or (h, w) gray) from an 8-bit
+    non-interlaced PNG — stdlib ``zlib`` inflate + numpy unfiltering.
+    All five scanline filters (None/Sub/Up/Average/Paeth) are handled;
+    Sub/Up are vectorized per row, Average/Paeth walk pixels (their left
+    dependency is inherently sequential). CRCs are verified. Palette,
+    16-bit, alpha, and Adam7 interlace raise — they belong to the
+    library seam (Pillow plugs in at ``decode_media``)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise ValueError("not a PNG")
+    idx, ihdr, idat = 8, None, bytearray()
+    while idx < len(payload):
+        (ln,) = struct.unpack(">I", payload[idx : idx + 4])
+        tag = payload[idx + 4 : idx + 8]
+        body = payload[idx + 8 : idx + 8 + ln]
+        (crc,) = struct.unpack(">I", payload[idx + 8 + ln : idx + 12 + ln])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        idx += 12 + ln
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or color not in (0, 2) or interlace != 0:
+        raise NotImplementedError(
+            "only 8-bit gray/RGB non-interlaced PNG supported by the "
+            "built-in codec; wire Pillow here for the rest"
+        )
+    ch = 1 if color == 0 else 3
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT length mismatch")
+    data = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    fts, rows = data[:, 0], data[:, 1:].astype(np.int16)
+    recon = np.zeros((h, stride), np.int16)
+    prev = np.zeros(stride, np.int16)
+    for y in range(h):
+        r, ft = rows[y].copy(), int(fts[y])
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub: per-channel cumulative sum along the row
+            r = (
+                (r.reshape(w, ch).astype(np.int64).cumsum(axis=0) % 256)
+                .astype(np.int16)
+                .reshape(stride)
+            )
+        elif ft == 2:
+            r = r + prev
+        elif ft in (3, 4):  # left-dependent: walk pixels
+            for x in range(0, stride, ch):
+                a = r[x - ch : x] if x else np.zeros(ch, np.int16)
+                b = prev[x : x + ch]
+                if ft == 3:
+                    r[x : x + ch] = (r[x : x + ch] + (a + b) // 2) % 256
+                else:
+                    c = prev[x - ch : x] if x else np.zeros(ch, np.int16)
+                    p = a + b - c
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
+                    r[x : x + ch] = (r[x : x + ch] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {ft}")
+        prev = r % 256
+        recon[y] = prev
+    px = recon.astype(np.uint8)
+    return px.reshape(h, w) if ch == 1 else px.reshape(h, w, 3)
+
+
+_REAL_DECODERS = {
+    "wav": decode_wav,
+    "ppm": decode_ppm,
+    "y4m": decode_y4m,
+    "png": decode_png,
+}
 
 
 def decode_media(kind: str, payload: bytes, meta: dict[str, Any], *,
@@ -246,9 +402,11 @@ def decode_media(kind: str, payload: bytes, meta: dict[str, Any], *,
     the payload) so plumbing is testable independent of any codec.
     ``fake=False``: real decode for the raw formats this engine ships
     codecs for (wav/ppm/y4m — numpy objects out); compressed formats
-    (png/jpeg/mp4/flac …) raise ``NotImplementedError`` here, the exact
+    (jpeg/mp4/flac …) raise ``NotImplementedError`` here, the exact
     call site where Pillow / soundfile / pyav plug in without any schema
-    or call-site change.
+    or call-site change. PNG graduated from this seam in round 5: an
+    8-bit gray/RGB non-interlaced decoder ships built-in (stdlib zlib +
+    numpy unfiltering, ``decode_png``).
     """
     if fake:
         return hashlib.blake2b(payload, digest_size=32).digest()
@@ -293,7 +451,7 @@ def _features_from(decoded: bytes) -> list[float]:
 
 
 @_lru_cache(maxsize=None)  # ≤ 32·256 image + 40 audio + 10·256 video keys
-def _image_payload(w: int, h: int, phase: int) -> bytes:
+def _image_payload(w: int, h: int, phase: int, fmt: str = "ppm") -> bytes:
     import numpy as np
 
     yy, xx = np.mgrid[0:h, 0:w]
@@ -301,6 +459,12 @@ def _image_payload(w: int, h: int, phase: int) -> bytes:
         [(3 * xx + 5 * yy + phase + 11 * c) % 256 for c in range(3)],
         axis=-1,
     ).astype(np.uint8)
+    if fmt == "png":
+        # cycle the vectorizable filters (None/Sub/Up) so the pipeline
+        # exercises real unfiltering at numpy speed; the sequential
+        # Average/Paeth paths are covered by unit round-trip + golden
+        # tests, not paid per-row in the hot pipeline
+        return encode_png(px, filter_mode="fast")
     return encode_ppm(px)
 
 
@@ -350,9 +514,13 @@ def synthesize_real_media(docs: DataFrame) -> DataFrame:
                 kind = KINDS[mid % 3]
                 if kind == "image":
                     w, h = (mid % 8 + 1) * 16, (mid % 4 + 1) * 16
+                    # alternate raw/compressed container per id so both
+                    # image codecs run inside the registered pipeline
+                    fmt = "png" if (mid // 3) % 2 == 0 else "ppm"
                     rows.append(
-                        (mid, kind, _image_payload(w, h, (7 * mid) % 256),
-                         {"format": "ppm", "width": w, "height": h,
+                        (mid, kind,
+                         _image_payload(w, h, (7 * mid) % 256, fmt),
+                         {"format": fmt, "width": w, "height": h,
                           "sample_rate": None, "n_frames": None})
                     )
                 elif kind == "audio":
