@@ -129,3 +129,25 @@ def test_lsh_bucket_determinism(spark, emb):
     assert b1.exceptAll(b2).count() == 0
     n_buckets = b1.select("bucket").distinct().count()
     assert n_buckets > 32, f"degenerate bucketing: {n_buckets} buckets"
+
+
+def test_registered_searches_surface_recall(spark):
+    """Round-5: the registered ivf_search / lsh_search queries must carry
+    a recall_at_k column so the driver's rows-only check pins quality.
+    IVF at nprobe=10 is the measured 0.9 knee on the structureless
+    fixture vectors; LSH's honest floor on the same data is low (the
+    planted-dup tests are its sharp contract) but the number must be
+    present and sane."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    sf = "/root/testdata/sf0.01"
+    ivf = qs["ivf_search"](spark, sf)
+    assert "recall_at_k" in ivf.columns
+    r_ivf = ivf.select("recall_at_k").first()[0]
+    assert r_ivf >= 0.9, f"ivf recall@10: {r_ivf}"
+    lsh = qs["lsh_search"](spark, sf)
+    assert "recall_at_k" in lsh.columns
+    r_lsh = lsh.select("recall_at_k").first()[0]
+    assert 0.0 <= r_lsh <= 1.0
+    assert r_lsh >= 0.1, f"lsh recall@10 collapsed: {r_lsh}"

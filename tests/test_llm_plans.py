@@ -81,7 +81,12 @@ def test_lsh_search_matches_in_memory_path(spark, sf_smoke):
         tuple(r)
         for r in search_lsh(build_lsh(emb, planes), planes, qvec, k=10).collect()
     ]
-    got = [tuple(r) for r in L.lsh_search_q(spark, sf_smoke).collect()]
+    got = [
+        tuple(r)
+        for r in L.lsh_search_q(spark, sf_smoke)
+        .drop("recall_at_k")  # quality column added in round 5
+        .collect()
+    ]
     assert got == expected
 
 

