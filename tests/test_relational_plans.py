@@ -66,3 +66,20 @@ def test_asof_join_is_join_free(spark, sf_smoke):
     plan = _plan(R.join_asof(spark, sf_smoke))
     assert "Join" not in plan, plan
     assert "Union" in plan and "Window" in plan, plan
+
+
+def test_agg_hll_merge_bounds_and_merged_row(spark, sf_correct):
+    """Round-5: per-group HLL estimates and the sketch-union __merged__
+    row must all sit inside the in-query 5% bound, and the merged row's
+    estimate must come from sketch bytes (present exactly once)."""
+    rows = R.agg_hll_merge(spark, sf_correct).collect()
+    assert sum(r["event_type"] == "__merged__" for r in rows) == 1
+    assert all(r["within_bound"] for r in rows), rows
+
+
+def test_quantile_sketch_rank_error_bound(spark, sf_correct):
+    """Round-5: the GK sketch's contract is rank error ≤ n/accuracy —
+    asserted per probed quantile, against an exactly-measured rank."""
+    rows = R.quantile_sketch(spark, sf_correct).collect()
+    assert {r["quantile"] for r in rows} == {0.5, 0.9, 0.99}
+    assert all(r["within_bound"] for r in rows), rows

@@ -1316,3 +1316,100 @@ def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("sum_raw", 2).alias("sum_value"),
     )
+
+
+@query("agg_hll_merge")  # rows-only: sketch estimates are approximate
+def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting — THE 100 TB aggregation
+    pattern: per-group HLL sketches (Apache DataSketches via
+    ``hll_sketch_agg``) roll up to a global estimate with
+    ``hll_union_agg`` WITHOUT re-scanning the data, the property that
+    lets a cluster maintain per-partition/per-day sketches and answer
+    any coarser rollup from sketch bytes alone.
+
+    Self-checking like ``agg_approx``: every row carries the estimate,
+    the exact count, rel_err, and an in-query bound, so the rows-only
+    driver check pins accuracy. Output = one row per event_type plus a
+    ``__merged__`` row whose estimate comes ONLY from unioning the
+    per-group sketch bytes (never from the raw data)."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    per.persist()
+    groups = per.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+        "exact_users",
+    )
+    # the merged row: union the per-group sketches — no second scan of
+    # events; exact global count comes from the base table for the check
+    g_exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    merged = (
+        per.agg(F.hll_union_agg("sk").alias("sk"))
+        .select(F.hll_sketch_estimate("sk").alias("approx_users"))
+        .crossJoin(F.broadcast(g_exact))
+        .select(
+            F.lit("__merged__").alias("event_type"),
+            "approx_users",
+            "exact_users",
+        )
+    )
+    rel_err = (
+        F.abs(F.col("approx_users").cast("double") - F.col("exact_users"))
+        / F.col("exact_users")
+    )
+    return (
+        groups.unionByName(merged)
+        .withColumn("rel_err", F.round(rel_err, 6))
+        # default lgConfigK=12 → rsd ≈ 0.81%/√2^12 ≈ 1.6%; 5% ≈ 3σ
+        .withColumn("within_bound", rel_err < F.lit(0.05))
+        .select(
+            "event_type", "approx_users", "exact_users",
+            "rel_err", "within_bound",
+        )
+    )
+
+
+QUANTILE_PROBES = (0.5, 0.9, 0.99)
+
+
+@query("quantile_sketch")  # rows-only: sketch quantiles are approximate
+def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles via the Greenwald-Khanna sketch
+    (``percentile_approx``) against the exact ``percentile`` — the
+    single-pass bounded-memory path for percentile monitoring at 100 TB,
+    where the exact holistic aggregate needs a full sort or the 3-pass
+    selection ``profile_numeric`` uses.
+
+    Self-checking: one output row per probed quantile with the sketch
+    value, the exact value, and the RANK error — the sketch's actual
+    contract is ±accuracy^-1 in rank, not value, so the in-query bound
+    asserts the rank displacement, measured exactly with a count below
+    the sketch's answer."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    li.persist()
+    n = li.count()
+    acc = 1000  # rank error ≤ n/acc
+    probes = list(QUANTILE_PROBES)
+    row = li.agg(
+        F.percentile_approx(
+            "l_extendedprice", F.array(*[F.lit(p) for p in probes]), acc
+        ).alias("approx"),
+        F.percentile("l_extendedprice", F.array(*[F.lit(p) for p in probes]))
+        .alias("exact"),
+    ).first()
+    out = []
+    for p, a, e in zip(probes, row["approx"], row["exact"]):
+        # exact rank of the sketch's answer vs target rank
+        below = li.where(F.col("l_extendedprice") <= a).count()
+        rank_err = abs(below - p * n) / n
+        out.append(
+            (p, float(a), float(e), round(rank_err, 6), rank_err <= 1.0 / acc)
+        )
+    return spark.createDataFrame(
+        out,
+        "quantile double, approx double, exact double, "
+        "rank_err double, within_bound boolean",
+    )
