@@ -58,3 +58,20 @@ def test_quantize_embed_shuffle_free_scan(spark, sf_smoke):
     assert "TakeOrderedAndProject" in plan, plan
     assert "Join" not in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_join_fuzzy_blocked_never_forms_pair_space(spark, sf_smoke):
+    """The blocked fuzzy join must reach its candidates through equi-joins
+    on segment keys — no cartesian product, no nested-loop join anywhere
+    in the physical plan (the n² shape is exactly what PassJoin exists to
+    avoid)."""
+    from vector_search_playground_spark.queries import analytics as A
+
+    plan = (
+        A.join_fuzzy_blocked(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
