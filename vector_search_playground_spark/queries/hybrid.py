@@ -1,0 +1,377 @@
+"""Hybrid retrieval tier: lexical ⊕ vector rank fusion, retrieval-quality
+evaluation, and per-group KNN.
+
+The reference is a pure-vector playground (`/root/reference/src/main.rs:85-96`
+— one cosine top-k verb). Real deployments of the same stack (pgvector +
+Postgres full-text) almost always run HYBRID retrieval: a lexical ranking
+(``tsvector``/BM25) and a vector ranking fused with reciprocal-rank fusion.
+This module adds that surface plus the measurement loop a user needs before
+trusting an approximate/quantized index:
+
+- ``hybrid_search_rrf`` — BM25 list ⊕ exact-cosine list, RRF(k0=60).
+- ``eval_retrieval``    — recall@k / MRR of the int8-quantized ranking vs
+  the exact ranking, as a hash-certified 1-row scorecard.
+- ``knn_per_group``     — top-k neighbours within every label partition.
+
+Scale discipline:
+- Both RRF input lists are bounded (top ``LIST_K``), produced by
+  ``TakeOrderedAndProject`` over a shuffle-free broadcast-query scan, so the
+  fusion join is a ≤2·LIST_K-row driver-negligible relation no matter the
+  corpus size.
+- ``eval_retrieval`` reduces two bounded top-k lists to one row — the 100 TB
+  cost is two corpus scans (exact + quantized), both single-pass.
+- ``knn_per_group`` is one shuffle on ``label`` + a per-group sort; with
+  bounded k the window emits ≤ k·|labels| rows.
+
+Hash-stability: every score is rounded (ROUND_DIST) BEFORE ranking so Spark
+and DuckDB rank identical values identically; all ranks tiebreak on id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_search_playground_spark.registry import ROUND_DIST, query
+from vector_search_playground_spark.sources import load_table
+from vector_search_playground_spark.queries.trainprep import (
+    BM25_B,
+    BM25_K1,
+    BM25_TERMS,
+)
+from vector_search_playground_spark.queries.vector_search import (
+    _DDIST,
+    _Q0,
+    _QE,
+    _with_query_vec,
+)
+
+LIST_K = 20  # depth of each input ranking fed to the fusion
+RRF_K0 = 60  # standard RRF constant (Cormack et al. 2009)
+K = 10  # emitted result depth / eval cutoff
+
+# DuckDB CTE fragments ------------------------------------------------------
+
+# BM25 per-doc scores for the standing term set — same math as the
+# registered `bm25_score` oracle (queries/trainprep.py), kept in one place
+# here so the fusion oracle stays readable.
+_BM25_CTES = f"""
+    tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    dl AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf
+        FROM tok WHERE w IN {BM25_TERMS!r} GROUP BY doc_id, w
+    ),
+    dfs AS (
+        SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w
+    ),
+    bm AS (
+        SELECT tf.doc_id,
+               ROUND(SUM(ln(1 + (n - df + 0.5) / (df + 0.5))
+                         * tf * ({BM25_K1} + 1)
+                         / (tf + {BM25_K1}
+                            * (1 - {BM25_B} + {BM25_B} * dl / avgdl))),
+                     {ROUND_DIST}) AS bm25
+        FROM tf
+        JOIN dl USING (doc_id)
+        JOIN dfs USING (w)
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )
+"""
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25) for the standing BM25_TERMS query — the Spark twin of
+    ``_BM25_CTES`` (same plan discipline as queries/trainprep.py:bm25_score:
+    one explode→hash-agg shuffle; df/stats sides broadcast)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    dl = docs.select("doc_id", F.size(toks).cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        docs.select("doc_id", F.explode_outer(toks).alias("w"))
+        .where(F.col("w").isin(*BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfs = tf.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfn = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfs), "w")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * tfn), ROUND_DIST).alias("bm25"))
+    )
+
+
+@query(
+    "hybrid_search_rrf",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    bmr AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_lex
+        FROM bm
+        ORDER BY r_lex LIMIT {LIST_K}
+    ),
+    vd AS (
+        SELECT e.vec_id AS doc_id, {_DDIST} AS dist
+        FROM embeddings e, {_Q0}
+    ),
+    vr AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY dist ASC, doc_id ASC) AS r_vec
+        FROM vd
+        ORDER BY r_vec LIMIT {LIST_K}
+    )
+    SELECT COALESCE(bmr.doc_id, vr.doc_id) AS doc_id,
+           CAST(COALESCE(bmr.r_lex, 0) AS INT) AS r_lex,
+           CAST(COALESCE(vr.r_vec, 0) AS INT) AS r_vec,
+           ROUND(COALESCE(1.0 / ({RRF_K0} + bmr.r_lex), 0)
+                 + COALESCE(1.0 / ({RRF_K0} + vr.r_vec), 0),
+                 {ROUND_DIST}) AS rrf
+    FROM bmr FULL OUTER JOIN vr ON bmr.doc_id = vr.doc_id
+    ORDER BY rrf DESC, doc_id ASC
+    LIMIT {K}
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: the top-LIST_K BM25
+    list and the top-LIST_K exact-cosine list are fused with
+    RRF(d) = Σ 1/(k0 + rank_list(d)) over the lists containing d.
+
+    Plan shape: each list collapses to ≤LIST_K rows via
+    TakeOrderedAndProject before the fusion join, so the full-outer join
+    is between two bounded relations — at 100 TB the only corpus-sized
+    work is the two scans that build the rankings, and neither shuffles
+    the corpus (BM25 shuffles the tf relation keyed on (doc_id, term);
+    the vector side is a broadcast-query scan)."""
+    bmr = (
+        _bm25_scores(spark, sf_dir)
+        .withColumn(
+            "r_lex",
+            F.row_number().over(
+                Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+            ),
+        )
+        .where(F.col("r_lex") <= LIST_K)
+        .select("doc_id", "r_lex")
+    )
+    vr = (
+        _with_query_vec(spark, sf_dir)
+        .select(F.col("vec_id").alias("doc_id"), "dist")
+        .orderBy(F.asc("dist"), F.asc("doc_id"))
+        .limit(LIST_K)
+        .withColumn(
+            "r_vec",
+            F.row_number().over(
+                Window.orderBy(F.asc("dist"), F.asc("doc_id"))
+            ),
+        )
+        .select("doc_id", "r_vec")
+    )
+    fused = bmr.join(vr, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(1.0 / (RRF_K0 + F.col("r_lex")), F.lit(0.0))
+        + F.coalesce(1.0 / (RRF_K0 + F.col("r_vec")), F.lit(0.0)),
+        ROUND_DIST,
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.coalesce("r_lex", F.lit(0)).cast("int").alias("r_lex"),
+            F.coalesce("r_vec", F.lit(0)).cast("int").alias("r_vec"),
+            rrf.alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(K)
+    )
+
+
+@query(
+    "eval_retrieval",
+    oracle=f"""
+    WITH vd AS (
+        SELECT e.vec_id, {_DDIST} AS dist
+        FROM embeddings e, {_Q0}
+        WHERE e.vec_id <> 0
+    ),
+    exact AS (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS r
+        FROM vd ORDER BY r LIMIT {K}
+    ),
+    qz AS (
+        SELECT vec_id, {_QE.format(col='embedding')} AS qv FROM embeddings
+    ),
+    q0 AS (SELECT qv AS q0v FROM qz WHERE vec_id = 0),
+    qd AS (
+        SELECT vec_id,
+               ROUND(1 - list_inner_product(CAST(qv AS DOUBLE[]),
+                                            CAST(q0v AS DOUBLE[]))
+                     / GREATEST(sqrt(list_inner_product(CAST(qv AS DOUBLE[]),
+                                                        CAST(qv AS DOUBLE[])))
+                              * sqrt(list_inner_product(CAST(q0v AS DOUBLE[]),
+                                                        CAST(q0v AS DOUBLE[]))),
+                                1e-30),
+                     {ROUND_DIST}) AS dist_q
+        FROM qz, q0 WHERE vec_id <> 0
+    ),
+    approx AS (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY dist_q ASC, vec_id ASC) AS r_q
+        FROM qd ORDER BY r_q LIMIT {K}
+    )
+    SELECT CAST({K} AS INT) AS k,
+           CAST(count(approx.vec_id) AS BIGINT) AS n_hits,
+           ROUND(count(approx.vec_id) / CAST({K} AS DOUBLE),
+                 {ROUND_DIST}) AS recall_at_k,
+           ROUND(COALESCE(max(CASE WHEN exact.r = 1
+                                   THEN 1.0 / approx.r_q END), 0),
+                 {ROUND_DIST}) AS mrr
+    FROM exact LEFT JOIN approx USING (vec_id)
+    """,
+)
+def eval_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality scorecard for the int8-quantized index vs exact
+    cosine: recall@k (fraction of the exact top-k the quantized top-k
+    keeps) and MRR of the true nearest neighbour inside the quantized
+    ranking. The query vector itself (vec_id=0) is excluded from both
+    rankings — self-match recall is vacuous.
+
+    This is the measurement loop `quantize_embed` needs before a user
+    trusts 4×-cheaper IO at 100 TB: both rankings are bounded top-k
+    (TakeOrderedAndProject over single-pass scans), the comparison join
+    is k×k, and the output is one row."""
+    exact = (
+        _with_query_vec(spark, sf_dir)
+        .where(F.col("vec_id") != 0)
+        .select("vec_id", "dist")
+        .orderBy(F.asc("dist"), F.asc("vec_id"))
+        .limit(K)
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.asc("dist"), F.asc("vec_id"))
+            ),
+        )
+        .select("vec_id", "r")
+    )
+
+    # Int8 symmetric quantization — same kernel discipline as
+    # quantize_embed (queries/vector_search.py): integer dots exact in
+    # f64, query shipped as a constant-folded literal.
+    embs = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    scale = F.greatest(
+        F.array_max(F.transform(emb, lambda x: F.abs(x))), F.lit(1e-30)
+    )
+    qv = F.transform(
+        emb, lambda x: F.round(x * F.lit(127.0) / scale).cast("long")
+    )
+    qz = embs.select("vec_id", qv.alias("qv"))
+    q0_row = qz.where(F.col("vec_id") == 0).first()["qv"]
+    q0_lit = F.array(*[F.lit(int(x)) for x in q0_row])
+    q0_norm = float(sum(x * x for x in q0_row)) ** 0.5
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    dot = idot(F.col("qv"), q0_lit)
+    norm = F.sqrt(idot(F.col("qv"), F.col("qv")).cast("double")) * F.lit(
+        q0_norm
+    )
+    approx = (
+        qz.where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.round(
+                F.lit(1.0) - dot.cast("double") / F.greatest(norm, F.lit(1e-30)),
+                ROUND_DIST,
+            ).alias("dist_q"),
+        )
+        .orderBy(F.asc("dist_q"), F.asc("vec_id"))
+        .limit(K)
+        .withColumn(
+            "r_q",
+            F.row_number().over(
+                Window.orderBy(F.asc("dist_q"), F.asc("vec_id"))
+            ),
+        )
+        .select("vec_id", "r_q")
+    )
+
+    joined = exact.join(approx, "vec_id", "left")
+    return joined.agg(
+        F.lit(K).cast("int").alias("k"),
+        F.count("r_q").alias("n_hits"),
+        F.round(F.count("r_q") / F.lit(float(K)), ROUND_DIST).alias(
+            "recall_at_k"
+        ),
+        F.round(
+            F.coalesce(
+                F.max(F.when(F.col("r") == 1, 1.0 / F.col("r_q"))), F.lit(0.0)
+            ),
+            ROUND_DIST,
+        ).alias("mrr"),
+    )
+
+
+GROUP_K = 3  # neighbours kept per label
+
+
+@query(
+    "knn_per_group",
+    oracle=f"""
+    WITH vd AS (
+        SELECT e.label, e.vec_id, {_DDIST} AS dist
+        FROM embeddings e, {_Q0}
+        WHERE e.vec_id <> 0
+    )
+    SELECT label, vec_id, dist, CAST(rnk AS INT) AS rnk FROM (
+        SELECT label, vec_id, dist,
+               row_number() OVER (PARTITION BY label
+                                  ORDER BY dist ASC, vec_id ASC) AS rnk
+        FROM vd
+    ) WHERE rnk <= {GROUP_K}
+    ORDER BY label, rnk
+    """,
+)
+def knn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-GROUP_K nearest neighbours of the standing query WITHIN each
+    label partition — 'best match per category', the faceted-search twin
+    of `topk_per_group`.
+
+    One shuffle keyed on ``label``, then a bounded per-group sort; the
+    distance kernel runs before the exchange so the shuffle carries
+    (label, vec_id, dist) triples, never vectors. At 100 TB the output
+    is ≤ k·|labels| rows."""
+    w = Window.partitionBy("label").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        _with_query_vec(spark, sf_dir)
+        .where(F.col("vec_id") != 0)
+        .select("label", "vec_id", "dist")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= GROUP_K)
+        .select("label", "vec_id", "dist", F.col("rnk").cast("int"))
+        .orderBy("label", "rnk")
+    )
