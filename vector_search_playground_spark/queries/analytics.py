@@ -551,3 +551,151 @@ def win_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_prev_1h"),
         F.round(F.sum("value").over(w), 4).alias("sum_value_1h"),
     )
+
+
+# --- event-sequence tier ----------------------------------------------------
+
+SEQ_PATTERNS = (
+    ("funnel", "v.*c.*p"),  # view …then… click …then… purchase
+    ("repeat_buy", "p.*p"),  # at least two purchases
+    ("error_then_churnless", "e.*p"),  # recovered: error followed by purchase
+)
+
+SEQ_INITIAL = "substr(event_type, 1, 1)"  # c/e/p/s/v — distinct initials
+
+
+@query(
+    "sequence_match",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id,
+               string_agg({SEQ_INITIAL}, '' ORDER BY epoch_us(ts), event_id)
+                   AS s
+        FROM events GROUP BY user_id
+    ),
+    pat(pattern, re) AS (VALUES {', '.join(f"('{n}', '{r}')" for n, r in SEQ_PATTERNS)})
+    SELECT pat.pattern,
+           CAST(count(*) FILTER (WHERE regexp_matches(seq.s, pat.re))
+                AS BIGINT) AS n_matched,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM seq CROSS JOIN pat
+    GROUP BY pat.pattern
+    ORDER BY pat.pattern
+    """,
+)
+def sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-style ``sequenceMatch``: does each user's ordered event
+    stream contain the pattern (events may intervene)? Each event type is
+    one character (its initial — distinct across the fixture's five
+    types), the per-user stream is an ordered string, and the pattern is
+    a plain regex — the whole matcher is two JVM-side operations.
+
+    Plan: one hash-agg shuffle on user_id building the ordered stream
+    (collect_list of (ts, id, char) structs, array_sort, concat — the
+    sort is per-user, bounded by that user's event count), then a
+    broadcast of the |patterns|-row pattern relation. At 100 TB this is
+    a single shuffle of (user, char) pairs; the per-user string is
+    bounded by per-user activity, the same invariant sessionization
+    already relies on."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts_us"), F.col("event_id"),
+                F.expr(SEQ_INITIAL).alias("c"),
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("e")), lambda x: x["c"]
+                ),
+                "",
+            ).alias("s")
+        )
+    )
+    pats = spark.createDataFrame(
+        list(SEQ_PATTERNS), schema="pattern string, re string"
+    )
+    return (
+        seq.crossJoin(F.broadcast(pats))
+        .groupBy("pattern")
+        .agg(
+            F.count(F.when(F.expr("regexp_like(s, re)"), 1)).alias(
+                "n_matched"
+            ),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        .orderBy("pattern")
+    )
+
+
+ATTR_WINDOW_US = 7 * 24 * 3_600 * 1_000_000  # 7-day attribution lookback
+
+
+@query(
+    "attribution_lasttouch",
+    oracle=f"""
+    WITH marked AS (
+        SELECT event_type, value, ts,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                   OVER w AS touch_type,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN epoch_us(ts) END IGNORE NULLS)
+                   OVER w AS touch_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT COALESCE(CASE WHEN epoch_us(ts) - touch_us <= {ATTR_WINDOW_US}
+                         THEN touch_type END, 'direct') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           ROUND(sum(value), 2) AS revenue
+    FROM marked WHERE event_type = 'purchase'
+    GROUP BY channel ORDER BY channel
+    """,
+)
+def attribution_lasttouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to
+    the user's most recent preceding non-purchase event within a 7-day
+    lookback, else 'direct'. The carry-forward is a ROWS UNBOUNDED
+    PRECEDING..1 PRECEDING window with IGNORE NULLS — one shuffle on
+    user_id, a linear per-user sweep, no self-join against the event
+    history (the θ-join formulation is quadratic in hot users at
+    100 TB). Output is |channels| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nonpurchase = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    nonpurchase_ts = F.when(
+        F.col("event_type") != "purchase", F.col("ts_us")
+    )
+    marked = ev.select(
+        "event_type",
+        "value",
+        "ts_us",
+        F.last(nonpurchase, ignorenulls=True).over(w).alias("touch_type"),
+        F.last(nonpurchase_ts, ignorenulls=True).over(w).alias("touch_us"),
+    )
+    channel = F.coalesce(
+        F.when(
+            F.col("ts_us") - F.col("touch_us") <= ATTR_WINDOW_US,
+            F.col("touch_type"),
+        ),
+        F.lit("direct"),
+    )
+    return (
+        marked.where(F.col("event_type") == "purchase")
+        .groupBy(channel.alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+        .orderBy("channel")
+    )
