@@ -1,0 +1,109 @@
+"""Graph tier: connected components over a relationally-derived graph.
+
+The dedup family already runs min-label connected components internally
+(operators/dedup.py:connected_components — union-find below a measured
+edge-count cutoff, pointer-jumping label propagation above it). This module
+exposes that operator as a first-class, HASH-CERTIFIED query: the oracle is
+a recursive-CTE reachability closure in DuckDB, so the driver verifies the
+component labels value-for-value, not just row counts — the strongest
+correctness signal an iterative algorithm can get.
+
+Graph: the customer–supplier bipartite graph induced by high-value order
+lines (who bought big-ticket volume from whom). Supplier node ids are
+offset by ``SUPP_OFFSET`` so the two key spaces cannot collide.
+
+Scale: edge derivation is one join of the FILTERED lineitem relation
+(predicate pushed to the parquet scan) against orders on the order key;
+the component step is the measured-size-adaptive operator — driver
+union-find when the edge list is provably tiny, distributed
+O(log diameter) label propagation otherwise. The recursive closure lives
+only in the ORACLE (it is quadratic per component and exists to certify
+the linear-state Spark answer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_search_playground_spark.operators.dedup import connected_components
+from vector_search_playground_spark.registry import query
+from vector_search_playground_spark.sources import load_table
+
+SUPP_OFFSET = 1_000_000  # shifts supplier keys out of the customer id space
+MIN_QTY = 49
+MIN_PRICE = 90_000
+
+_EDGES_SQL = f"""
+        SELECT DISTINCT o.o_custkey AS a,
+                        {SUPP_OFFSET} + l.l_suppkey AS b
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_quantity >= {MIN_QTY} AND l.l_extendedprice > {MIN_PRICE}
+"""
+
+
+@query(
+    "graph_components",
+    oracle=f"""
+    WITH RECURSIVE
+    edges AS ({_EDGES_SQL}),
+    sym AS (
+        SELECT a AS src, b AS dst FROM edges
+        UNION
+        SELECT b AS src, a AS dst FROM edges
+    ),
+    reach(node, r) AS (
+        SELECT DISTINCT src, src FROM sym
+        UNION
+        SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+    ),
+    labels AS (
+        SELECT node, min(r) AS rep FROM reach GROUP BY node
+    )
+    SELECT node, rep,
+           CAST(count(*) OVER (PARTITION BY rep) AS BIGINT) AS comp_size
+    FROM labels
+    ORDER BY node
+    """,
+)
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the high-value customer–supplier graph:
+    every node labelled with the minimum node id reachable from it, plus
+    its component's size.
+
+    The Spark side never materializes reachability: below the measured
+    edge cutoff the edge LIST (not the node relation) is solved with a
+    driver union-find and broadcast back; above it, pointer-jumping
+    min-label propagation converges in O(log diameter) rounds of
+    shuffle-join + aggregate (operators/dedup.py:480). The oracle's
+    recursive closure is the quadratic-per-component certificate, kept
+    SQL-side only."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_quantity") >= MIN_QTY)
+        & (F.col("l_extendedprice") > MIN_PRICE)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("a_id"),
+            (F.lit(SUPP_OFFSET) + F.col("l_suppkey")).alias("b_id"),
+        )
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("a_id").alias("doc_id"))
+        .unionByName(edges.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    labels = connected_components(nodes, edges).select(
+        F.col("doc_id").alias("node"), F.col("rep_id").alias("rep")
+    )
+    sizes = labels.groupBy("rep").agg(F.count(F.lit(1)).alias("comp_size"))
+    return (
+        labels.join(F.broadcast(sizes), "rep")
+        .select("node", "rep", "comp_size")
+        .orderBy("node")
+    )
