@@ -699,3 +699,67 @@ def attribution_lasttouch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --- zorder_cluster ---------------------------------------------------------
+
+ZBITS = 8  # bits per dimension → 16-bit Morton key
+
+# One loop generates BOTH engines' interleave expression so the bit math
+# cannot drift between them.
+_Z_SPARK = " + ".join(
+    f"(shiftleft(shiftright(xb, {i}) & 1, {2 * i})"
+    f" + shiftleft(shiftright(yb, {i}) & 1, {2 * i + 1}))"
+    for i in range(ZBITS)
+)
+_Z_DUCK = " + ".join(
+    f"((((xb >> {i}) & 1) << {2 * i}) + (((yb >> {i}) & 1) << {2 * i + 1}))"
+    for i in range(ZBITS)
+)
+
+
+@query(
+    "zorder_cluster",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_id,
+               CAST(user_id % 256 AS INT) AS xb,
+               LEAST(CAST(floor(value / 2) AS INT), 255) AS yb
+        FROM events
+    )
+    SELECT event_id, xb, yb,
+           CAST({_Z_DUCK} AS INT) AS zkey,
+           CAST(({_Z_DUCK}) // 4096 AS INT) AS zshard
+    FROM b
+    """,
+)
+def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key: interleave the bits of two
+    bucketed dimensions (user bucket × value bucket) so that rows close
+    in BOTH dimensions land in the same key range — the multi-column
+    data-skipping layout behind Delta/Iceberg OPTIMIZE ZORDER. Writing
+    the table ``repartitionByRange(zkey).sortWithinPartitions(zkey)``
+    gives every file a tight min/max envelope on BOTH source columns, so
+    a 2-D predicate prunes files at 100 TB where a single-column sort
+    prunes only one dimension.
+
+    The interleave is {ZBITS}×2 constant-folded JVM bit ops per row —
+    no shuffle, no UDF; the zshard column (top bits) is the target file
+    assignment. Both engines' expressions are generated from the same
+    loop, so the bit math is certifiably identical."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_id",
+        (F.col("user_id") % 256).cast("int").alias("xb"),
+        F.least(
+            F.floor(F.col("value") / 2).cast("int"), F.lit(255)
+        ).alias("yb"),
+    )
+    zkey = F.expr(_Z_SPARK).cast("int")
+    return b.select(
+        "event_id",
+        "xb",
+        "yb",
+        zkey.alias("zkey"),
+        F.floor(zkey / 4096).cast("int").alias("zshard"),
+    )

@@ -391,3 +391,62 @@ def normalize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("v") - F.col("mu")) / F.col("sigma"), ROUND_DIST)
         .alias("z"),
     )
+
+
+# --- lm_score ---------------------------------------------------------------
+
+
+@query(
+    "lm_score",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    freq AS (
+        SELECT w, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY w
+    ),
+    total AS (SELECT sum(c) AS n FROM freq)
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           ROUND(avg(-ln(freq.c / total.n)), {ROUND_DIST}) AS xent
+    FROM tok JOIN freq USING (w) CROSS JOIN total
+    GROUP BY tok.doc_id
+    """,
+)
+def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under a corpus-estimated unigram LM —
+    the self-contained core of the CCNet/Gopher 'perplexity filter':
+    documents whose tokens are corpus-improbable score high and get
+    culled. Estimating the LM from the corpus itself keeps the whole
+    query SQL-expressible (hash-certified), unlike external-KenLM
+    variants.
+
+    Plan: one explode→hash-agg shuffle builds the frequency relation
+    (vocabulary-sized — Zipf-bounded far below corpus size); the
+    token→logprob join is keyed on the word, and AQE chooses broadcast
+    vs shuffle by the MEASURED vocabulary size rather than a hint, which
+    is the right call at 100 TB where the vocabulary can outgrow a
+    broadcast. Final per-doc aggregation reuses the doc_id partitioning
+    of the explode."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    tok = docs.select(
+        "doc_id", F.explode_outer(F.split("text", " ")).alias("w")
+    )
+    freq = tok.groupBy("w").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    total = freq.agg(F.sum("c").alias("n"))
+    return (
+        tok.join(freq, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("c") / F.col("n"))), ROUND_DIST
+            ).alias("xent"),
+        )
+    )
