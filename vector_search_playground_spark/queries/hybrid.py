@@ -375,3 +375,175 @@ def knn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "vec_id", "dist", F.col("rnk").cast("int"))
         .orderBy("label", "rnk")
     )
+
+
+# --- quantize_binary --------------------------------------------------------
+
+HAMMING_SHORTLIST = 30  # candidates the Hamming prefilter keeps for rerank
+
+# Bit-pack the sign vector into two 32-bit words (kept in BIGINTs) — the
+# portable form: neither engine's signed << can overflow at shift ≤ 31.
+_BQ_DUCK = """
+        SELECT vec_id,
+               sum(CASE WHEN v > 0 AND i <= 32
+                        THEN (1::BIGINT << (i - 1)) ELSE 0 END) AS lo,
+               sum(CASE WHEN v > 0 AND i > 32
+                        THEN (1::BIGINT << (i - 33)) ELSE 0 END) AS hi
+        FROM (SELECT vec_id, unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings)
+        GROUP BY vec_id
+"""
+
+
+def _pack_bits(emb):
+    """(lo, hi) sign-bit words of a 64-dim array column — JVM HOF only."""
+
+    def word(offset):
+        # 2^i (i ≤ 31) is exact in double, so pow stands in for a
+        # variable-amount shiftleft (whose shift arg must be a literal).
+        return F.aggregate(
+            F.transform(
+                F.slice(emb, offset + 1, 32),
+                lambda x, i: F.when(
+                    x > 0, F.pow(F.lit(2.0), i).cast("long")
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    return word(0), word(32)
+
+
+@query(
+    "quantize_binary",
+    oracle=f"""
+    WITH codes AS ({_BQ_DUCK}),
+    q0 AS (SELECT lo AS qlo, hi AS qhi FROM codes WHERE vec_id = 0),
+    ham AS (
+        SELECT vec_id,
+               CAST(bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi))
+                    AS INT) AS hamming
+        FROM codes, q0 WHERE vec_id <> 0
+    ),
+    shortlist AS (
+        SELECT vec_id, hamming FROM ham
+        ORDER BY hamming ASC, vec_id ASC LIMIT {HAMMING_SHORTLIST}
+    )
+    SELECT s.vec_id, s.hamming, {_DDIST} AS dist
+    FROM shortlist s
+    JOIN embeddings e ON e.vec_id = s.vec_id, {_Q0}
+    ORDER BY dist ASC, s.vec_id ASC
+    LIMIT {K}
+    """,
+)
+def quantize_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (1-bit sign) quantization + Hamming-distance shortlist +
+    exact-cosine rerank — pgvector's ``bit(n)``/hamming path, the 32×
+    compression extreme of the quantization family (int8 is
+    ``quantize_embed``). The corpus scan reads two BIGINT code words
+    instead of 64 floats; XOR+popcount is a handful of ALU ops per row;
+    only the HAMMING_SHORTLIST survivors touch full vectors again.
+
+    Plan: code packing is a constant-folded HOF projection (no shuffle),
+    the shortlist is TakeOrderedAndProject, and the rerank joins
+    ≤HAMMING_SHORTLIST rows back to the vector table — at 100 TB the
+    rerank side is constant-size while the scan side reads 32× less."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    lo, hi = _pack_bits(F.col("embedding").cast("array<double>"))
+    codes = embs.select("vec_id", lo.alias("lo"), hi.alias("hi"))
+    q0 = codes.where(F.col("vec_id") == 0).select(
+        F.col("lo").alias("qlo"), F.col("hi").alias("qhi")
+    )
+    ham = (
+        codes.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q0))
+        .select(
+            "vec_id",
+            (
+                F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
+                + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+    )
+    shortlist = ham.orderBy(F.asc("hamming"), F.asc("vec_id")).limit(
+        HAMMING_SHORTLIST
+    )
+    rerank = shortlist.join(
+        _with_query_vec(spark, sf_dir).select("vec_id", "dist"), "vec_id"
+    )
+    return (
+        rerank.select("vec_id", "hamming", "dist")
+        .orderBy(F.asc("dist"), F.asc("vec_id"))
+        .limit(K)
+    )
+
+
+# --- maxsim_multivector -----------------------------------------------------
+
+MAXSIM_Q = 5  # query-token count (first MAXSIM_Q vectors of label 0)
+
+
+@query(
+    "maxsim_multivector",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE label = 0
+        ORDER BY vec_id LIMIT {MAXSIM_Q}
+    ),
+    best AS (
+        SELECT e.label, q.qid,
+               max(ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                q.qv),
+                         {ROUND_DIST})) AS m
+        FROM embeddings e CROSS JOIN q
+        GROUP BY e.label, q.qid
+    )
+    SELECT label, ROUND(sum(m), {ROUND_DIST}) AS maxsim
+    FROM best GROUP BY label ORDER BY maxsim DESC, label ASC
+    """,
+)
+def maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late interaction: each label group is a multi-vector
+    'document' (its member embeddings are the token vectors), the query
+    is the first MAXSIM_Q vectors of label 0, and
+    score(doc) = Σ_q max_t cos(q, t). This is the retrieval model
+    single-vector KNN cannot express — a document matches if EVERY query
+    token finds some similar region in it.
+
+    Plan: the bounded query set broadcasts; similarities are JVM HOF
+    kernels on the corpus scan; then two hash-aggs (max per (doc, token),
+    sum per doc) whose shuffle carries (label, qid, sim) triples — never
+    vectors. At 100 TB the cost is |corpus|·|Q| fused scan work plus a
+    metadata-sized aggregation tree. Per-token sims round before the max
+    so both engines pick identical argmaxes."""
+    from vector_search_playground_spark.functions import vector as V
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    q = (
+        embs.where(F.col("label") == 0)
+        .orderBy("vec_id")
+        .limit(MAXSIM_Q)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+        )
+    )
+    sims = embs.crossJoin(F.broadcast(q)).select(
+        "label",
+        "qid",
+        F.round(
+            F.lit(1.0) - V.cosine_distance(F.col("embedding"), F.col("qv")),
+            ROUND_DIST,
+        ).alias("sim"),
+    )
+    best = sims.groupBy("label", "qid").agg(F.max("sim").alias("m"))
+    return (
+        best.groupBy("label")
+        .agg(F.round(F.sum("m"), ROUND_DIST).alias("maxsim"))
+        .orderBy(F.desc("maxsim"), F.asc("label"))
+    )
