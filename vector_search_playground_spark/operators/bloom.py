@@ -1,0 +1,80 @@
+"""Explicit Bloom-filter runtime join filter — all-JVM, no UDF.
+
+Spark injects this pattern itself when
+``spark.sql.optimizer.runtime.bloomFilter.enabled`` fires
+(InjectRuntimeFilter); this operator makes it an explicit, inspectable
+building block for the case the optimizer misses: a fact⋈dim join where
+the dim is too big to broadcast but its KEY SET is tiny, so dropping
+non-matching fact rows BEFORE the shuffle is the difference between
+shuffling 100 TB and shuffling the matching slice.
+
+Mechanics: k positions per key via seeded xxhash64, packed into 32-bit
+words (bit j of word w = position 32·w+j). The build side aggregates
+words distributively (bit_or partial-aggregates map-side); the probe side
+tests membership with a constant-folded literal word array — the whole
+probe is codegen'd integer arithmetic inside the scan stage, so predicate
+evaluation costs a few ALU ops per row and false positives are removed by
+the exact join that follows (the filter can never change the answer,
+only the work).
+
+The collected artifact is the word array (M_BITS/32 ints — fixed, small),
+NEVER the key set: build cost is one pass over the dim relation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+M_BITS = 1 << 17  # filter width in bits
+N_HASHES = 3  # k
+_WORDS = M_BITS // 32
+
+
+def _positions(key: Column) -> list[Column]:
+    """k bit positions for a key — seeded xxhash64, mod M_BITS."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(j)), F.lit(M_BITS))
+        for j in range(N_HASHES)
+    ]
+
+
+def build_bloom_words(dim: DataFrame, key_col: str) -> list[int]:
+    """The filter's word array, built distributively: explode each key's
+    k positions, bit_or the per-word masks (partial aggregation runs
+    map-side, so the shuffle carries ≤ _WORDS rows per task), collect the
+    ≤_WORDS (word, mask) pairs. 2^(pos%32) ≤ 2^31 is exact in double, so
+    pow stands in for the literal-only shiftleft."""
+    pos = dim.select(
+        F.explode(F.array(*_positions(F.col(key_col)))).alias("pos")
+    )
+    words = (
+        pos.select(
+            (F.col("pos") / 32).cast("int").alias("word"),
+            F.pow(F.lit(2.0), F.pmod(F.col("pos"), F.lit(32)))
+            .cast("long")
+            .alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("mask"))
+        .collect()
+    )
+    arr = [0] * _WORDS
+    for r in words:
+        arr[r["word"]] = r["mask"]
+    return arr
+
+
+def might_contain(words: list[int], key: Column) -> Column:
+    """Membership predicate against the literal word array — pure
+    constant-folded JVM arithmetic (element_at + bit test per hash)."""
+    lit_words = F.array(*[F.lit(w).cast("long") for w in words])
+    checks = []
+    for p in _positions(key):
+        word = F.element_at(lit_words, (p / 32).cast("int") + 1)
+        mask = F.pow(F.lit(2.0), F.pmod(p, F.lit(32))).cast("long")
+        checks.append(word.bitwiseAND(mask) != 0)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out

@@ -1440,3 +1440,93 @@ def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quantile double, approx double, exact double, "
         "rank_err double, within_bound boolean",
     )
+
+
+@query(
+    "scan_jsonl",
+    oracle="""
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY source
+    """,
+)
+def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines as a first-class source — the interchange format every
+    web-scale corpus actually arrives in (Common Crawl WET/CC-NET dumps
+    are JSONL). Same posture as ``scan_csv``: the documents table is
+    materialized as JSONL once per fixture content fingerprint, then
+    scanned with a PINNED schema — no schema-inference sampling pass,
+    which on a 100 TB JSONL drop would be a full extra read — and the
+    oracle runs the identical aggregate on the parquet view: format
+    must never change answers. JSONL splits by line, so parallelism
+    survives; column pruning does not (whole objects are parsed), which
+    is why the engine's ingest path is 'read JSONL once, land parquet'
+    rather than treating JSONL as storage."""
+    import os
+
+    from vector_search_playground_spark.queries.llm_pipeline import (
+        SCRATCH,
+        _fixture_fingerprint,
+    )
+    from vector_search_playground_spark.sources.formats import (
+        read_table,
+        write_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = _fixture_fingerprint(sf_dir, "documents")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(SCRATCH, f"documents_jsonl_{tag}_{fp}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_table(docs, path, fmt="json")
+    got = read_table(spark, path, docs.schema, fmt="json")
+    return got.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+@query(
+    "join_bloom_filtered",
+    oracle="""
+    SELECT o.o_custkey, count(*) AS n_orders,
+           ROUND(sum(o.o_totalprice), 2) AS sum_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal > 9000
+    GROUP BY o.o_custkey
+    """,
+)
+def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim join with an EXPLICIT Bloom runtime filter
+    (operators/bloom.py): the high-balance customer key set builds a
+    131072-bit filter in one pass; the orders scan then drops
+    non-matching rows with a constant-folded integer predicate BEFORE any
+    exchange, and the exact join that follows removes the Bloom's false
+    positives — so the answer is bit-identical to the plain join the
+    oracle runs, only the shuffled volume changes. This is
+    InjectRuntimeFilter made explicit and inspectable: at 100 TB with a
+    non-broadcastable dim, the prefilter is the difference between
+    shuffling the fact table and shuffling its matching slice (~10%
+    here)."""
+    from vector_search_playground_spark.operators.bloom import (
+        build_bloom_words,
+        might_contain,
+    )
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .select("c_custkey")
+    )
+    words = build_bloom_words(cust, "c_custkey")
+    orders = load_table(spark, sf_dir, "orders").where(
+        might_contain(words, F.col("o_custkey"))
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )

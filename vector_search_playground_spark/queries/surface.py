@@ -157,3 +157,65 @@ def ddl_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [("search_drop_me", bool(exists))], "table: string, still_exists: boolean"
     )
+
+
+@query("compact_files")  # rows-only: file layout is not SQL-expressible
+def compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance verb (Delta
+    OPTIMIZE / Iceberg rewrite_data_files) a long-lived 100 TB table
+    needs after streaming/CDC ingest fragments it: thousands of KB-sized
+    files turn every scan into a file-listing + task-scheduling storm.
+
+    A deliberately fragmented copy of ``documents`` (64 shards) is
+    rewritten to ceil(bytes / TARGET_FILE_BYTES) files with ``coalesce``
+    — a NARROW dependency: existing files concatenate into bigger ones
+    with no shuffle and no re-sort, which is exactly how a bin-packing
+    compactor behaves (repartition would pay a full shuffle to achieve
+    the same layout). Emits before/after file counts and row-preservation
+    so the driver's rows-only check pins the invariant that maintenance
+    never changes data."""
+    from vector_search_playground_spark.queries.llm_pipeline import (
+        SCRATCH,
+        _fixture_fingerprint,
+    )
+
+    TARGET_FILE_BYTES = 1 << 20  # 1 MiB — stands in for the 128 MB prod target
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = _fixture_fingerprint(sf_dir, "documents")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    frag = os.path.join(SCRATCH, f"documents_frag_{tag}_{fp}")
+    if not os.path.exists(os.path.join(frag, "_SUCCESS")):
+        docs.repartition(64).write.mode("overwrite").parquet(frag)
+
+    def data_files(path):
+        return [
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    before = data_files(frag)
+    n_bytes = sum(os.path.getsize(f) for f in before)
+    n_target = max(1, -(-n_bytes // TARGET_FILE_BYTES))
+
+    compacted = os.path.join(SCRATCH, f"documents_compact_{tag}_{fp}")
+    fragmented = spark.read.schema(docs.schema).parquet(frag)
+    fragmented.coalesce(n_target).write.mode("overwrite").parquet(compacted)
+    after = data_files(compacted)
+    rows_before = fragmented.count()
+    rows_after = spark.read.schema(docs.schema).parquet(compacted).count()
+    return spark.createDataFrame(
+        [
+            (
+                len(before),
+                len(after),
+                int(rows_before),
+                int(rows_after),
+                rows_before == rows_after and len(after) <= len(before),
+            )
+        ],
+        "n_files_before: int, n_files_after: int, n_rows_before: long, "
+        "n_rows_after: long, invariant_ok: boolean",
+    )

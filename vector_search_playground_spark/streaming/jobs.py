@@ -601,3 +601,84 @@ def stream_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return search_lsh_partitioned(spark, path, planes, qvec, k=10)
+
+
+TOPK_K = 10
+TOPK_SALTS = 8
+
+
+@query(
+    "stream_topk",
+    oracle=f"""
+    SELECT event_id, value FROM events
+    ORDER BY value DESC, event_id ASC LIMIT {TOPK_K}
+    """,
+)
+def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous global top-k maintenance — the streaming leaderboard.
+
+    Two-level exact design: the stream is salted into TOPK_SALTS
+    partitions, each of which maintains its own k-sized candidate list in
+    ``applyInPandasWithState`` (state per key = exactly k (value, id)
+    pairs — bounded forever, no watermark needed because top-k state
+    cannot grow); the final merge re-ranks the ≤ salts·k candidates
+    batch-side. Every level uses the same (value DESC, event_id ASC)
+    tiebreak, so per-salt pruning can never evict a global-top-k row and
+    the drained result is bit-identical to the batch ORDER BY ... LIMIT
+    the oracle runs. At 100 TB the state is salts·k tuples and each
+    micro-batch does one shuffle keyed on the salt."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def keep_topk(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            n_seen, vals, ids = state.get
+            heap = list(zip(vals, ids))
+        else:
+            n_seen, heap = 0, []
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            heap.extend(
+                (float(v), int(i))
+                for v, i in zip(pdf["value"], pdf["event_id"])
+            )
+            heap.sort(key=lambda t: (-t[0], t[1]))
+            del heap[TOPK_K:]
+        state.update(
+            (n_seen, [v for v, _ in heap], [i for _, i in heap])
+        )
+        yield pd.DataFrame(
+            {
+                "salt": [key[0]],
+                "n_seen": [n_seen],
+                "vals": [[v for v, _ in heap]],
+                "ids": [[i for _, i in heap]],
+            }
+        )
+
+    ev = read_events_stream(spark, sf_dir).withColumn(
+        "salt", F.pmod(F.col("user_id"), F.lit(TOPK_SALTS))
+    )
+    out = ev.groupBy("salt").applyInPandasWithState(
+        keep_topk,
+        outputStructType=(
+            "salt long, n_seen long, vals array<double>, ids array<long>"
+        ),
+        stateStructType="n_seen long, vals array<double>, ids array<long>",
+        outputMode="Update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_available_now(out, output_mode="update", name="topk")
+    # Latest snapshot per salt (n_seen strictly increases), then the
+    # batch-side merge of the bounded candidate union.
+    latest = sink.groupBy("salt").agg(
+        F.max_by("vals", "n_seen").alias("vals"),
+        F.max_by("ids", "n_seen").alias("ids"),
+    )
+    cand = latest.select(
+        F.explode(F.arrays_zip("vals", "ids")).alias("c")
+    ).select(
+        F.col("c.ids").alias("event_id"), F.col("c.vals").alias("value")
+    )
+    return cand.orderBy(F.desc("value"), F.asc("event_id")).limit(TOPK_K)
