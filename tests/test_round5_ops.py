@@ -1,0 +1,265 @@
+"""Property + plan tests for the round-5 additions: hybrid retrieval,
+graph components, Bloom join, Z-order, LM scoring, sequence/attribution,
+compaction, and streaming top-k."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_playground_spark.operators.bloom import (
+    build_bloom_words,
+    might_contain,
+)
+from vector_search_playground_spark.queries import analytics as A
+from vector_search_playground_spark.queries import corpusprep as C
+from vector_search_playground_spark.queries import graph as G
+from vector_search_playground_spark.queries import hybrid as H
+from vector_search_playground_spark.queries import relational as R
+from vector_search_playground_spark.queries import surface as S
+from vector_search_playground_spark.sources import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --- hybrid retrieval -------------------------------------------------------
+
+
+def test_rrf_scores_consistent_with_ranks(spark, sf_correct):
+    rows = H.hybrid_search_rrf(spark, sf_correct).collect()
+    assert 0 < len(rows) <= H.K
+    for r in rows:
+        expect = 0.0
+        if r["r_lex"] > 0:
+            expect += 1.0 / (H.RRF_K0 + r["r_lex"])
+        if r["r_vec"] > 0:
+            expect += 1.0 / (H.RRF_K0 + r["r_vec"])
+        assert abs(r["rrf"] - round(expect, 6)) < 1e-9
+    # descending, tiebroken by doc_id
+    keys = [(-r["rrf"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_eval_retrieval_bounds(spark, sf_correct):
+    row = H.eval_retrieval(spark, sf_correct).collect()[0]
+    assert 0.0 <= row["recall_at_k"] <= 1.0
+    assert 0.0 <= row["mrr"] <= 1.0
+    assert row["n_hits"] <= row["k"]
+
+
+def test_knn_per_group_k_per_label(spark, sf_correct):
+    rows = H.knn_per_group(spark, sf_correct).collect()
+    from collections import Counter
+
+    per = Counter(r["label"] for r in rows)
+    assert all(v <= H.GROUP_K for v in per.values())
+    assert len(per) > 1  # multiple labels actually present
+
+
+def test_binary_pack_identical_vector_hamming_zero(spark):
+    df = spark.createDataFrame(
+        [([0.5, -0.25, 0.0, 1.5] * 16,)], "embedding array<double>"
+    )
+    lo, hi = H._pack_bits(F.col("embedding"))
+    a = df.select(lo.alias("lo"), hi.alias("hi")).collect()[0]
+    assert (
+        bin(a["lo"]).count("1") + bin(a["hi"]).count("1")
+        == sum(1 for i in range(64) if ([0.5, -0.25, 0.0, 1.5] * 16)[i] > 0)
+    )
+
+
+def test_quantize_binary_topk_plan(spark, sf_correct):
+    plan = _plan(H.quantize_binary(spark, sf_correct))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_maxsim_orders_desc(spark, sf_correct):
+    rows = H.maxsim_multivector(spark, sf_correct).collect()
+    scores = [r["maxsim"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # query doc (label 0) contains the query tokens — must score max
+    assert rows[0]["label"] == 0
+    assert abs(rows[0]["maxsim"] - H.MAXSIM_Q) < 0.01  # each token matches itself
+
+
+# --- graph ------------------------------------------------------------------
+
+
+def test_graph_components_edge_consistency(spark, sf_smoke):
+    labels = {
+        r["node"]: r["rep"]
+        for r in G.graph_components(spark, sf_smoke).collect()
+    }
+    li = load_table(spark, sf_smoke, "lineitem").where(
+        (F.col("l_quantity") >= G.MIN_QTY)
+        & (F.col("l_extendedprice") > G.MIN_PRICE)
+    )
+    orders = load_table(spark, sf_smoke, "orders")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.lit(G.SUPP_OFFSET) + F.col("l_suppkey")).alias("b"),
+        )
+        .distinct()
+        .collect()
+    )
+    assert edges, "fixture produced no edges — filter too tight"
+    for e in edges:
+        assert labels[e["a"]] == labels[e["b"]]
+    # representative is the component minimum and a member of it
+    for node, rep in labels.items():
+        assert rep <= node
+        assert labels[rep] == rep
+
+
+def test_graph_component_sizes_sum_to_nodes(spark, sf_smoke):
+    rows = G.graph_components(spark, sf_smoke).collect()
+    from collections import Counter
+
+    sizes = Counter(r["rep"] for r in rows)
+    for r in rows:
+        assert r["comp_size"] == sizes[r["rep"]]
+
+
+# --- bloom join -------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives(spark):
+    keys = spark.range(0, 500).select((F.col("id") * 7919 + 13).alias("k"))
+    words = build_bloom_words(keys, "k")
+    missed = keys.where(~might_contain(words, F.col("k"))).count()
+    assert missed == 0
+
+
+def test_bloom_filters_most_non_members(spark):
+    keys = spark.range(0, 200).select((F.col("id") * 31 + 5).alias("k"))
+    words = build_bloom_words(keys, "k")
+    others = spark.range(10_000_000, 10_010_000).select(F.col("id").alias("k"))
+    passed = others.where(might_contain(words, F.col("k"))).count()
+    assert passed < 100  # fpr well under 1% at this load factor
+
+
+def test_bloom_join_no_python_udf_in_plan(spark, sf_smoke):
+    plan = _plan(R.join_bloom_filtered(spark, sf_smoke))
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+
+
+# --- zorder -----------------------------------------------------------------
+
+
+def _morton(x: int, y: int, bits: int = 8) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_matches_reference_interleave(spark, sf_smoke):
+    rows = A.zorder_cluster(spark, sf_smoke).limit(200).collect()
+    for r in rows:
+        assert r["zkey"] == _morton(r["xb"], r["yb"])
+        assert r["zshard"] == r["zkey"] // 4096
+        assert 0 <= r["zkey"] < 1 << 16
+
+
+def test_zorder_no_shuffle(spark, sf_smoke):
+    plan = _plan(A.zorder_cluster(spark, sf_smoke))
+    assert "Exchange" not in plan, plan
+
+
+# --- lm_score ---------------------------------------------------------------
+
+
+def test_lm_score_positive_and_bounded(spark, sf_smoke):
+    rows = C.lm_score(spark, sf_smoke).collect()
+    assert rows
+    docs = load_table(spark, sf_smoke, "documents").count()
+    assert len(rows) == docs
+    for r in rows:
+        assert r["xent"] > 0
+        assert r["n_tokens"] > 0
+
+
+# --- sequence / attribution -------------------------------------------------
+
+
+def test_sequence_funnel_at_least_ordered_funnel(spark, sf_correct):
+    seq = {
+        r["pattern"]: r for r in A.sequence_match(spark, sf_correct).collect()
+    }
+    funnel = A.funnel_events(spark, sf_correct).collect()[0]
+    # v.*c.*p (any view before any click before any purchase) is weaker
+    # than funnel's first-times ordering, so it matches at least as many
+    assert seq["funnel"]["n_matched"] >= funnel["n_full_funnel"]
+    for r in seq.values():
+        assert r["n_matched"] <= r["n_users"]
+
+
+def test_attribution_partitions_all_purchases(spark, sf_correct):
+    rows = A.attribution_lasttouch(spark, sf_correct).collect()
+    total = sum(r["n_purchases"] for r in rows)
+    purchases = (
+        load_table(spark, sf_correct, "events")
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert total == purchases
+    allowed = {"click", "error", "signup", "view", "direct"}
+    assert {r["channel"] for r in rows} <= allowed
+
+
+# --- maintenance ------------------------------------------------------------
+
+
+def test_compact_files_invariant(spark, sf_smoke):
+    row = S.compact_files(spark, sf_smoke).collect()[0]
+    assert row["invariant_ok"]
+    assert row["n_files_after"] < row["n_files_before"]
+    assert row["n_rows_before"] == row["n_rows_after"]
+
+
+# --- streaming top-k --------------------------------------------------------
+
+
+def test_stream_topk_multibatch(spark, sf_smoke, tmp_path, monkeypatch):
+    """Top-k survives a multi-micro-batch drain: a TIME-SPLIT two-file
+    source drained one file per trigger forces the salted state to
+    accumulate across batches, and the final merge must still equal the
+    one-shot batch ORDER BY ... LIMIT k."""
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import vector_search_playground_spark.streaming.jobs as J
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    tbl = pq.read_table(os.path.join(sf_smoke, "events.parquet"))
+    mid = pc.quantile(tbl["ts"].cast("int64"), 0.5)[0].as_py()
+    early, late = str(d / "events_a.parquet"), str(d / "events_b.parquet")
+    keep = pc.less(tbl["ts"].cast("int64"), mid)
+    pq.write_table(tbl.filter(keep), early)
+    pq.write_table(tbl.filter(pc.invert(keep)), late)
+    now = os.stat(late).st_mtime
+    os.utime(early, (now - 60, now - 60))
+    monkeypatch.setattr(J, "_MAX_FILES_PER_TRIGGER", 1)
+
+    expected = [
+        (r["event_id"], r["value"])
+        for r in load_table(spark, sf_smoke, "events")
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(J.TOPK_K)
+        .collect()
+    ]
+    got = [
+        (r["event_id"], r["value"])
+        for r in J.stream_topk(spark, str(d)).collect()
+    ]
+    assert got == expected
