@@ -263,3 +263,99 @@ def test_stream_topk_multibatch(spark, sf_smoke, tmp_path, monkeypatch):
         for r in J.stream_topk(spark, str(d)).collect()
     ]
     assert got == expected
+
+
+# --- pq / mmr / pagerank ----------------------------------------------------
+
+
+def test_pq_search_recall_floor(spark, sf_correct):
+    rows = H.pq_search(spark, sf_correct).collect()
+    assert len(rows) == H.K
+    assert rows[0]["recall_at_k"] >= 0.5  # structureless uniform fixture
+    dists = [r["dist"] for r in rows]
+    assert dists == sorted(dists)
+
+
+def test_pq_codes_shape_and_range(spark, sf_correct):
+    from vector_search_playground_spark.plans import pq as PQ
+
+    emb = load_table(spark, sf_correct, "embeddings")
+    books = PQ.fit_codebooks(emb)
+    assert books.shape == (PQ.M_SUB, PQ.K_CODES, 64 // PQ.M_SUB)
+    codes = PQ.encode(emb.limit(50), books).collect()
+    for r in codes:
+        assert len(r["codes"]) == PQ.M_SUB
+        assert all(0 <= c < PQ.K_CODES for c in r["codes"])
+
+
+def test_pq_adc_approximates_true_distance(spark, sf_correct):
+    """ADC of a vector against its own codebook reconstruction must be
+    below ADC against a far vector — sanity that the table lookup wiring
+    (code → centroid distance) is not scrambled."""
+    import numpy as np
+
+    from vector_search_playground_spark.plans import pq as PQ
+
+    emb = load_table(spark, sf_correct, "embeddings")
+    books = PQ.fit_codebooks(emb)
+    q = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    lut = PQ.adc_table(books, q)
+    codes = PQ.encode(emb, books)
+    got = {
+        r["vec_id"]: r["d"]
+        for r in codes.select(
+            "vec_id", PQ.adc_distance(F.col("codes"), lut).alias("d")
+        ).collect()
+    }
+    # self-distance ≈ quantization error, strictly < the mean distance
+    assert got[0] < float(np.mean(list(got.values())))
+
+
+def test_mmr_is_more_diverse_than_plain_topk(spark, sf_correct):
+    import numpy as np
+
+    picked = [r["vec_id"] for r in H.topk_diverse(spark, sf_correct).collect()]
+    assert len(picked) == H.K
+    assert len(set(picked)) == H.K
+    from vector_search_playground_spark.queries.vector_search import (
+        _with_query_vec,
+    )
+
+    plain = [
+        r["vec_id"]
+        for r in _with_query_vec(spark, sf_correct)
+        .where(F.col("vec_id") != 0)
+        .orderBy(F.asc("dist"), F.asc("vec_id"))
+        .limit(H.K)
+        .collect()
+    ]
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_correct, "embeddings")
+        .where(F.col("vec_id").isin([*picked, *plain]))
+        .collect()
+    }
+
+    def avg_pairwise(ids):
+        vs = [emb[i] / np.linalg.norm(emb[i]) for i in ids]
+        sims = [
+            float(vs[i] @ vs[j])
+            for i in range(len(vs))
+            for j in range(i + 1, len(vs))
+        ]
+        return sum(sims) / len(sims)
+
+    assert avg_pairwise(picked) <= avg_pairwise(plain) + 1e-9
+
+
+def test_pagerank_sums_to_one_and_positive(spark, sf_smoke):
+    import vector_search_playground_spark.queries.graph as GG
+
+    # full vector check: rerun the iteration body cheaply via the query
+    # itself (top-N), then validate mass/positivity on the emitted slice
+    rows = GG.pagerank_topn(spark, sf_smoke).collect()
+    assert rows
+    ranks = [r["rank"] for r in rows]
+    assert all(v > 0 for v in ranks)
+    assert ranks == sorted(ranks, reverse=True)
+    assert sum(ranks) <= 1.0 + 1e-6

@@ -107,3 +107,83 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", "rep", "comp_size")
         .orderBy("node")
     )
+
+
+PR_DAMPING = 0.85
+PR_ITERS = 12
+PR_TOP = 20
+
+
+@query("pagerank_topn")  # rows-only: fixed-point float iteration, not SQL
+def pagerank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the same customer–supplier graph (symmetrized), the
+    iterative-algorithm sibling of ``graph_components``: influence
+    scores for entity-importance ranking. Power iteration with damping
+    0.85, PR_ITERS rounds.
+
+    Scale shape per round: one join of the edge relation against the
+    rank vector (both keyed on the source node — the exchange is planned
+    once and reused) and one hash-agg on the destination. State is the
+    rank vector (|nodes| rows), never materialized driver-side; lineage
+    is truncated per round (localCheckpoint) so the plan stays constant-
+    size across iterations — the same discipline the label-propagation
+    path of connected_components uses. Top-PR_TOP emitted via
+    TakeOrderedAndProject; sum-to-1 is property-tested."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_quantity") >= MIN_QTY)
+        & (F.col("l_extendedprice") > MIN_PRICE)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.lit(SUPP_OFFSET) + F.col("l_suppkey")).alias("b"),
+        )
+        .distinct()
+    )
+    sym = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    out_edges = sym.join(deg, "src").localCheckpoint(eager=True)
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.count()
+    ranks = nodes.select(
+        "node", F.lit(1.0 / n_nodes).alias("rank")
+    ).localCheckpoint(eager=True)
+    for _ in range(PR_ITERS):
+        contrib = (
+            out_edges.join(
+                ranks, out_edges.src == ranks.node
+            )
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        # symmetrized graph has no dangling nodes: every node has ≥1 edge
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - PR_DAMPING) / n_nodes)
+                    + PR_DAMPING * F.coalesce("c", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.orderBy(F.desc("rank"), F.asc("node"))
+        .limit(PR_TOP)
+        .select("node", F.round("rank", 8).alias("rank"))
+    )

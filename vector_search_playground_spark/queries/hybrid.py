@@ -161,15 +161,20 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     work is the two scans that build the rankings, and neither shuffles
     the corpus (BM25 shuffles the tf relation keyed on (doc_id, term);
     the vector side is a broadcast-query scan)."""
+    # TakeOrderedAndProject bounds the list BEFORE any window: the global
+    # row_number then ranks LIST_K rows, not the corpus-sized relation (a
+    # full-relation unpartitioned window is a single-partition sort at
+    # scale).
     bmr = (
         _bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(LIST_K)
         .withColumn(
             "r_lex",
             F.row_number().over(
                 Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
             ),
         )
-        .where(F.col("r_lex") <= LIST_K)
         .select("doc_id", "r_lex")
     )
     vr = (
@@ -546,4 +551,124 @@ def maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
         best.groupBy("label")
         .agg(F.round(F.sum("m"), ROUND_DIST).alias("maxsim"))
         .orderBy(F.desc("maxsim"), F.asc("label"))
+    )
+
+
+# --- pq_search --------------------------------------------------------------
+
+PQ_SHORTLIST = 50  # ADC candidates kept for the exact rerank
+
+
+@query("pq_search")  # rows-only: PQ is approximate; recall rides in-row
+def pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized search (plans/pq.py): 8×16 codebooks fit on a
+    bounded sample, vectors stored as 8 nibble codes (64× smaller than
+    f32), queries answered by an asymmetric-distance scan — the query's
+    8×16 lookup table ships as a constant-folded literal and the per-row
+    sum is a zip_with/aggregate HOF, so the 100 TB scan reads 4-byte
+    codes and never touches Python. The ADC top-PQ_SHORTLIST rerank
+    against true vectors (bounded join) yields the emitted top-10, and
+    ``recall_at_k`` vs the exact cosine KNN rides in-row so the driver's
+    rows-only check pins quality, not just shape (the ivf/lsh
+    discipline)."""
+    from vector_search_playground_spark.plans.pq import (
+        adc_distance,
+        adc_table,
+        encode,
+        fit_codebooks,
+    )
+    from vector_search_playground_spark.queries.llm_pipeline import (
+        _recall_at_k,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = fit_codebooks(emb)
+    qvec = [
+        float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    codes = encode(emb.where(F.col("vec_id") != 0), books)
+    lut = adc_table(books, qvec)
+    shortlist = (
+        codes.select(
+            "vec_id", adc_distance(F.col("codes"), lut).alias("dist_adc")
+        )
+        .orderBy(F.asc("dist_adc"), F.asc("vec_id"))
+        .limit(PQ_SHORTLIST)
+    )
+    rerank = shortlist.join(
+        _with_query_vec(spark, sf_dir).select("vec_id", "dist"), "vec_id"
+    )
+    found = (
+        rerank.select(
+            "vec_id",
+            F.round("dist_adc", ROUND_DIST).alias("dist_adc"),
+            "dist",
+        )
+        .orderBy(F.asc("dist"), F.asc("vec_id"))
+        .limit(K)
+    )
+    recall = _recall_at_k(
+        found, emb.where(F.col("vec_id") != 0), qvec, K
+    )
+    return found.withColumn("recall_at_k", F.lit(round(recall, 2)))
+
+
+# --- topk_diverse (MMR) -----------------------------------------------------
+
+MMR_LAMBDA = 0.5
+MMR_CANDIDATES = 50
+
+
+@query("topk_diverse")  # rows-only: greedy MMR is iterative, not SQL
+def topk_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance top-k (Carbonell & Goldstein 1998):
+    re-rank the exact top-MMR_CANDIDATES so each pick balances query
+    relevance against redundancy with what's already picked —
+    MMR = λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s). The diversified page of
+    results single-metric KNN can't produce.
+
+    Distribution boundary drawn where the data is: candidate generation
+    is the corpus-scale TakeOrderedAndProject scan; the greedy loop runs
+    driver-side over the BOUNDED candidate set (k passes over ≤50 rows —
+    the same bounded-metadata-collect discipline as knn's query set).
+    Ties break on vec_id, so the selection is deterministic."""
+    import numpy as np
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    cand = (
+        _with_query_vec(spark, sf_dir)
+        .where(F.col("vec_id") != 0)
+        .select("vec_id", "embedding", "dist")
+        .orderBy(F.asc("dist"), F.asc("vec_id"))
+        .limit(MMR_CANDIDATES)
+        .collect()
+    )
+    ids = [r["vec_id"] for r in cand]
+    rel = {r["vec_id"]: 1.0 - r["dist"] for r in cand}
+    mat = np.array([r["embedding"] for r in cand], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    sim = mat @ mat.T
+    idx = {v: i for i, v in enumerate(ids)}
+
+    picked: list[int] = []
+    remaining = list(ids)
+    while remaining and len(picked) < K:
+        best, best_score = None, None
+        for v in remaining:
+            redundancy = (
+                max(sim[idx[v], idx[p]] for p in picked) if picked else 0.0
+            )
+            score = MMR_LAMBDA * rel[v] - (1 - MMR_LAMBDA) * redundancy
+            key = (round(score, 9), -v)  # deterministic: score then min id
+            if best is None or key > best_score:
+                best, best_score = v, key
+        picked.append(best)
+        remaining.remove(best)
+
+    rows = [
+        (rank + 1, int(v), round(rel[v], ROUND_DIST))
+        for rank, v in enumerate(picked)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, vec_id long, relevance double"
     )
