@@ -1530,3 +1530,86 @@ def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
         )
     )
+
+
+@query(
+    "scan_orc",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           ROUND(avg(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC as a first-class source — the third columnar format next to
+    parquet (primary) and the text formats (csv/jsonl ingest). Unlike
+    those, ORC keeps the columnar contract: predicate pushdown, column
+    pruning, and stripe-level statistics all survive, so a table landed
+    by a Hive-era pipeline scans with the same plan shape as parquet.
+    Materialized once per fixture content fingerprint, read back with
+    the pinned schema, and certified against the parquet view — format
+    must never change answers."""
+    import os
+
+    from vector_search_playground_spark.queries.llm_pipeline import (
+        SCRATCH,
+        _fixture_fingerprint,
+    )
+    from vector_search_playground_spark.sources.formats import (
+        read_table,
+        write_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = _fixture_fingerprint(sf_dir, "documents")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(SCRATCH, f"documents_orc_{tag}_{fp}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_table(docs, path, fmt="orc")
+    got = read_table(spark, path, docs.schema, fmt="orc")
+    return got.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    SELECT event_type, bucket, n FROM (
+        SELECT event_type, bucket, n,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY n DESC, bucket ASC) AS rn
+        FROM (
+            SELECT event_type, CAST(user_id % 10 AS BIGINT) AS bucket,
+                   count(*) AS n
+            FROM events GROUP BY event_type, bucket
+        )
+    ) WHERE rn = 1 ORDER BY event_type
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per group (most frequent user bucket per event
+    type, min-value tiebreak) — the holistic aggregate SQL's MODE()
+    leaves tie-ordering undefined for, made hash-certifiable by building
+    it from count + row_number explicitly. Two hash-aggs: the first
+    shuffles (group, value) partial counts (map-side combine bounds the
+    exchange by the value domain), the second is a per-group top-1 window
+    over the already-aggregated relation — at 100 TB the window input is
+    |groups|·|value domain| rows, not the corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(
+            "event_type", (F.col("user_id") % 10).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n"), F.asc("bucket")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_type", "bucket", "n")
+        .orderBy("event_type")
+    )
