@@ -359,3 +359,39 @@ def test_pagerank_sums_to_one_and_positive(spark, sf_smoke):
     assert all(v > 0 for v in ranks)
     assert ranks == sorted(ranks, reverse=True)
     assert sum(ranks) <= 1.0 + 1e-6
+
+
+# --- plan shapes ------------------------------------------------------------
+
+
+def test_sequence_match_single_user_shuffle(spark, sf_smoke):
+    """The stream builder is ONE hash-agg shuffle on user_id; the pattern
+    relation joins broadcast (no second data shuffle)."""
+    import re
+
+    plan = _plan(A.sequence_match(spark, sf_smoke))
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
+    assert keys <= {"user_id", "pattern"}, (keys, plan)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_attribution_single_user_shuffle(spark, sf_smoke):
+    """Carry-forward window + aggregate: the only corpus exchange keys on
+    user_id (the final tiny channel agg repartitions |channels| rows)."""
+    plan = _plan(A.attribution_lasttouch(spark, sf_smoke))
+    assert plan.count("WindowExec") <= 1
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_lm_score_no_corpus_broadcast_of_tokens(spark, sf_smoke):
+    """The token relation is never broadcast (vocabulary join is planned
+    by measured size); the 1-row total IS broadcast."""
+    plan = _plan(C.lm_score(spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the 1-row total
+
+
+def test_hybrid_rrf_lists_bounded_before_fusion(spark, sf_smoke):
+    """Both ranking lists hit TakeOrderedAndProject before the fusion
+    join — the corpus never reaches a global window."""
+    plan = _plan(H.hybrid_search_rrf(spark, sf_smoke))
+    assert plan.count("TakeOrderedAndProject") >= 2, plan

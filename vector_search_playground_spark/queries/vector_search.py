@@ -201,7 +201,7 @@ def ids_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT e.vec_id, {_DDIST} AS dist
     FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id, {_Q0}
-    WHERE d.lang = 'en' AND {_DDIST} < {THRESHOLD}
+    WHERE d.lang = 'en'
     ORDER BY dist ASC, e.vec_id ASC
     LIMIT {K}
     """,
@@ -218,13 +218,18 @@ def knn_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exchange-free SortMergeJoin, sources/bucketed.py) — here AQE picks
     the physical join for the fixture layout. Filtered-ANN recall decay
     (the reason pgvector added iterative index scans) is an index-path
-    concern; this exact path is the oracle-checkable anchor."""
+    concern; this exact path is the oracle-checkable anchor.
+
+    No distance threshold here: combined with the metadata predicate it
+    left ≤1 surviving row at every fixture SF (0 at sf0.1 — caught by the
+    sf0.1 vacuity guard), so the certification was nearly empty. The
+    filtered pattern users actually run is `WHERE lang = .. ORDER BY dist
+    LIMIT k`, which certifies k real rows at every scale."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     embs = _with_query_vec(spark, sf_dir)
     return (
         embs.join(docs, embs.vec_id == docs.doc_id)
         .where(F.col("lang") == "en")
-        .where(F.col("dist") < THRESHOLD)
         .orderBy(F.asc("dist"), F.asc("vec_id"))
         .limit(K)
         .select("vec_id", "dist")
