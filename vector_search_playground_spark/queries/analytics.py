@@ -763,3 +763,75 @@ def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         zkey.alias("zkey"),
         F.floor(zkey / 4096).cast("int").alias("zshard"),
     )
+
+
+# --- pareto_frontier --------------------------------------------------------
+
+
+@query(
+    "pareto_frontier",
+    oracle="""
+    WITH pts AS (
+        SELECT o_orderkey,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+               o_totalprice AS price
+        FROM orders
+    ),
+    m AS (
+        SELECT o_orderkey, day, price,
+               min(price) OVER (ORDER BY day
+                                RANGE BETWEEN 1 FOLLOWING
+                                          AND UNBOUNDED FOLLOWING)
+                   AS min_later,
+               min(price) OVER (PARTITION BY day) AS min_same_day
+        FROM pts
+    )
+    SELECT o_orderkey, day, ROUND(price, 2) AS price
+    FROM m
+    WHERE (min_later IS NULL OR min_later > price)
+      AND price = min_same_day
+    ORDER BY day, o_orderkey
+    """,
+)
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline: orders not dominated on (cheaper, more recent) — the
+    Pareto-frontier verb (best price/freshness trade-offs) that naive SQL
+    writes as an O(n²) NOT EXISTS self-join.
+
+    Linearized with two window frames over the integer day key: a row
+    survives iff no STRICTLY LATER day has price ≤ it (RANGE frame
+    cummin from the right) and it is the minimum of its own day (peers
+    with equal price/day are mutually non-dominating and both survive).
+    One global sort — at 100 TB a rangeBetween window over a
+    range-partitioned sort, with no self-join and no pair explosion.
+    Exact dominance semantics certified value-for-value by the oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.select(
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("day"),
+        F.col("o_totalprice").alias("price"),
+    )
+    w_later = (
+        Window.orderBy("day").rangeBetween(1, Window.unboundedFollowing)
+    )
+    w_day = Window.partitionBy("day")
+    m = pts.select(
+        "o_orderkey",
+        "day",
+        "price",
+        F.min("price").over(w_later).alias("min_later"),
+        F.min("price").over(w_day).alias("min_same_day"),
+    )
+    return (
+        m.where(
+            (F.col("min_later").isNull() | (F.col("min_later") > F.col("price")))
+            & (F.col("price") == F.col("min_same_day"))
+        )
+        .select("o_orderkey", "day", F.round("price", 2).alias("price"))
+        .orderBy("day", "o_orderkey")
+    )
