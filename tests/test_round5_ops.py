@@ -395,3 +395,22 @@ def test_hybrid_rrf_lists_bounded_before_fusion(spark, sf_smoke):
     join — the corpus never reaches a global window."""
     plan = _plan(H.hybrid_search_rrf(spark, sf_smoke))
     assert plan.count("TakeOrderedAndProject") >= 2, plan
+
+
+def test_pagerank_paths_agree(spark, sf_smoke):
+    """Driver numpy path ≡ distributed loop path (cutoff forced to 0)."""
+    import vector_search_playground_spark.queries.graph as GG
+
+    small = {
+        r["node"]: r["rank"]
+        for r in GG._pagerank(spark, sf_smoke).collect()
+    }
+    dist = {
+        r["node"]: r["rank"]
+        for r in GG._pagerank(
+            spark, sf_smoke, small_graph_cutoff=0
+        ).collect()
+    }
+    assert set(small) == set(dist)
+    for node in small:
+        assert abs(small[node] - dist[node]) < 1e-9, node

@@ -121,14 +121,23 @@ def pagerank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores for entity-importance ranking. Power iteration with damping
     0.85, PR_ITERS rounds.
 
-    Scale shape per round: one join of the edge relation against the
-    rank vector (both keyed on the source node — the exchange is planned
-    once and reused) and one hash-agg on the destination. State is the
-    rank vector (|nodes| rows), never materialized driver-side; lineage
-    is truncated per round (localCheckpoint) so the plan stays constant-
-    size across iterations — the same discipline the label-propagation
-    path of connected_components uses. Top-PR_TOP emitted via
-    TakeOrderedAndProject; sum-to-1 is property-tested."""
+    Size-adaptive like ``connected_components`` (operators/dedup.py:480):
+    below the measured edge cutoff the EDGE LIST (never a corpus-scale
+    relation) collects and numpy runs the PR_ITERS sparse mat-vec rounds
+    in microseconds — 12 distributed rounds on a 4k-node graph would pay
+    12× per-round job overhead for empty work (measured 10.9 s → <1 s at
+    sf0.1). Above the cutoff, the distributed loop: per round, one join
+    of the edge relation against the rank vector (both keyed on the
+    source node — the exchange is planned once and reused) and one
+    hash-agg on the destination; rank state stays distributed and
+    localCheckpoint keeps plans constant-size. Both paths compute the
+    identical iteration; the distributed path is pinned by its own test
+    (tests/test_round5_ops.py) at a forced cutoff of 0."""
+    return _pagerank(spark, sf_dir)
+
+
+def _pagerank(spark: SparkSession, sf_dir: str,
+              small_graph_cutoff: int = 100_000) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_quantity") >= MIN_QTY)
         & (F.col("l_extendedprice") > MIN_PRICE)
@@ -144,6 +153,34 @@ def pagerank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    edges = edges.persist()
+    n_edges = edges.count()
+    if n_edges <= small_graph_cutoff:
+        import numpy as np
+
+        pairs = [(r["a"], r["b"]) for r in edges.collect()]
+        edges.unpersist(blocking=False)
+        node_ids = sorted({x for p in pairs for x in p})
+        idx = {v: i for i, v in enumerate(node_ids)}
+        n = len(node_ids)
+        src = np.array(
+            [idx[a] for a, b in pairs] + [idx[b] for a, b in pairs]
+        )
+        dst = np.array(
+            [idx[b] for a, b in pairs] + [idx[a] for a, b in pairs]
+        )
+        deg = np.bincount(src, minlength=n).astype(np.float64)
+        rank = np.full(n, 1.0 / n)
+        for _ in range(PR_ITERS):
+            contrib = np.bincount(
+                dst, weights=rank[src] / deg[src], minlength=n
+            )
+            rank = (1.0 - PR_DAMPING) / n + PR_DAMPING * contrib
+        order = np.lexsort((node_ids, -rank))[:PR_TOP]
+        rows = [
+            (int(node_ids[i]), float(round(rank[i], 8))) for i in order
+        ]
+        return spark.createDataFrame(rows, "node long, rank double")
     sym = (
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(
@@ -151,6 +188,7 @@ def pagerank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    edges.unpersist(blocking=False)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     out_edges = sym.join(deg, "src").localCheckpoint(eager=True)
     nodes = sym.select(F.col("src").alias("node")).distinct()
