@@ -72,3 +72,31 @@ def test_id_counter_recovers_from_interrupted_append(spark, tmp_path):
     assert len(set(ids)) == 4, f"id collision after interrupted append: {ids}"
     state = json.load(open(os.path.join(path, "_id_counter.json")))
     assert state["pending"] is False
+
+
+def test_search_hybrid_fuses_both_rankings(spark, tmp_path):
+    pg = Playground(spark, str(tmp_path / "hy"))
+    pg.create(
+        "the quick brown fox jumps over the lazy dog",
+        "a fast auburn fox leaps over a sleepy hound",
+        "completely unrelated database migration guide",
+        "spark executors shuffle partitions broadcast join",
+    )
+    hits = pg.search_hybrid("quick brown fox", k=3).collect()
+    assert 1 <= len(hits) <= 3
+    # the literal-match sentence must fuse to the top (lexical rank 1 +
+    # vector rank 1)
+    assert "quick brown fox" in hits[0].content
+    rrfs = [h.rrf for h in hits]
+    assert rrfs == sorted(rrfs, reverse=True)
+
+
+def test_dedup_groups_near_copies(spark, tmp_path):
+    pg = Playground(spark, str(tmp_path / "dd"))
+    base = "one two three four five six seven eight nine ten " * 3
+    pg.create(base.strip(), base.strip() + " extra", "totally different words here")
+    labels = {r.id: r.rep_id for r in pg.dedup().collect()}
+    assert len(labels) == 3
+    reps = set(labels.values())
+    # the two near-copies share a representative; the outlier is alone
+    assert len(reps) == 2

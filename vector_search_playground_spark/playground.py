@@ -145,3 +145,83 @@ class Playground:
             k=k,
             tiebreak="id",
         ).select("content", "dist")
+
+    def search_hybrid(self, query: str, k: int = DEFAULT_K,
+                      rrf_k0: int = 60) -> DataFrame:
+        """Lexical ⊕ vector hybrid search with reciprocal-rank fusion —
+        the facade verb over the ``hybrid_search_rrf`` machinery
+        (queries/hybrid.py): the query's tokens rank rows by match count
+        (tf of query terms), the embedding ranks by cosine, and
+        RRF(k0) fuses the two bounded top-2k lists. Returns
+        (content, rrf) descending."""
+        from pyspark.sql import Window
+
+        table = self._table()
+        depth = 2 * k
+        toks = [t for t in query.split(" ") if t]
+        vec = (
+            knn(
+                table,
+                embed_query(query, model=self.model),
+                vector_col="vector",
+                metric="cosine_norm",
+                threshold=None,
+                k=depth,
+                tiebreak="id",
+            )
+            .select("id", "dist")
+            .withColumn(
+                "r_vec",
+                F.row_number().over(
+                    Window.orderBy(F.asc("dist"), F.asc("id"))
+                ),
+            )
+            .select("id", "r_vec")
+        )
+        hits = F.size(
+            F.filter(F.split("content", " "), lambda w: w.isin(*toks))
+        )
+        lex = (
+            table.select("id", hits.alias("n_hits"))
+            .where(F.col("n_hits") > 0)
+            .orderBy(F.desc("n_hits"), F.asc("id"))
+            .limit(depth)
+            .withColumn(
+                "r_lex",
+                F.row_number().over(
+                    Window.orderBy(F.desc("n_hits"), F.asc("id"))
+                ),
+            )
+            .select("id", "r_lex")
+        )
+        fused = vec.join(lex, "id", "full_outer").select(
+            "id",
+            (
+                F.coalesce(1.0 / (rrf_k0 + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (rrf_k0 + F.col("r_vec")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+        return (
+            fused.join(table.select("id", "content"), "id")
+            .orderBy(F.desc("rrf"), F.asc("id"))
+            .limit(k)
+            .select("content", F.round("rrf", 6).alias("rrf"))
+        )
+
+    def dedup(self, jaccard_threshold: float = 0.7) -> DataFrame:
+        """Near-duplicate groups over the stored contents — the
+        training-data verb on the facade: MinHash-LSH banding + exact
+        Jaccard verify + min-id components (operators/dedup.py).
+        Returns (id, rep_id); keep rows where id == rep_id to
+        deduplicate the table."""
+        from vector_search_playground_spark.operators.dedup import dedup_near
+
+        labels = dedup_near(
+            self._table().select(
+                F.col("id").alias("doc_id"), F.col("content").alias("text")
+            ),
+            jaccard_threshold=jaccard_threshold,
+        )
+        return labels.select(
+            F.col("doc_id").alias("id"), F.col("rep_id")
+        )
