@@ -799,13 +799,18 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pareto-frontier verb (best price/freshness trade-offs) that naive SQL
     writes as an O(n²) NOT EXISTS self-join.
 
-    Linearized with two window frames over the integer day key: a row
-    survives iff no STRICTLY LATER day has price ≤ it (RANGE frame
-    cummin from the right) and it is the minimum of its own day (peers
-    with equal price/day are mutually non-dominating and both survive).
-    One global sort — at 100 TB a rangeBetween window over a
-    range-partitioned sort, with no self-join and no pair explosion.
-    Exact dominance semantics certified value-for-value by the oracle."""
+    A row survives iff no STRICTLY LATER day has price ≤ it and it is
+    the minimum of its own day (peers with equal price/day are mutually
+    non-dominating and both survive). The dominance thresholds are
+    computed on the PER-DAY AGGREGATE, not the row stream: one hash-agg
+    to |days| rows, a lag+cummin window over that tiny relation, and a
+    broadcast join back. The row-level alternative — a sliding
+    `RANGE 1 FOLLOWING → UNBOUNDED` frame — recomputes its frame per row
+    in Spark (no running-aggregate rewrite for bounded-edge frames):
+    measured 120 s at sf0.1 vs <1 s for this shape, and quadratic in
+    day-ties at 100 TB. Exact dominance semantics certified
+    value-for-value by the oracle (which keeps the declarative frame —
+    DuckDB evaluates it efficiently)."""
     o = load_table(spark, sf_dir, "orders")
     pts = o.select(
         "o_orderkey",
@@ -816,21 +821,23 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("day"),
         F.col("o_totalprice").alias("price"),
     )
-    w_later = (
-        Window.orderBy("day").rangeBetween(1, Window.unboundedFollowing)
-    )
-    w_day = Window.partitionBy("day")
-    m = pts.select(
-        "o_orderkey",
+    day_min = pts.groupBy("day").agg(F.min("price").alias("day_min"))
+    # min over strictly-later days = cummin of day_min scanning days DESC,
+    # shifted by one (lag): an UNBOUNDED PRECEDING running aggregate over
+    # the |days|-row relation — the frame Spark evaluates incrementally.
+    w_desc = Window.orderBy(F.desc("day"))
+    thresholds = day_min.select(
         "day",
-        "price",
-        F.min("price").over(w_later).alias("min_later"),
-        F.min("price").over(w_day).alias("min_same_day"),
+        "day_min",
+        F.min("day_min")
+        .over(w_desc.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("min_later"),
     )
     return (
-        m.where(
+        pts.join(F.broadcast(thresholds), "day")
+        .where(
             (F.col("min_later").isNull() | (F.col("min_later") > F.col("price")))
-            & (F.col("price") == F.col("min_same_day"))
+            & (F.col("price") == F.col("day_min"))
         )
         .select("o_orderkey", "day", F.round("price", 2).alias("price"))
         .orderBy("day", "o_orderkey")
