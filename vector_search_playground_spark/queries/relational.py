@@ -1613,3 +1613,85 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "bucket", "n")
         .orderBy("event_type")
     )
+
+
+@query(
+    "rollup_merge_partials",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type, count(*) AS n_events,
+           ROUND(sum(value), 2) AS sum_value,
+           ROUND(min(value), 2) AS min_value,
+           ROUND(max(value), 2) AS max_value,
+           ROUND(sum(value) / count(*), 6) AS avg_value
+    FROM events GROUP BY hour, event_type
+    """,
+)
+def rollup_merge_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algebraic partial-aggregate MERGE — the incremental-materialized-
+    view step ``rollup_hypertable`` deliberately avoids by splitting on a
+    group boundary. Here the split is an arbitrary instant, so the two
+    halves SHARE (hour, type) groups and the stored partials must be
+    re-aggregated: count = Σcounts, sum = Σsums, min/max of min/max, and
+    avg derived from (Σn, Σsum) at the end — the decomposition that is
+    correct where 'avg of avgs' silently is not.
+
+    The stored relation is (keys → n, sum, min, max) partials — the
+    mergeable state of every algebraic aggregate — so refreshing the view
+    after a new batch costs one aggregation OF THE BATCH plus a
+    groups-sized merge, never a history rescan. At 100 TB that is the
+    difference between a continuous aggregate and a nightly full rebuild.
+    The oracle computes the same result from raw in one pass:
+    incremental maintenance must never change answers."""
+    import os
+
+    from vector_search_playground_spark.queries.llm_pipeline import (
+        SCRATCH,
+        _fixture_fingerprint,
+    )
+
+    # Mid-hour split: both sides contribute partials to the same groups.
+    SPLIT_US = (1706140800 + 1800) * 1_000_000
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    fp = _fixture_fingerprint(sf_dir, "events")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(SCRATCH, f"rollup_partials_{tag}_{fp}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        partials(
+            ev.where(F.col("ts_us") < F.lit(SPLIT_US))
+        ).write.mode("overwrite").parquet(path)
+    hist = spark.read.parquet(path)
+    fresh = partials(ev.where(F.col("ts_us") >= F.lit(SPLIT_US)))
+    merged = (
+        hist.unionByName(fresh)
+        .groupBy("hour", "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("s").alias("s"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    return merged.select(
+        "hour",
+        "event_type",
+        "n_events",
+        F.round("s", 2).alias("sum_value"),
+        F.round("mn", 2).alias("min_value"),
+        F.round("mx", 2).alias("max_value"),
+        F.round(F.col("s") / F.col("n_events"), 6).alias("avg_value"),
+    )

@@ -185,3 +185,52 @@ def udf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_docs d, LATERAL tokenize_udtf(d.text) t
         """
     )
+
+
+@query(
+    "udf_map_arrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6)
+               AS charged
+    FROM lineitem
+    """,
+)
+def udf_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the zero-copy floor of the Python escape hatch:
+    batches arrive as raw ``pyarrow.RecordBatch`` (no pandas conversion,
+    no index materialization), the body is Arrow compute kernels, and the
+    result goes back as RecordBatches. The flavor to reach for when the
+    Python work is itself Arrow-native (feature libs, Arrow-backed
+    models): pandas' Series overhead disappears while keeping the same
+    vectorized contract. Arithmetic matches the SQL oracle exactly —
+    compute kernels are IEEE doubles, same as codegen. Rounded at 6 dp,
+    the product's full decimal precision (2dp × 2dp × 2dp), where no
+    exact .5 ties exist — Arrow rounds half-to-even, DuckDB half-away,
+    and at 4 dp they disagree on real fixture rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def charge(batches):
+        for b in batches:
+            price = b.column("l_extendedprice")
+            disc = b.column("l_discount")
+            tax = b.column("l_tax")
+            charged = pc.round(
+                pc.multiply(
+                    pc.multiply(price, pc.subtract(pa.scalar(1.0), disc)),
+                    pc.add(pa.scalar(1.0), tax),
+                ),
+                ndigits=6,
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_orderkey"), b.column("l_linenumber"), charged],
+                names=["l_orderkey", "l_linenumber", "charged"],
+            )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"
+    )
+    return li.mapInArrow(
+        charge, "l_orderkey long, l_linenumber int, charged double"
+    )
