@@ -414,3 +414,30 @@ def test_pagerank_paths_agree(spark, sf_smoke):
     assert set(small) == set(dist)
     for node in small:
         assert abs(small[node] - dist[node]) < 1e-9, node
+
+
+def test_rollup_merge_reuses_materialized_partials(spark, sf_smoke):
+    """Second invocation must serve history from the stored partials
+    (same fingerprint → same path, no rewrite)."""
+    import os
+
+    from vector_search_playground_spark.queries.llm_pipeline import (
+        SCRATCH,
+        _fixture_fingerprint,
+    )
+
+    R.rollup_merge_partials(spark, sf_smoke).count()
+    fp = _fixture_fingerprint(sf_smoke, "events")
+    tag = os.path.basename(sf_smoke.rstrip("/"))
+    path = os.path.join(SCRATCH, f"rollup_partials_{tag}_{fp}")
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    mtime = os.path.getmtime(os.path.join(path, "_SUCCESS"))
+    R.rollup_merge_partials(spark, sf_smoke).count()
+    assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == mtime
+
+
+def test_udf_map_arrow_plan_is_arrow(spark, sf_smoke):
+    from vector_search_playground_spark.queries import udf_surface as U
+
+    plan = _plan(U.udf_map_arrow(spark, sf_smoke))
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan, plan

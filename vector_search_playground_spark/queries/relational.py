@@ -1623,7 +1623,7 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(sum(value), 2) AS sum_value,
            ROUND(min(value), 2) AS min_value,
            ROUND(max(value), 2) AS max_value,
-           ROUND(sum(value) / count(*), 6) AS avg_value
+           ROUND(ROUND(sum(value), 2) / count(*), 6) AS avg_value
     FROM events GROUP BY hour, event_type
     """,
 )
@@ -1636,7 +1636,11 @@ def rollup_merge_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg derived from (Σn, Σsum) at the end — the decomposition that is
     correct where 'avg of avgs' silently is not.
 
-    The stored relation is (keys → n, sum, min, max) partials — the
+    The derived average divides the ROUNDED 2-dp sum (both engines then
+    divide the identical double; dividing each engine's own unrounded
+    partial-sum produced .5 rounding ties at any digit — caught by the
+    sf0.1 sweep). The stored relation is (keys → n, sum, min, max)
+    partials — the
     mergeable state of every algebraic aggregate — so refreshing the view
     after a new batch costs one aggregation OF THE BATCH plus a
     groups-sized merge, never a history rescan. At 100 TB that is the
@@ -1693,5 +1697,5 @@ def rollup_merge_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("s", 2).alias("sum_value"),
         F.round("mn", 2).alias("min_value"),
         F.round("mx", 2).alias("max_value"),
-        F.round(F.col("s") / F.col("n_events"), 6).alias("avg_value"),
+        F.round(F.round(F.col("s"), 2) / F.col("n_events"), 6).alias("avg_value"),
     )
