@@ -136,3 +136,47 @@ def adc_distance(codes_col, table: list[list[float]]):
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def load_or_fit_codebooks(emb: DataFrame, sf_dir: str):
+    """Codebooks cached per fixture content fingerprint (the ivf/lsh
+    index-sidecar discipline): fit once, serve every subsequent search
+    from the JSON sidecar. Returns (books, mse, was_cached) where mse is
+    the mean squared reconstruction error over the training sample —
+    the build-quality number ``index_build_pq`` surfaces."""
+    import json
+    import os
+
+    import numpy as np
+
+    from vector_search_playground_spark.queries.llm_pipeline import (
+        SCRATCH,
+        _fixture_fingerprint,
+    )
+
+    fp = _fixture_fingerprint(sf_dir, "embeddings")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(SCRATCH, f"pq_codebooks_{tag}_{fp}.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            state = json.load(f)
+        return np.array(state["books"]), float(state["mse"]), True
+    books = fit_codebooks(emb)
+    # reconstruction error on the same deterministic sample the fit used
+    rows = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(FIT_SAMPLE).collect()
+    )
+    x = _normalize(np.array([r["embedding"] for r in rows], dtype=np.float64))
+    d_sub = x.shape[1] // M_SUB
+    err = 0.0
+    for m in range(M_SUB):
+        sub = x[:, m * d_sub : (m + 1) * d_sub]
+        d2 = ((sub[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+        err += float(d2.min(axis=1).mean())
+    mse = err / M_SUB
+    tmp = f"{path}.tmp"
+    os.makedirs(SCRATCH, exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump({"books": books.tolist(), "mse": mse}, f)
+    os.replace(tmp, path)
+    return books, mse, False

@@ -575,14 +575,14 @@ def pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         adc_distance,
         adc_table,
         encode,
-        fit_codebooks,
+        load_or_fit_codebooks,
     )
     from vector_search_playground_spark.queries.llm_pipeline import (
         _recall_at_k,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    books = fit_codebooks(emb)
+    books, _mse, _cached = load_or_fit_codebooks(emb, sf_dir)
     qvec = [
         float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
     ]
@@ -671,4 +671,39 @@ def topk_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows, "rank int, vec_id long, relevance double"
+    )
+
+
+@query("index_build_pq")  # rows-only: build metrics, not a relation
+def index_build_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ index BUILD step (the one-off cost ``pq_search`` amortizes,
+    mirroring the index_build_ivf / ivf_search pair): fit the 8×16
+    codebooks on the deterministic sample, persist them as a
+    fingerprint-keyed sidecar, and emit the build scorecard — subspace
+    layout, sample size, and the mean squared reconstruction error over
+    the training sample, the number that predicts ADC ranking quality
+    before any query runs. The driver's rows-only check pins the build
+    contract (shape + error bound asserted in tests)."""
+    from vector_search_playground_spark.plans.pq import (
+        FIT_SAMPLE,
+        K_CODES,
+        M_SUB,
+        load_or_fit_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books, mse, cached = load_or_fit_codebooks(emb, sf_dir)
+    return spark.createDataFrame(
+        [
+            (
+                M_SUB,
+                K_CODES,
+                int(books.shape[2]),
+                FIT_SAMPLE,
+                round(float(mse), 6),
+                bool(cached),
+            )
+        ],
+        "m_sub int, k_codes int, d_sub int, fit_sample int, "
+        "mse double, served_from_cache boolean",
     )
