@@ -441,3 +441,9 @@ def test_udf_map_arrow_plan_is_arrow(spark, sf_smoke):
 
     plan = _plan(U.udf_map_arrow(spark, sf_smoke))
     assert "MapInArrow" in plan or "PythonMapInArrow" in plan, plan
+
+
+def test_mmr_in_row_diversity_columns(spark, sf_correct):
+    rows = H.topk_diverse(spark, sf_correct).collect()
+    assert rows[0]["avg_sim_mmr"] <= rows[0]["avg_sim_plain"] + 1e-9
+    assert len({(r["avg_sim_mmr"], r["avg_sim_plain"]) for r in rows}) == 1

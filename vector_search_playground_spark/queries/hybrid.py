@@ -665,12 +665,29 @@ def topk_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         picked.append(best)
         remaining.remove(best)
 
+    # In-row diversity proof for the driver's rows-only check: mean
+    # pairwise cosine similarity of the MMR set vs the plain top-k —
+    # the diversified page must never be MORE redundant than plain KNN
+    # (asserted in tests, visible to the driver in every row).
+    def avg_pairwise(sel: list[int]) -> float:
+        sims = [
+            sim[idx[a], idx[b]]
+            for i, a in enumerate(sel)
+            for b in sel[i + 1 :]
+        ]
+        return float(sum(sims) / len(sims)) if sims else 0.0
+
+    plain = ids[:K]
+    div_mmr = round(avg_pairwise(picked), ROUND_DIST)
+    div_plain = round(avg_pairwise(plain), ROUND_DIST)
     rows = [
-        (rank + 1, int(v), round(rel[v], ROUND_DIST))
+        (rank + 1, int(v), round(rel[v], ROUND_DIST), div_mmr, div_plain)
         for rank, v in enumerate(picked)
     ]
     return spark.createDataFrame(
-        rows, "rank int, vec_id long, relevance double"
+        rows,
+        "rank int, vec_id long, relevance double, "
+        "avg_sim_mmr double, avg_sim_plain double",
     )
 
 
