@@ -292,3 +292,65 @@ def test_cc_driver_path_equals_distributed_loop(spark, edges, n_nodes):
     }
     assert small == looped
     assert set(small) == set(range(n_nodes))
+
+
+# --- round-5 properties: Bloom filter and Z-order ---------------------------
+
+
+@given(
+    keys=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bloom_never_false_negative(spark, keys):
+    """∀ key sets: every inserted key passes the membership probe — the
+    property the exact-join correctness of join_bloom_filtered rests on."""
+    from vector_search_playground_spark.operators.bloom import (
+        build_bloom_words,
+        might_contain,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    words = build_bloom_words(df, "k")
+    assert df.where(~might_contain(words, F.col("k"))).count() == 0
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_zorder_interleave_matches_reference(spark, pts):
+    """∀ (x, y) byte pairs: the generated Spark bit-interleave equals the
+    independent Python reference implementation."""
+    from vector_search_playground_spark.queries.analytics import _Z_SPARK
+
+    def morton(x, y):
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(pts, "xb int, yb int")
+    got = df.select(F.expr(_Z_SPARK).cast("int").alias("z")).collect()
+    want = [morton(x, y) for x, y in pts]
+    assert [r["z"] for r in got] == want
