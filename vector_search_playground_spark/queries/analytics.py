@@ -842,3 +842,166 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "day", F.round("price", 2).alias("price"))
         .orderBy("day", "o_orderkey")
     )
+
+
+# --- time_weighted_avg ------------------------------------------------------
+
+
+@query(
+    "time_weighted_avg",
+    oracle="""
+    WITH seg AS (
+        SELECT user_id, value, epoch_us(ts) AS t,
+               lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY epoch_us(ts), event_id)
+                   AS t_next
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(value * (t_next - t)) / sum(t_next - t), 6) AS twa
+    FROM seg WHERE t_next IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user (the TimescaleDB `time_weight`
+    verb): each observation holds until the next one, so its weight is
+    the duration it was current — the correct average for
+    irregularly-sampled series, where the arithmetic mean over-weights
+    bursts. LOCF segments via lead() over (user, time): one shuffle on
+    user_id, a linear per-user sweep, then a hash-agg on the SAME key —
+    Catalyst reuses the exchange. Integer µs timestamps keep the weights
+    bit-identical across engines; only the final ratio rounds."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seg = ev.select(
+        "user_id",
+        "value",
+        F.col("ts_us").alias("t"),
+        F.lead("ts_us").over(w).alias("t_next"),
+    ).where(F.col("t_next").isNotNull())
+    dt = F.col("t_next") - F.col("t")
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value") * dt) / F.sum(dt), 6).alias("twa"),
+    )
+
+
+# --- gapfill_interpolate ----------------------------------------------------
+
+
+@query(
+    "gapfill_interpolate",
+    oracle="""
+    WITH span AS (
+        SELECT date_trunc('hour', min(ts)) AS t0,
+               date_trunc('hour', max(ts)) AS t1
+        FROM events WHERE event_type = 'purchase'
+    ),
+    spine AS (
+        SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS h FROM span
+    ),
+    hourly AS (
+        SELECT date_trunc('hour', ts) AS h, ROUND(avg(value), 6) AS v
+        FROM events WHERE event_type = 'purchase' GROUP BY h
+    ),
+    marked AS (
+        SELECT spine.h, hourly.v,
+               last_value(hourly.v IGNORE NULLS) OVER w AS prev_v,
+               last_value(CASE WHEN hourly.v IS NOT NULL
+                               THEN epoch_us(spine.h) END IGNORE NULLS)
+                   OVER w AS prev_t
+        FROM spine LEFT JOIN hourly ON spine.h = hourly.h
+        WINDOW w AS (ORDER BY spine.h
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    fwd AS (
+        SELECT h, v, prev_v, prev_t,
+               first_value(v IGNORE NULLS) OVER w2 AS next_v,
+               first_value(CASE WHEN v IS NOT NULL
+                                THEN epoch_us(h) END IGNORE NULLS)
+                   OVER w2 AS next_t
+        FROM marked
+        WINDOW w2 AS (ORDER BY h
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           CASE WHEN v IS NOT NULL THEN 'observed' ELSE 'interpolated' END
+               AS kind,
+           ROUND(COALESCE(v,
+               CASE
+                   WHEN prev_v IS NULL THEN next_v
+                   WHEN next_v IS NULL THEN prev_v
+                   ELSE prev_v + (next_v - prev_v)
+                        * (epoch_us(h) - prev_t) / (next_t - prev_t)
+               END), 6) AS value
+    FROM fwd
+    ORDER BY h
+    """,
+)
+def gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series with LINEAR interpolation (the
+    TimescaleDB `time_bucket_gapfill + interpolate` pair —
+    ``time_bucket_gapfill`` here fills with 0; this fills with the line
+    between the surrounding observations, which is what dashboards and
+    feature pipelines actually want for sparse series).
+
+    Mechanics: hour spine (sequence — metadata-sized), left join of the
+    aggregated hourly relation (broadcast), then two IGNORE NULLS
+    carry-forward/carry-backward windows over the SPINE (|hours| rows,
+    never the event stream) give each gap its bracketing observations;
+    the fill is pure arithmetic on epoch-µs integers. Edge gaps take the
+    nearest observed value. Everything past the hourly aggregate
+    operates on calendar-bounded data."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    span = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    spine = span.select(
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.round(F.avg("value"), 6).alias("v")
+    )
+    h_us = F.unix_micros(F.col("h").cast("timestamp"))
+    joined = spine.join(F.broadcast(hourly), "h", "left")
+    w_back = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = Window.orderBy("h").rowsBetween(0, Window.unboundedFollowing)
+    marked = joined.select(
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(w_back).alias("prev_v"),
+        F.last(F.when(F.col("v").isNotNull(), h_us), ignorenulls=True)
+        .over(w_back)
+        .alias("prev_t"),
+        F.first("v", ignorenulls=True).over(w_fwd).alias("next_v"),
+        F.first(F.when(F.col("v").isNotNull(), h_us), ignorenulls=True)
+        .over(w_fwd)
+        .alias("next_t"),
+    )
+    interp = (
+        F.when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v"))
+            * (h_us - F.col("prev_t"))
+            / (F.col("next_t") - F.col("prev_t"))
+        )
+    )
+    return (
+        marked.select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.when(F.col("v").isNotNull(), F.lit("observed"))
+            .otherwise(F.lit("interpolated"))
+            .alias("kind"),
+            F.round(F.coalesce("v", interp), 6).alias("value"),
+        )
+        .orderBy("hour")
+    )
