@@ -1005,3 +1005,39 @@ def gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+@query(
+    "agg_first_last",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           arg_min(value, epoch_us(ts) * 100 + event_id % 100) AS first_value,
+           arg_max(value, epoch_us(ts) * 100 + event_id % 100) AS last_value,
+           ROUND(arg_max(value, epoch_us(ts) * 100 + event_id % 100)
+                 - arg_min(value, epoch_us(ts) * 100 + event_id % 100), 2)
+               AS net_change
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last observation per series (TimescaleDB ``first()`` /
+    ``last()``): the open/close of each user's value stream plus the net
+    change — one hash-agg with ordered-argmin/argmax accumulators
+    (min_by/max_by), NO window and NO per-user sort: the aggregate
+    carries a single (key, value) candidate per group through map-side
+    partials, so at 100 TB this is strictly cheaper than the
+    row_number()-window phrasing. The ordering key folds the event_id
+    tiebreak into one integer (µs·100 + id%100 — exact in int64, ids
+    share the low-two-digit space) so both engines pick identical rows
+    when timestamps tie."""
+    ev = load_table(spark, sf_dir, "events")
+    okey = F.col("ts_us") * 100 + F.col("event_id") % 100
+    first_v = F.min_by("value", okey)
+    last_v = F.max_by("value", okey)
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        first_v.alias("first_value"),
+        last_v.alias("last_value"),
+        F.round(last_v - first_v, 2).alias("net_change"),
+    )
