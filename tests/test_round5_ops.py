@@ -447,3 +447,40 @@ def test_mmr_in_row_diversity_columns(spark, sf_correct):
     rows = H.topk_diverse(spark, sf_correct).collect()
     assert rows[0]["avg_sim_mmr"] <= rows[0]["avg_sim_plain"] + 1e-9
     assert len({(r["avg_sim_mmr"], r["avg_sim_plain"]) for r in rows}) == 1
+
+
+def test_agg_first_last_no_window(spark, sf_smoke):
+    """first/last per series is ONE hash-agg — no WindowExec, one
+    corpus exchange on the group key."""
+    plan = _plan(A.agg_first_last(spark, sf_smoke))
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_gapfill_interpolate_values_bracketed(spark, sf_smoke):
+    """Interpolated points lie within [min, max] of observed values and
+    every spine hour appears exactly once."""
+    rows = A.gapfill_interpolate(spark, sf_smoke).collect()
+    hours = [r["hour"] for r in rows]
+    assert len(hours) == len(set(hours))
+    obs = [r["value"] for r in rows if r["kind"] == "observed"]
+    if obs:
+        lo, hi = min(obs), max(obs)
+        for r in rows:
+            if r["kind"] == "interpolated":
+                assert lo - 1e-9 <= r["value"] <= hi + 1e-9
+
+
+def test_time_weighted_avg_bounds(spark, sf_smoke):
+    """TWA lies within each user's [min, max] value envelope."""
+    twa = {r["user_id"]: r["twa"] for r in A.time_weighted_avg(spark, sf_smoke).collect()}
+    env = {
+        r["user_id"]: (r["lo"], r["hi"])
+        for r in load_table(spark, sf_smoke, "events")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for u, v in twa.items():
+        lo, hi = env[u]
+        assert lo - 1e-9 <= v <= hi + 1e-9
