@@ -21,6 +21,15 @@ TZ_SENSITIVE = [
     "time_bucket_gapfill",
     "rollup_hypertable",
     "fn_date",
+    # round-5 time-touching additions: hour-truncations, date casts, and
+    # sequence ordering must all survive a foreign session zone
+    "sequence_match",
+    "attribution_lasttouch",
+    "rollup_merge_partials",
+    "gapfill_interpolate",
+    "time_weighted_avg",
+    "agg_first_last",
+    "pareto_frontier",
 ]
 
 
