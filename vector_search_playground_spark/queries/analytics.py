@@ -1041,3 +1041,43 @@ def agg_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         last_v.alias("last_value"),
         F.round(last_v - first_v, 2).alias("net_change"),
     )
+
+
+@query(
+    "series_volatility",
+    oracle="""
+    WITH d AS (
+        SELECT user_id,
+               value - lag(value) OVER (PARTITION BY user_id
+                                        ORDER BY epoch_us(ts), event_id)
+                   AS delta
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(delta) AS BIGINT) AS n_deltas,
+           ROUND(sum(abs(delta)), 2) AS total_variation,
+           CAST(count(*) FILTER (WHERE delta > 0) AS BIGINT) AS n_up,
+           CAST(count(*) FILTER (WHERE delta < 0) AS BIGINT) AS n_down
+    FROM d WHERE delta IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def series_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series volatility profile: total variation (Σ|Δ|) and
+    direction counts over each user's time-ordered value stream — the
+    step-change summary monitoring and drift detectors run. One lag()
+    window and one aggregate, BOTH keyed on user_id: Catalyst plans a
+    single exchange and the per-user sweep is linear. Deltas of exact
+    doubles are identical across engines; only the final sum rounds."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    d = ev.select(
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    ).where(F.col("delta").isNotNull())
+    return d.groupBy("user_id").agg(
+        F.count("delta").alias("n_deltas"),
+        F.round(F.sum(F.abs("delta")), 2).alias("total_variation"),
+        F.count(F.when(F.col("delta") > 0, 1)).alias("n_up"),
+        F.count(F.when(F.col("delta") < 0, 1)).alias("n_down"),
+    )
