@@ -26,3 +26,4 @@ from vector_search_playground_spark.queries import bucketjoin  # noqa: F401
 from vector_search_playground_spark.queries import analytics  # noqa: F401
 from vector_search_playground_spark.queries import hybrid  # noqa: F401
 from vector_search_playground_spark.queries import graph  # noqa: F401
+from vector_search_playground_spark.queries import reliability  # noqa: F401
