@@ -484,3 +484,36 @@ def test_time_weighted_avg_bounds(spark, sf_smoke):
     for u, v in twa.items():
         lo, hi = env[u]
         assert lo - 1e-9 <= v <= hi + 1e-9
+
+
+def test_ivf_pq_search_prunes_and_reranks(spark, sf_correct):
+    """IVFPQ must compound both savings: PartitionFilters on centroid_id
+    (listing-time pruning of the code sidecar) AND the ADC scan reading
+    codes, never embeddings; recall floor matches the pq_search bar."""
+    df = H.ivf_pq_search(spark, sf_correct)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan and "centroid_id" in plan, plan
+    rows = df.collect()
+    assert len(rows) == H.K
+    assert rows[0]["recall_at_k"] >= 0.5
+    dists = [r["dist"] for r in rows]
+    assert dists == sorted(dists)
+
+
+def test_ivf_pq_codes_sidecar_reused(spark, sf_correct):
+    """Second invocation must serve codes from the fingerprint-keyed
+    sidecar (no rewrite)."""
+    import os
+
+    from vector_search_playground_spark.queries.llm_pipeline import (
+        SCRATCH,
+        _fixture_fingerprint,
+    )
+
+    H.ivf_pq_search(spark, sf_correct).count()
+    fp = _fixture_fingerprint(sf_correct, "embeddings")
+    tag = os.path.basename(sf_correct.rstrip("/"))
+    marker = os.path.join(SCRATCH, f"ivfpq_codes_{tag}_{fp}", "_SUCCESS")
+    mtime = os.path.getmtime(marker)
+    H.ivf_pq_search(spark, sf_correct).count()
+    assert os.path.getmtime(marker) == mtime

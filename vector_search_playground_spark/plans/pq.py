@@ -81,9 +81,13 @@ def fit_codebooks(emb: DataFrame, *, vec_col: str = "embedding",
 
 
 def encode(emb: DataFrame, books, *, vec_col: str = "embedding",
-           id_col: str = "vec_id") -> DataFrame:
-    """(id, codes array<int>) — vectorized argmin per subspace in Arrow
-    batches; the codebook rides along as a closure broadcast."""
+           id_col: str = "vec_id",
+           passthrough: tuple[str, ...] = ()) -> DataFrame:
+    """(id, codes array<int>, *passthrough) — vectorized argmin per
+    subspace in Arrow batches; the codebook rides along as a closure
+    broadcast. ``passthrough`` columns (e.g. an IVF ``centroid_id``)
+    ride the projection untouched so a partitioned-code sidecar can be
+    written without a re-join."""
     from pyspark.sql.functions import pandas_udf
 
     m_sub, k_codes, d_sub = books.shape
@@ -103,7 +107,9 @@ def encode(emb: DataFrame, books, *, vec_col: str = "embedding",
             codes[:, m] = d2.argmin(axis=1)
         return pd.Series(list(codes))
 
-    return emb.select(id_col, pq_encode(F.col(vec_col)).alias("codes"))
+    return emb.select(
+        id_col, pq_encode(F.col(vec_col)).alias("codes"), *passthrough
+    )
 
 
 def adc_table(books, qvec) -> list[list[float]]:

@@ -773,25 +773,16 @@ def index_build_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_ivf(spark, path, centroids, qvec, k=10, nprobe=4)
 
 
-@query("ivf_search")  # rows-only: pruned search is approximate
-def ivf_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pruned IVF *search* over a pre-built index — the user-facing half of
-    the IVF pair (``index_build_ivf`` measures the one-off build; a user's
-    first question to an index is a query against it).
-
-    The index (centroid_id-partitioned parquet + centroid metadata JSON)
-    is built once per fixture directory and reused across invocations, so
-    this ID times the steady-state search path: rank 16 centroids
-    driver-side, scan only the nprobe=4 nearest cells — partition pruning
-    at file-listing time (PartitionFilters in the scan, asserted in
-    tests/test_llm_plans.py) — and TakeOrderedAndProject the top-10.
-    """
+def load_or_build_ivf(spark, sf_dir: str, emb: DataFrame):
+    """(index_path, centroids) for the fixture's IVF index, building the
+    centroid_id-partitioned parquet + centroid JSON sidecar on first use
+    (fingerprint-keyed, the codebook-cache discipline). Shared by
+    ``ivf_search`` and ``ivf_pq_search``."""
     import json
     import os
 
-    from vector_search_playground_spark.plans.ivf import build_ivf, search_ivf
+    from vector_search_playground_spark.plans.ivf import build_ivf
 
-    emb = load_table(spark, sf_dir, "embeddings")
     tag = os.path.basename(sf_dir.rstrip("/"))
     fp = _fixture_fingerprint(sf_dir, "embeddings")
     path = os.path.join(SCRATCH, f"ivf_index_{tag}_{fp}")
@@ -805,6 +796,26 @@ def ivf_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(tmp, "w") as f:
             json.dump(centroids, f)
         os.replace(tmp, meta)
+    return path, centroids
+
+
+@query("ivf_search")  # rows-only: pruned search is approximate
+def ivf_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pruned IVF *search* over a pre-built index — the user-facing half of
+    the IVF pair (``index_build_ivf`` measures the one-off build; a user's
+    first question to an index is a query against it).
+
+    The index (centroid_id-partitioned parquet + centroid metadata JSON)
+    is built once per fixture directory and reused across invocations, so
+    this ID times the steady-state search path: rank 16 centroids
+    driver-side, scan only the nprobe=4 nearest cells — partition pruning
+    at file-listing time (PartitionFilters in the scan, asserted in
+    tests/test_llm_plans.py) — and TakeOrderedAndProject the top-10.
+    """
+    from vector_search_playground_spark.plans.ivf import search_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path, centroids = load_or_build_ivf(spark, sf_dir, emb)
     qvec = [
         float(x)
         for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
