@@ -517,3 +517,80 @@ def test_ivf_pq_codes_sidecar_reused(spark, sf_correct):
     mtime = os.path.getmtime(marker)
     H.ivf_pq_search(spark, sf_correct).count()
     assert os.path.getmtime(marker) == mtime
+
+
+# --- lttb / eval_minhash ----------------------------------------------------
+
+
+def _lttb_reference(pts, n_out):
+    """Independent pure-Python LTTB (Steinarsson 2013 §4.2)."""
+    n = len(pts)
+    if n <= n_out:
+        return list(range(n))
+    import math
+
+    edges = [1 + math.floor(b * (n - 2) / (n_out - 2)) for b in range(n_out - 1)]
+    picked = [0]
+    for b in range(n_out - 2):
+        lo, hi = edges[b], edges[b + 1]
+        if b + 2 <= n_out - 2:
+            nlo, nhi = edges[b + 1], edges[b + 2]
+        else:
+            nlo, nhi = n - 1, n
+        cx = sum(p[0] for p in pts[nlo:nhi]) / (nhi - nlo)
+        cy = sum(p[1] for p in pts[nlo:nhi]) / (nhi - nlo)
+        ax, ay = pts[picked[-1]]
+        best, best_area = lo, -1.0
+        for i in range(lo, hi):
+            area = abs((ax - cx) * (pts[i][1] - ay) - (ax - pts[i][0]) * (cy - ay))
+            if area > best_area:
+                best, best_area = i, area
+        picked.append(best)
+    picked.append(n - 1)
+    return picked
+
+
+def test_lttb_matches_reference_and_invariants(spark, sf_smoke):
+    from collections import defaultdict
+
+    from vector_search_playground_spark.queries.analytics import (
+        LTTB_N_OUT,
+        lttb_downsample_q,
+    )
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "user_id", "ts_us", "value"
+    ).collect()
+    series = defaultdict(list)
+    for r in sorted(ev, key=lambda r: r["ts_us"]):
+        series[r["user_id"]].append((r["ts_us"], r["value"]))
+    got = defaultdict(list)
+    for r in lttb_downsample_q(spark, sf_smoke).collect():
+        got[r["user_id"]].append((r["bucket"], r["ts_us"], r["value"]))
+    assert set(got) == set(series)
+    for u, rows in got.items():
+        rows.sort()
+        pts = series[u]
+        ref = _lttb_reference(pts, LTTB_N_OUT)
+        assert [(t, v) for _, t, v in rows] == [pts[i] for i in ref], u
+        # endpoints preserved, ts monotone, bucket ordinal dense
+        assert rows[0][1] == pts[0][0] and rows[-1][1] == pts[-1][0]
+        assert [b for b, _, _ in rows] == list(range(len(rows)))
+
+
+def test_eval_minhash_error_bound(spark, sf_correct):
+    from vector_search_playground_spark.queries.llm_pipeline import eval_minhash
+
+    rows = eval_minhash(spark, sf_correct).collect()
+    assert rows
+    twins = [r for r in rows if r["kind"] == "twin"]
+    neighbors = [r for r in rows if r["kind"] == "neighbor"]
+    assert twins and neighbors
+    # planted twins really are near-dups; neighbors really are unrelated
+    assert sum(r["true_jaccard"] for r in twins) / len(twins) > 0.8
+    assert sum(r["true_jaccard"] for r in neighbors) / len(neighbors) < 0.2
+    # 32-hash MinHash: expected |err| ~ sqrt(J(1-J)/32) <= 0.09
+    mean_err = sum(r["abs_err"] for r in rows) / len(rows)
+    assert mean_err < 0.1, mean_err
+    for r in rows:
+        assert 0.0 <= r["est_jaccard"] <= 1.0

@@ -1,0 +1,82 @@
+"""Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013, public
+MSc thesis / timescaledb-toolkit ``lttb``): reduce each series to N
+visually-representative points — the downsampler charting frontends use,
+preserving spikes that bucket averages flatten.
+
+Algorithm (exact, per series): keep the first and last points; split the
+interior into N-2 equal-count buckets; walking left→right, pick from each
+bucket the point forming the LARGEST TRIANGLE with the previously picked
+point and the NEXT bucket's centroid.
+
+Spark mapping: one shuffle on the series key, then the greedy walk runs
+as a vectorized numpy kernel per group inside ``applyInPandas`` (the
+walk is inherently sequential in its bucket loop — N_OUT iterations over
+array slices, not per-row Python). Per-task state is one series; at
+100 TB you key by (series, time_chunk) so each chunk downsamples
+independently — same kernel, bounded memory either way.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+
+def lttb_downsample(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    t_col: str = "ts_us",
+    v_col: str = "value",
+    n_out: int = 20,
+) -> DataFrame:
+    """(key, t, v, bucket) — ≤ ``n_out`` LTTB-selected points per series,
+    deterministic (first-index tiebreak on equal areas via argmax)."""
+    schema = f"{key_col} long, {t_col} long, {v_col} double, bucket int"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values([t_col]).reset_index(drop=True)
+        n = len(pdf)
+        if n <= n_out:
+            out = pdf[[key_col, t_col, v_col]].copy()
+            out["bucket"] = np.arange(n, dtype=np.int32)
+            return out
+        t = pdf[t_col].to_numpy(dtype=np.float64)
+        v = pdf[v_col].to_numpy(dtype=np.float64)
+        # n_out-2 interior buckets over indices [1, n-1)
+        edges = 1 + np.floor(
+            np.arange(n_out - 1, dtype=np.float64) * (n - 2) / (n_out - 2)
+        ).astype(np.int64)
+        picked = [0]
+        for b in range(n_out - 2):
+            lo, hi = edges[b], edges[b + 1]
+            if b + 2 <= n_out - 2:
+                nlo, nhi = edges[b + 1], edges[b + 2]
+            else:
+                nlo, nhi = n - 1, n  # last anchor: the final point
+            cx, cy = t[nlo:nhi].mean(), v[nlo:nhi].mean()
+            ax, ay = t[picked[-1]], v[picked[-1]]
+            # 2·triangle area for every candidate in the bucket
+            area = np.abs(
+                (ax - cx) * (v[lo:hi] - ay) - (ax - t[lo:hi]) * (cy - ay)
+            )
+            picked.append(lo + int(area.argmax()))
+        picked.append(n - 1)
+        idx = np.array(picked)
+        return pd.DataFrame(
+            {
+                key_col: pdf[key_col].to_numpy()[idx],
+                t_col: pdf[t_col].to_numpy()[idx],
+                v_col: v[idx],
+                "bucket": np.arange(len(idx), dtype=np.int32),
+            }
+        )
+
+    return (
+        df.select(key_col, t_col, v_col)
+        .groupBy(key_col)
+        .applyInPandas(kernel, schema)
+    )

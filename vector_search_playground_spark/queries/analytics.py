@@ -1081,3 +1081,25 @@ def series_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("delta") > 0, 1)).alias("n_up"),
         F.count(F.when(F.col("delta") < 0, 1)).alias("n_down"),
     )
+
+
+# --- lttb_downsample --------------------------------------------------------
+
+LTTB_N_OUT = 20
+
+
+@query("lttb_downsample")  # rows-only: greedy geometric selection, not SQL
+def lttb_downsample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (operators/lttb.py,
+    Steinarsson 2013 — timescaledb-toolkit's `lttb`): each user's value
+    stream reduced to 20 visually-representative points, keeping the
+    spikes that bucket-average downsampling flattens. One shuffle on
+    user_id, then a vectorized numpy greedy walk per series in
+    applyInPandas (N_OUT bucket iterations over array slices — never
+    per-row Python). Endpoint/bucket invariants and a pure-Python
+    reference comparison are property-tested; the emitted `bucket`
+    ordinal makes the selection deterministic and auditable."""
+    from vector_search_playground_spark.operators.lttb import lttb_downsample
+
+    ev = load_table(spark, sf_dir, "events")
+    return lttb_downsample(ev, n_out=LTTB_N_OUT).orderBy("user_id", "bucket")

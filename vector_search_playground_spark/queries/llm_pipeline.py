@@ -939,3 +939,91 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("feature_sum"),
         F.coalesce(F.size("sampled_frames"), F.lit(0)).alias("n_sampled"),
     )
+
+
+# --- eval_minhash -----------------------------------------------------------
+
+
+@query("eval_minhash")  # rows-only: the estimator itself is the subject
+def eval_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash accuracy scorecard — the measurement loop that makes
+    ``dedup_near``'s signatures trustworthy (the eval_retrieval
+    discipline applied to dedup): for every document we pair it with a
+    planted near-duplicate twin (last token dropped — true Jaccard near
+    1) and with its id-neighbor (unrelated — true Jaccard near 0), then
+    emit per pair the 32-hash MinHash estimate, the EXACT shingle
+    Jaccard, and the absolute error. Expected |err| ≈ √(J(1−J)/32) ≤
+    0.09; the property suite pins the mean, the driver's rows-only
+    check pins shape + execution.
+
+    Scale shape: signatures come from the same fused one-pass Arrow
+    kernel dedup_near uses (no shingle explode); the exact side is the
+    candidate-bounded verify_jaccard join — pairs are O(n), never n².
+    The estimate is a codegen'd mean of 32 column equalities."""
+    from vector_search_playground_spark.operators.dedup import (
+        NUM_HASHES,
+        minhash_signatures_fused,
+        shingle_sets,
+        verify_jaccard,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = F.split("text", " ")
+    twins = docs.select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(tok, 1, F.greatest(F.size(tok) - 1, F.lit(1)))
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(twins)
+
+    ids = docs.select("doc_id")
+    pair_twin = ids.select(
+        F.col("doc_id").alias("a_id"),
+        (F.col("doc_id") + 1000000).alias("b_id"),
+        F.lit("twin").alias("kind"),
+    )
+    nxt = ids.select((F.col("doc_id") - 1).alias("a_id"),
+                     F.col("doc_id").alias("b_id"))
+    pair_neighbor = (
+        ids.select(F.col("doc_id").alias("a_id"))
+        .join(nxt, "a_id")
+        .select("a_id", "b_id", F.lit("neighbor").alias("kind"))
+    )
+    pairs = pair_twin.unionByName(pair_neighbor)
+
+    sigs = minhash_signatures_fused(corpus)
+    sa = sigs.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    )
+    est = pairs.join(sa, "a_id").join(sb, "b_id").select(
+        "a_id",
+        "b_id",
+        "kind",
+        (matches.cast("double") / NUM_HASHES).alias("est_jaccard"),
+    )
+    shingled = shingle_sets(corpus)
+    truth = verify_jaccard(pairs.select("a_id", "b_id"), shingled,
+                           threshold=0.0)
+    return (
+        est.join(truth, ["a_id", "b_id"])
+        .select(
+            "a_id",
+            "b_id",
+            "kind",
+            F.round("est_jaccard", 6).alias("est_jaccard"),
+            F.col("jaccard").alias("true_jaccard"),
+            F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6)
+            .alias("abs_err"),
+        )
+        .orderBy("a_id", "b_id")
+    )
