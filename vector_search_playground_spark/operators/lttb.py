@@ -35,7 +35,7 @@ def lttb_downsample(
     deterministic (first-index tiebreak on equal areas via argmax)."""
     schema = f"{key_col} long, {t_col} long, {v_col} double, bucket int"
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def one_series(pdf: "pd.DataFrame"):
         import numpy as np
 
         pdf = pdf.sort_values([t_col]).reset_index(drop=True)
@@ -75,8 +75,23 @@ def lttb_downsample(
             }
         )
 
-    return (
-        df.select(key_col, t_col, v_col)
-        .groupBy(key_col)
-        .applyInPandas(kernel, schema)
-    )
+    def per_partition(batches):
+        # ONE Python call per task, not per series: the grouped-map API
+        # pays a pandas round-trip for every group (thousands of tiny
+        # series → call-overhead-bound); here each task concatenates its
+        # partition's Arrow batches once and walks its series with a
+        # local groupby. Partition = all rows of its series (hash
+        # repartition below); at 100 TB key by (series, time_chunk) so
+        # per-task state stays bounded.
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        yield pd.concat(
+            [one_series(g) for _, g in pdf.groupby(key_col, sort=False)],
+            ignore_index=True,
+        )
+
+    src = df.select(key_col, t_col, v_col)
+    p = df.sparkSession.sparkContext.defaultParallelism
+    return src.repartition(p, key_col).mapInPandas(per_partition, schema)
