@@ -1103,3 +1103,76 @@ def lttb_downsample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return lttb_downsample(ev, n_out=LTTB_N_OUT).orderBy("user_id", "bucket")
+
+
+# --- histogram_buckets ------------------------------------------------------
+
+HIST_NBUCKETS = 10
+
+
+@query(
+    "histogram_buckets",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT min(value) AS vmin, max(value) AS vmax FROM events
+    ),
+    b AS (
+        SELECT event_type,
+               CAST(least({HIST_NBUCKETS} - 1,
+                          floor((value - vmin)
+                                / ((vmax - vmin) / {HIST_NBUCKETS})))
+                    AS INT) AS bucket,
+               vmin, vmax
+        FROM events, bounds
+    )
+    SELECT event_type, bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(any_value(vmin)
+                 + bucket * (any_value(vmax) - any_value(vmin))
+                   / {HIST_NBUCKETS}, 6) AS lo,
+           ROUND(any_value(vmin)
+                 + (bucket + 1) * (any_value(vmax) - any_value(vmin))
+                   / {HIST_NBUCKETS}, 6) AS hi
+    FROM b GROUP BY event_type, bucket
+    """,
+)
+def histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram per series (the TimescaleDB ``histogram``
+    verb): 10 buckets over the GLOBAL value range so per-type
+    distributions are directly comparable, with explicit [lo, hi) bucket
+    bounds in-row. Explicit floor arithmetic instead of width_bucket so
+    both engines share one edge semantics (top value clamps into the
+    last bucket).
+
+    Two tiny jobs fused by broadcast: the 1-row global bounds cross-join
+    into the scan (a constant, no shuffle), then ONE hash-agg on
+    (event_type, bucket) — partials carry counts only. The bucket id is
+    pure double arithmetic, identical across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    width = (F.col("vmax") - F.col("vmin")) / HIST_NBUCKETS
+    b = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.least(
+            F.lit(HIST_NBUCKETS - 1),
+            F.floor((F.col("value") - F.col("vmin")) / width),
+        )
+        .cast("int")
+        .alias("bucket"),
+        "vmin",
+        "vmax",
+    )
+    span = F.any_value(F.col("vmax")) - F.any_value(F.col("vmin"))
+    return b.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.any_value(F.col("vmin")) + F.col("bucket") * span / HIST_NBUCKETS, 6
+        ).alias("lo"),
+        F.round(
+            F.any_value(F.col("vmin"))
+            + (F.col("bucket") + 1) * span / HIST_NBUCKETS,
+            6,
+        ).alias("hi"),
+    )
