@@ -594,3 +594,15 @@ def test_eval_minhash_error_bound(spark, sf_correct):
     assert mean_err < 0.1, mean_err
     for r in rows:
         assert 0.0 <= r["est_jaccard"] <= 1.0
+
+
+def test_eval_dedup_scorecard(spark, sf_correct):
+    from vector_search_playground_spark.queries.llm_pipeline import eval_dedup
+
+    row = eval_dedup(spark, sf_correct).collect()[0]
+    # planted twins must be found (recall); transitive-closure pairs in
+    # >2-member clusters are honest false positives, so precision is
+    # bounded below but not 1.0 by construction
+    assert row["recall"] >= 0.95, row
+    assert row["precision"] >= 0.7, row
+    assert row["n_hit"] <= row["n_truth"] and row["n_hit"] <= row["n_pred"]

@@ -1027,3 +1027,74 @@ def eval_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a_id", "b_id")
     )
+
+
+# --- eval_dedup -------------------------------------------------------------
+
+
+@query("eval_dedup")  # rows-only: scores an approximate pipeline
+def eval_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup scorecard: run the full MinHash-LSH pipeline
+    (``dedup_near``) on documents ∪ planted near-dup twins and emit ONE
+    row of (n_truth, n_pred, n_hit, precision, recall, f1) against the
+    known ground truth — eval_retrieval pins the quantized index,
+    eval_minhash pins the signature estimator, this pins the PIPELINE
+    (banding + verify + connected components together).
+
+    All three scores reduce distributively: recall is a self-join of the
+    label relation on (i, i+1M) twin keys; the predicted-pair count is
+    Σ_cluster C(|cluster|,2) from one hash-agg on rep_id — the pair SET
+    is never materialized, so the scorecard costs two aggregates over
+    |docs| rows regardless of corpus size."""
+    from vector_search_playground_spark.operators.dedup import dedup_near
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = F.split("text", " ")
+    twins = docs.select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(tok, 1, F.greatest(F.size(tok) - 1, F.lit(1)))
+        ).alias("text"),
+    )
+    labels = dedup_near(docs.unionByName(twins)).persist()
+    try:
+        la = labels.select(
+            F.col("doc_id").alias("a_id"), F.col("rep_id").alias("rep_a")
+        )
+        lb = labels.select(
+            (F.col("doc_id") - 1000000).alias("a_id"),
+            F.col("rep_id").alias("rep_b"),
+        ).where(F.col("a_id") >= 0)
+        hit = (
+            la.join(lb, "a_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_truth"),
+                F.count(
+                    F.when(F.col("rep_a") == F.col("rep_b"), 1)
+                ).alias("n_hit"),
+            )
+        )
+        pred = (
+            labels.groupBy("rep_id")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .agg(
+                F.sum(F.col("sz") * (F.col("sz") - 1) / 2)
+                .cast("long")
+                .alias("n_pred")
+            )
+        )
+        prec = F.col("n_hit") / F.col("n_pred")
+        rec = F.col("n_hit") / F.col("n_truth")
+        return (
+            hit.crossJoin(pred)
+            .select(
+                "n_truth",
+                "n_pred",
+                "n_hit",
+                F.round(prec, 6).alias("precision"),
+                F.round(rec, 6).alias("recall"),
+                F.round(2 * prec * rec / (prec + rec), 6).alias("f1"),
+            )
+        )
+    finally:
+        labels.unpersist(blocking=False)
