@@ -179,3 +179,37 @@ def test_ohlc_bounds_and_coverage(spark, sf_smoke):
         assert r["n"] > 0
     events = _events(spark, sf_smoke)
     assert sum(r["n"] for r in rows) == len(events)
+
+
+def test_merge_intervals_long_swallows_short(spark):
+    """The case lag(e) phrasing gets wrong: one long interval spans
+    several later short ones — all must land in ONE island."""
+    from vector_search_playground_spark.operators.intervals import (
+        merge_intervals,
+    )
+
+    rows = [
+        # user 1: (0,100) swallows (10,20) and (30,40); (150,160) separate
+        (1, 1, 0, 100),
+        (1, 2, 10, 20),
+        (1, 3, 30, 40),
+        (1, 4, 150, 160),
+        # user 2: touching intervals merge (end == next start)
+        (2, 1, 0, 10),
+        (2, 2, 10, 20),
+        # user 3: chain where each extends the max
+        (3, 1, 0, 5),
+        (3, 2, 3, 8),
+        (3, 3, 7, 12),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, s long, e long")
+    got = {
+        (r["user_id"], r["island"]): (r["start_us"], r["end_us"], r["n_intervals"])
+        for r in merge_intervals(df).collect()
+    }
+    assert got == {
+        (1, 1): (0, 100, 3),
+        (1, 2): (150, 160, 1),
+        (2, 1): (0, 20, 2),
+        (3, 1): (0, 12, 3),
+    }

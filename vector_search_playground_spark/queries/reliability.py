@@ -243,6 +243,10 @@ def interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ones, which lag()-based phrasing gets wrong. One shuffle on
     user_id; the running-max window, the cumulative island counter, and
     the final per-island aggregate all reuse that exchange."""
+    from vector_search_playground_spark.operators.intervals import (
+        merge_intervals,
+    )
+
     ev = load_table(spark, sf_dir, "events")
     iv = ev.select(
         "user_id",
@@ -253,27 +257,7 @@ def interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.col("value") * _US_PER_MIN).cast("long")
         ).alias("e"),
     )
-    w = Window.partitionBy("user_id").orderBy("s", "event_id")
-    m = iv.withColumn(
-        "prev_max_e",
-        F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-    )
-    g = m.withColumn(
-        "brk",
-        F.when(
-            F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")),
-            1,
-        ).otherwise(0),
-    )
-    isl = g.withColumn(
-        "island",
-        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    return isl.groupBy("user_id", "island").agg(
-        F.count(F.lit(1)).alias("n_intervals"),
-        F.min("s").alias("start_us"),
-        F.max("e").alias("end_us"),
-    )
+    return merge_intervals(iv)
 
 
 # --- running_distinct -------------------------------------------------------
