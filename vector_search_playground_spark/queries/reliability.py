@@ -498,3 +498,60 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 2).alias("low"),
         F.round(F.max_by("value", okey), 2).alias("close"),
     )
+
+
+# --- activity_gaps ----------------------------------------------------------
+
+
+@query(
+    "activity_gaps",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events
+    ),
+    lagged AS (
+        SELECT user_id, d,
+               lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d
+        FROM days
+    )
+    SELECT user_id,
+           strftime(min(d), '%Y-%m-%d') AS first_day,
+           strftime(max(d), '%Y-%m-%d') AS last_day,
+           CAST(count(*) AS BIGINT) AS n_active_days,
+           CAST(date_diff('day', min(d), max(d)) + 1 - count(*) AS BIGINT)
+               AS n_missing_days,
+           CAST(COALESCE(max(date_diff('day', prev_d, d)), 0) AS BIGINT)
+               AS longest_gap_days
+    FROM lagged
+    GROUP BY user_id
+    """,
+)
+def activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity-gap profile (the churn-feature verb): active-day
+    count, missing days inside the [first, last] span, and the longest
+    silence in days — computed on the DISTINCT-DAY relation (≤ span
+    rows per user), never the event stream.
+
+    One shuffle on user_id feeds the distinct-day aggregate, the lag
+    window, and the final aggregate (same key throughout). The missing-
+    day count is pure date arithmetic — no calendar spine join, no
+    explode of the date range."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    lagged = days.withColumn("prev_d", F.lag("d").over(w))
+    return lagged.groupBy("user_id").agg(
+        F.date_format(F.min("d"), "yyyy-MM-dd").alias("first_day"),
+        F.date_format(F.max("d"), "yyyy-MM-dd").alias("last_day"),
+        F.count(F.lit(1)).alias("n_active_days"),
+        (
+            F.datediff(F.max("d"), F.min("d")) + 1 - F.count(F.lit(1))
+        ).cast("long").alias("n_missing_days"),
+        F.coalesce(F.max(F.datediff("d", "prev_d")), F.lit(0))
+        .cast("long")
+        .alias("longest_gap_days"),
+    )
