@@ -1,0 +1,204 @@
+"""Property and plan tests for the statistics tier
+(queries/statistics.py) — each query's scale/semantics claim pinned
+beyond the oracle hash."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from vector_search_playground_spark.queries import statistics as S
+from vector_search_playground_spark.sources import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --- basket_pairs -----------------------------------------------------------
+
+
+def test_basket_pairs_shape_and_plan(spark, sf_smoke):
+    df = S.basket_pairs(spark, sf_smoke)
+    plan = _plan(df)
+    # driver sees 20 rows via per-partition heaps, and the item-frequency
+    # relation broadcasts (the pair relation is the only shuffled side)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 20
+    sups = [r["support"] for r in rows]
+    assert sups == sorted(sups, reverse=True)
+    for r in rows:
+        assert r["part_a"] < r["part_b"]
+        assert r["lift"] > 0
+
+
+def test_basket_pairs_lift_identity(spark, sf_smoke):
+    """For any emitted pair, lift == support·N / (cnt_a·cnt_b) recomputed
+    from first principles on the basket relation."""
+    li = (
+        load_table(spark, sf_smoke, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    n = li.select("ok").distinct().count()
+    cnts = {r["pk"]: r["c"] for r in li.groupBy("pk").agg(F.count("*").alias("c")).collect()}
+    top = S.basket_pairs(spark, sf_smoke).collect()[0]
+    expect = round(top["support"] * n / (cnts[top["part_a"]] * cnts[top["part_b"]]), 6)
+    assert abs(top["lift"] - expect) < 1e-9
+
+
+# --- win_percentiles --------------------------------------------------------
+
+
+def test_win_percentiles_bounds_and_extremes(spark, sf_smoke):
+    df = S.win_percentiles(spark, sf_smoke).cache()
+    try:
+        bad = df.where(
+            (F.col("pct_rank") < 0)
+            | (F.col("pct_rank") > 1)
+            | (F.col("cume_dist") <= 0)
+            | (F.col("cume_dist") > 1)
+        ).count()
+        assert bad == 0
+        # every customer's distribution ends at cume_dist == 1 and starts
+        # at pct_rank == 0 (the unique tiebreak makes both deterministic)
+        per_cust = df.groupBy("o_custkey").agg(
+            F.min("pct_rank").alias("lo"), F.max("cume_dist").alias("hi")
+        )
+        assert per_cust.where((F.col("lo") != 0.0) | (F.col("hi") != 1.0)).count() == 0
+    finally:
+        df.unpersist()
+
+
+# --- trend_fit --------------------------------------------------------------
+
+
+def test_trend_fit_r2_bounds_and_n(spark, sf_smoke):
+    rows = S.trend_fit(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r["n"] >= 3
+        if r["r2"] is not None:
+            assert -1e-9 <= r["r2"] <= 1 + 1e-9
+
+
+def test_trend_fit_recovers_perfect_line(spark, sf_smoke, tmp_path):
+    """A synthetic exact line y = 2x + 1 must come back with slope 2,
+    intercept 1, r2 1 through the same query (written as an events-shaped
+    parquet fixture)."""
+    base = 1_704_067_200_000_000  # the query's 2024 epoch
+    day = 86_400_000_000
+    rows = [
+        (i, base + i * day, 7, 2.0 * i + 1.0, "click", "{}")
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, value double, event_type string, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r["user_id"]: r for r in S.trend_fit(spark, str(tmp_path)).collect()}
+    r = out[7]
+    assert r["n"] == 5
+    assert abs(r["slope"] - 2.0) < 1e-6
+    assert abs(r["intercept"] - 1.0) < 1e-6
+    assert abs(r["r2"] - 1.0) < 1e-6
+
+
+def test_trend_fit_single_hash_agg_no_window(spark, sf_smoke):
+    """Algebraic co-moment aggregation: one user_id exchange, no Window."""
+    plan = _plan(S.trend_fit(spark, sf_smoke))
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_regr" in plan or "partial" in plan.lower(), plan
+
+
+# --- outliers_mad -----------------------------------------------------------
+
+
+def test_outliers_mad_fence_is_robust(spark, sf_smoke):
+    """The whole point vs anomaly_zscore: median and MAD computed on the
+    fixture match the values recomputed after clipping the top 1% to an
+    absurd magnitude — a moment-based gate would move, the robust one
+    must not (median/MAD depend only on ranks around the middle)."""
+    out = {r["event_type"]: r for r in S.outliers_mad(spark, sf_smoke).collect()}
+    assert out
+    ev = load_table(spark, sf_smoke, "events").select("event_type", "value")
+    for etype, r in out.items():
+        vals = sorted(
+            x["value"] for x in ev.where(F.col("event_type") == etype).collect()
+        )
+        n = len(vals)
+        assert r["n"] == n
+        # exact interpolated median from first principles
+        lo = vals[(n - 1) // 2]
+        hi = vals[n // 2]
+        assert abs(r["median"] - round((lo + hi) / 2, 6)) < 1e-6
+        assert r["mad"] >= 0
+        assert 0 <= r["n_outliers"] < n
+
+
+# --- sample_per_group -------------------------------------------------------
+
+
+def test_sample_per_group_equals_naive_window(spark, sf_smoke):
+    """The salted two-stage cut must return EXACTLY the rows of the naive
+    one-whale-partition-per-group window it replaces."""
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "lang",
+        "doc_id",
+        F.md5(F.concat_ws(":", F.col("text"), F.col("doc_id"))).alias("skey"),
+    )
+    w = Window.partitionBy("lang").orderBy("skey", "doc_id")
+    naive = (
+        docs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 5)
+        .select("lang", "doc_id", "rk")
+    )
+    two_stage = S.sample_per_group(spark, sf_smoke)
+    assert sorted(map(tuple, two_stage.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+
+
+def test_sample_per_group_counts(spark, sf_smoke):
+    per = (
+        S.sample_per_group(spark, sf_smoke)
+        .groupBy("lang")
+        .agg(F.count("*").alias("c"), F.max("rk").alias("mx"))
+        .collect()
+    )
+    assert per
+    for r in per:
+        assert r["c"] <= 5 and r["mx"] <= 5
+
+
+# --- text_entropy -----------------------------------------------------------
+
+
+def test_text_entropy_bounds(spark, sf_smoke):
+    df = S.text_entropy(spark, sf_smoke).cache()
+    try:
+        assert df.count() == load_table(spark, sf_smoke, "documents").count()
+        rows = df.collect()
+        for r in rows:
+            # 0 ≤ H ≤ log2(alphabet); alphabet ≤ n_chars
+            assert -1e-9 <= r["entropy"] <= math.log2(max(r["n_chars"], 2)) + 1e-9
+            assert 0 < r["top_char_ratio"] <= 1
+    finally:
+        df.unpersist()
+
+
+def test_text_entropy_degenerate_doc(spark, tmp_path):
+    """A single repeated character has zero entropy and ratio 1."""
+    df = spark.createDataFrame(
+        [(0, "aaaa", "en", "src0", 4), (1, "ab", "en", "src0", 2)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in S.text_entropy(None or df.sparkSession, str(tmp_path)).collect()}
+    assert out[0]["entropy"] == 0.0 and out[0]["top_char_ratio"] == 1.0
+    assert abs(out[1]["entropy"] - 1.0) < 1e-9 and out[1]["top_char_ratio"] == 0.5

@@ -27,3 +27,4 @@ from vector_search_playground_spark.queries import analytics  # noqa: F401
 from vector_search_playground_spark.queries import hybrid  # noqa: F401
 from vector_search_playground_spark.queries import graph  # noqa: F401
 from vector_search_playground_spark.queries import reliability  # noqa: F401
+from vector_search_playground_spark.queries import statistics  # noqa: F401

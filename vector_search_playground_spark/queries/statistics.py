@@ -1,0 +1,429 @@
+"""Statistical-analytics tier: market-basket affinity, distribution
+ranks, per-series regression fits, robust outlier gates, scale-safe
+per-group sampling, and character-entropy quality scoring.
+
+The reference's engine (Postgres behind `/root/reference/src/main.rs:85-96`)
+exposes this whole family through SQL aggregates/windows; an analytics
+engine that replaces it needs the same verbs natively. Every query here
+is oracle-backed — exact SQL semantics on both engines.
+
+Scale discipline per query:
+- ``basket_pairs`` — the self-join is keyed on the ORDER key, so the
+  pair space is Σ C(basket,2) (basket sizes are bounded by business
+  reality), never corpus²; item frequencies broadcast back.
+- ``win_percentiles`` — windows partition by CUSTOMER (plentiful,
+  small partitions), not by a 3-value status column.
+- ``trend_fit`` — SQL-standard ``regr_*`` aggregates: algebraic
+  co-moment accumulators with map-side partials, one hash-agg on
+  user_id; x is re-based to the corpus epoch so the intercept is
+  well-conditioned (days-since-2024, not days-since-1970).
+- ``outliers_mad`` — two rounds of the distributed width-bucket
+  selection (operators/selection.py) for median and MAD; never a
+  holistic percentile buffer.
+- ``sample_per_group`` — exact deterministic top-n-by-hash per group
+  via the TWO-STAGE top-k pattern (salted local cut → tiny global
+  re-rank) so a 5-value group column never creates 5 whale partitions.
+- ``text_entropy`` — explode to (doc, char) then ONE hash-agg; the
+  shuffle carries character counts, never documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_search_playground_spark.registry import query
+from vector_search_playground_spark.sources import load_table
+
+# --- basket_pairs -----------------------------------------------------------
+
+
+@query(
+    "basket_pairs",
+    oracle="""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    n AS (SELECT count(DISTINCT ok) AS n_orders FROM b),
+    ic AS (SELECT pk, count(*) AS cnt FROM b GROUP BY pk),
+    pairs AS (
+        SELECT a.pk AS part_a, c.pk AS part_b, count(*) AS support
+        FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk
+        GROUP BY a.pk, c.pk
+    )
+    SELECT part_a, part_b,
+           CAST(support AS BIGINT) AS support,
+           ROUND(CAST(support AS DOUBLE) * n.n_orders
+                 / (ia.cnt * ib.cnt), 6) AS lift
+    FROM pairs
+    CROSS JOIN n
+    JOIN ic ia ON ia.pk = part_a
+    JOIN ic ib ON ib.pk = part_b
+    ORDER BY support DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity mining (association rules, the retail
+    `frequently bought together` verb): top part pairs co-occurring in
+    the same order, with lift = P(a,b) / (P(a)·P(b)) so popular-with-
+    everything items don't drown genuine affinities.
+
+    Shape at 100 TB: the candidate pair space comes from a self-join
+    keyed on the ORDER key — both sides shuffle once on l_orderkey and
+    the blow-up is Σ C(|basket|,2), bounded by real basket sizes, never
+    n². Item frequencies are a part-domain-sized aggregate broadcast
+    onto the pair relation; the order count is a 1-row literal. The
+    final top-20 is TakeOrderedAndProject — the driver sees 20 rows.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    n_orders = li.agg(F.countDistinct("ok").alias("n_orders"))
+    item_cnt = li.groupBy("pk").agg(F.count(F.lit(1)).alias("cnt"))
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(
+            F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return (
+        pairs.join(F.broadcast(n_orders))
+        .join(
+            F.broadcast(item_cnt.select(F.col("pk"), F.col("cnt").alias("cnt_a"))),
+            F.col("part_a") == F.col("pk"),
+        )
+        .drop("pk")
+        .join(
+            F.broadcast(item_cnt.select(F.col("pk"), F.col("cnt").alias("cnt_b"))),
+            F.col("part_b") == F.col("pk"),
+        )
+        .select(
+            "part_a",
+            "part_b",
+            F.col("support").cast("long").alias("support"),
+            F.round(
+                F.col("support").cast("double")
+                * F.col("n_orders")
+                / (F.col("cnt_a") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+# --- win_percentiles --------------------------------------------------------
+
+
+@query(
+    "win_percentiles",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def win_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing of every order within its customer's history:
+    ``percent_rank`` (rank-based, 0 for the cheapest) and ``cume_dist``
+    (fraction of the customer's orders at or below this price) —
+    completing the distribution-rank window family next to ``win_ntile``.
+
+    The window partitions by CUSTOMER — plentiful, bounded partitions
+    that spread across any cluster — never by a 3-value column like
+    order status, whose three whale partitions would serialize at
+    100 TB. The tiebreak key (o_orderkey) makes the row order, and
+    therefore both ranks, deterministic and hash-stable.
+    """
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        )
+    )
+
+
+# --- trend_fit --------------------------------------------------------------
+
+# Fixture events start 2024-01-01 (FIXTURES.md); re-basing x to that
+# epoch keeps the intercept O(value-range) instead of O(slope · 19723
+# days), so 6-dp rounding is stable on both engines.
+_EPOCH_2024_US = 1_704_067_200_000_000
+
+
+@query(
+    "trend_fit",
+    oracle=f"""
+    SELECT user_id,
+           CAST(regr_count(value, x) AS BIGINT) AS n,
+           ROUND(regr_slope(value, x), 6) AS slope,
+           ROUND(regr_intercept(value, x), 6) AS intercept,
+           ROUND(regr_r2(value, x), 6) AS r2
+    FROM (
+        SELECT user_id, value,
+               (epoch_us(ts) - {_EPOCH_2024_US}) / 86400000000.0 AS x
+        FROM events
+    )
+    GROUP BY user_id
+    HAVING regr_count(value, x) >= 3
+    """,
+)
+def trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend of event value over time — the SQL-standard
+    ``regr_slope/intercept/r2`` bivariate family (TimescaleDB exposes the
+    same via ``stats_agg``): is this user's activity value drifting up or
+    down, and how well does a line explain it?
+
+    Shape at 100 TB: the regr_* aggregates are ALGEBRAIC — five co-moment
+    accumulators (n, Σx, Σy, Σxy, Σx²…) with map-side partial merge — so
+    the plan is one hash-agg on user_id with partial aggregation before
+    the exchange; no window, no sort, no per-user buffering. x is days
+    since the corpus epoch (integer µs arithmetic re-based before the
+    double divide) for numeric conditioning.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        (
+            (F.col("ts_us") - F.lit(_EPOCH_2024_US)) / F.lit(86400000000.0)
+        ).alias("x"),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.regr_count("value", "x").cast("long").alias("n"),
+            F.round(F.regr_slope("value", "x"), 6).alias("slope"),
+            F.round(F.regr_intercept("value", "x"), 6).alias("intercept"),
+            F.round(F.regr_r2("value", "x"), 6).alias("r2"),
+        )
+        .where(F.col("n") >= 3)
+    )
+
+
+# --- outliers_mad -----------------------------------------------------------
+
+# 1.4826 ≈ 1/Φ⁻¹(3/4): scales MAD to the σ of a normal distribution, so
+# the 3-MAD gate matches the familiar 3-σ intuition but survives the
+# outliers themselves (unlike anomaly_zscore's moment-based gate, whose
+# mean and σ the outliers drag).
+_MAD_K = 1.4826
+
+
+@query(
+    "outliers_mad",
+    oracle=f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type,
+               quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        FROM events e JOIN med m ON e.event_type = m.event_type
+        GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(m.med, 6) AS median,
+           ROUND(d.mad, 6) AS mad,
+           CAST(count(*) FILTER (
+               WHERE abs(e.value - m.med) > 3 * {_MAD_K} * d.mad
+           ) AS BIGINT) AS n_outliers
+    FROM events e
+    JOIN med m ON e.event_type = m.event_type
+    JOIN mad d ON e.event_type = d.event_type
+    GROUP BY e.event_type, m.med, d.mad
+    """,
+)
+def outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier audit per event type: median / MAD (median absolute
+    deviation) and the count of values outside the 3-scaled-MAD fence.
+    The robust sibling of ``anomaly_zscore`` — a handful of extreme
+    values inflate a z-score's own mean and σ until the gate goes blind;
+    the median/MAD fence does not move.
+
+    Shape at 100 TB: both medians come from the distributed width-bucket
+    selection (``operators/selection.exact_quantiles``) — three linear
+    passes each, never Spark's holistic ``percentile`` buffer that
+    collects a whole group into one task. The per-type medians are
+    metadata (5 rows) folded back as literals; the final count is one
+    conditional hash-agg over a single scan.
+    """
+    from vector_search_playground_spark.operators.selection import (
+        exact_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = {k: v[0.5] for k, v in exact_quantiles(ev, "event_type", "value", [0.5]).items()}
+    med_col = F.coalesce(
+        *[
+            F.when(F.col("event_type") == k, F.lit(v))
+            for k, v in sorted(med.items())
+        ]
+    )
+    dev = ev.select("event_type", F.abs(F.col("value") - med_col).alias("adev"))
+    mad = {k: v[0.5] for k, v in exact_quantiles(dev, "event_type", "adev", [0.5]).items()}
+    mad_col = F.coalesce(
+        *[
+            F.when(F.col("event_type") == k, F.lit(v))
+            for k, v in sorted(mad.items())
+        ]
+    )
+    return (
+        ev.withColumn("med", med_col)
+        .withColumn("mad", mad_col)
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3 * _MAD_K * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round("med", 6).alias("median"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+        )
+    )
+
+
+# --- sample_per_group -------------------------------------------------------
+
+_SAMPLE_N = 5
+_SAMPLE_SALTS = 32
+
+
+@query(
+    "sample_per_group",
+    oracle=f"""
+    SELECT lang, doc_id, rk
+    FROM (
+        SELECT lang, doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(text || ':' || doc_id), doc_id
+               ) AS BIGINT) AS rk
+        FROM documents
+    )
+    WHERE rk <= {_SAMPLE_N}
+    """,
+)
+def sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size uniform sample per group (here: {n} docs
+    per language) — the `show me a few examples from every slice` verb,
+    and the reproducible alternative to ``TABLESAMPLE`` whose output
+    changes under repartitioning. Sampling key = md5(text:doc_id), so
+    reruns and engine changes cannot reshuffle the sample.
+
+    Shape at 100 TB: a naive ``row_number() OVER (PARTITION BY lang)``
+    creates one whale partition per language — 5 partitions for the
+    whole corpus. This is the TWO-STAGE exact top-k instead: a salted
+    local cut (partition by (lang, hash-salt): plentiful bounded
+    partitions, keep n per salt) feeds a global re-rank over ≤ salts·n
+    survivors per language — metadata-sized. Same rows as the naive
+    window, proven by the shared oracle.
+    """.format(n=_SAMPLE_N)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        F.md5(F.concat_ws(":", F.col("text"), F.col("doc_id"))).alias("skey"),
+    )
+    salted = docs.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(_SAMPLE_SALTS))
+    )
+    w_local = Window.partitionBy("lang", "salt").orderBy("skey", "doc_id")
+    survivors = (
+        salted.withColumn("lrk", F.row_number().over(w_local))
+        .where(F.col("lrk") <= _SAMPLE_N)
+        .drop("lrk", "salt")
+    )
+    w_global = Window.partitionBy("lang").orderBy("skey", "doc_id")
+    return (
+        survivors.withColumn(
+            "rk", F.row_number().over(w_global).cast("long")
+        )
+        .where(F.col("rk") <= _SAMPLE_N)
+        .select("lang", "doc_id", "rk")
+    )
+
+
+# --- text_entropy -----------------------------------------------------------
+
+
+@query(
+    "text_entropy",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+        FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+    ),
+    tot AS (
+        SELECT doc_id, sum(c) AS n, max(c) AS max_c FROM counts GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(t.n AS BIGINT) AS n_chars,
+           ROUND(-sum((c.c / t.n) * log2(c.c / t.n)), 6) AS entropy,
+           ROUND(CAST(t.max_c AS DOUBLE) / t.n, 6) AS top_char_ratio
+    FROM counts c JOIN tot t ON c.doc_id = t.doc_id
+    GROUP BY c.doc_id, t.n, t.max_c
+    """,
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy + top-character mass per document
+    — the classic gibberish/boilerplate gate in corpus quality filtering
+    (low entropy ⇒ repeated filler like 'aaaa…'; it rides next to the
+    token-level gates in ``text_quality`` / ``quality_gopher``).
+
+    Shape at 100 TB: explode to (doc_id, char) — row-local, no shuffle —
+    then ONE hash-agg on (doc_id, char) whose output is bounded by
+    |docs|·|alphabet|, a second metadata-sized agg for per-doc totals,
+    and the entropy fold over the counts relation. The corpus text
+    itself is never shuffled; only character counts move.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.explode_outer(F.expr("regexp_extract_all(text, '.', 0)")).alias("ch"),
+    ).where(F.col("ch").isNotNull())
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.max("c").alias("max_c")
+    )
+    p = F.col("c") / F.col("n")
+    return (
+        counts.join(tot, "doc_id")
+        .groupBy("doc_id", "n", "max_c")
+        .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("entropy"))
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_chars"),
+            "entropy",
+            F.round(F.col("max_c").cast("double") / F.col("n"), 6).alias(
+                "top_char_ratio"
+            ),
+        )
+    )
