@@ -83,3 +83,32 @@ def test_quantile_sketch_rank_error_bound(spark, sf_correct):
     rows = R.quantile_sketch(spark, sf_correct).collect()
     assert {r["quantile"] for r in rows} == {0.5, 0.9, 0.99}
     assert all(r["within_bound"] for r in rows), rows
+
+
+def test_join_nearest_join_free_single_exchange(spark, sf_smoke):
+    """The nearest-event join must stay join-free like its as-of twins:
+    union + two opposite-order windows sharing ONE user_id exchange —
+    never the per-user pair product the oracle states."""
+    import re
+
+    plan = _plan(R.join_nearest(spark, sf_smoke))
+    assert "Join" not in plan, plan
+    assert "Union" in plan and "Window" in plan, plan
+    hash_keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
+    assert hash_keys == {"user_id"}, (hash_keys, plan)
+
+
+def test_join_nearest_dominates_both_directions(spark, sf_smoke):
+    """For every purchase, the picked click is at least as close as both
+    the backward as-of answer and the forward as-of answer."""
+    near = {r["event_id"]: r for r in R.join_nearest(spark, sf_smoke).collect()}
+    back = {r["event_id"]: r["click_us"] for r in R.join_asof(spark, sf_smoke).collect()}
+    fwd = {r["event_id"]: r["click_us"] for r in R.join_asof_fwd(spark, sf_smoke).collect()}
+    assert set(near) == set(back) == set(fwd)
+    for eid, r in near.items():
+        cands = [c for c in (back[eid], fwd[eid]) if c is not None]
+        if not cands:
+            assert r["click_us"] is None
+            continue
+        best = min(abs(c - r["purchase_us"]) for c in cands)
+        assert abs(r["click_us"] - r["purchase_us"]) == best

@@ -378,6 +378,91 @@ def join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_nearest",
+    oracle="""
+    SELECT event_id, user_id, purchase_us, click_us
+    FROM (
+        SELECT p.event_id, p.user_id,
+               epoch_us(p.ts) AS purchase_us, epoch_us(c.ts) AS click_us,
+               row_number() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)),
+                            epoch_us(c.ts)
+               ) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+    )
+    WHERE rn = 1
+    """,
+)
+def join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-event join: for every purchase, the same-user click closest
+    in time in EITHER direction (ties go to the earlier click) — the third
+    member of the as-of family (QuestDB/kdb `aj` nearest flavor;
+    `join_asof` looks only backward, `join_asof_fwd` only forward).
+
+    Implemented with the same join-free union-scan construction: the two
+    candidate timestamps come from a backward carry (last click ≤ t) and a
+    forward carry (first click ≥ t) — two window passes over ONE user_id
+    exchange (same partitioning, opposite sort orders), then a row-local
+    pick of the smaller |Δ|. The oracle is the brute-force θ-join argmin;
+    this plan never materializes the per-user pair product, which is
+    quadratic in hot users at fact scale."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.col("ts_us")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        us.alias("ts_us"),
+        F.lit(0).alias("tag"),
+        us.alias("click_us"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        us.alias("ts_us"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("click_us"),
+    )
+    # Backward pass: at equal timestamps the click (tag 0) precedes the
+    # purchase in scan order, so an exactly-simultaneous click is visible
+    # in BOTH directions — matching the oracle's inclusive |Δ| = 0.
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts_us"), F.asc("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    both = (
+        clicks.unionByName(purchases)
+        .withColumn("back_us", F.last("click_us", ignorenulls=True).over(w_back))
+        .withColumn("fwd_us", F.last("click_us", ignorenulls=True).over(w_fwd))
+        .where(F.col("tag") == 1)
+    )
+    d_back = F.col("ts_us") - F.col("back_us")
+    d_fwd = F.col("fwd_us") - F.col("ts_us")
+    nearest = (
+        F.when(F.col("back_us").isNull(), F.col("fwd_us"))
+        .when(F.col("fwd_us").isNull(), F.col("back_us"))
+        # tie → the earlier (backward) click, like the oracle's
+        # (|Δ|, click_us) ordering
+        .when(d_back <= d_fwd, F.col("back_us"))
+        .otherwise(F.col("fwd_us"))
+    )
+    return both.select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("purchase_us"),
+        nearest.alias("click_us"),
+    )
+
+
+@query(
     "join_range",
     oracle="""
     SELECT a.event_id AS err_id, b.event_id AS evt_id,
