@@ -202,3 +202,88 @@ def test_text_entropy_degenerate_doc(spark, tmp_path):
     out = {r["doc_id"]: r for r in S.text_entropy(None or df.sparkSession, str(tmp_path)).collect()}
     assert out[0]["entropy"] == 0.0 and out[0]["top_char_ratio"] == 1.0
     assert abs(out[1]["entropy"] - 1.0) < 1e-9 and out[1]["top_char_ratio"] == 0.5
+
+
+# --- heavy_hitters_cms ------------------------------------------------------
+
+
+def test_cms_never_underestimates_and_bounded(spark, sf_smoke):
+    rows = S.heavy_hitters_cms(spark, sf_smoke).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["est_count"] >= r["exact_count"]  # CMS one-sided error
+        assert r["err"] == r["est_count"] - r["exact_count"]
+        assert r["within_bound"]
+
+
+def test_cms_build_is_mergeable_partial_agg(spark, sf_smoke):
+    """The sketch build must partial-aggregate before the exchange — the
+    map-side partials ARE per-task partial sketches; their merge by key
+    is the CMS merge."""
+    plan = _plan(S.heavy_hitters_cms(spark, sf_smoke))
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+# --- ewma_smooth ------------------------------------------------------------
+
+
+def test_ewma_first_row_is_raw_value(spark, sf_smoke):
+    from vector_search_playground_spark.queries import analytics as A
+
+    ev = load_table(spark, sf_smoke, "events")
+    first = {
+        r["user_id"]: r
+        for r in ev.orderBy("ts_us", "event_id")
+        .groupBy("user_id")
+        .agg(
+            F.min_by("value", F.struct("ts_us", "event_id")).alias("v0"),
+            F.min_by("event_id", F.struct("ts_us", "event_id")).alias("e0"),
+        )
+        .collect()
+    }
+    out = {
+        (r["user_id"], r["event_id"]): r["ewma_micro"]
+        for r in A.ewma_smooth(spark, sf_smoke).collect()
+    }
+    import math
+
+    for uid, r in first.items():
+        got = out[(uid, r["e0"])]
+        assert got == math.floor(r["v0"] * 1000000.0 + 0.5)
+
+
+def test_ewma_stays_within_running_envelope(spark, sf_smoke):
+    """EWMA is a convex combination of the prefix — it can never leave
+    the [running min, running max] envelope of the values seen so far."""
+    from pyspark.sql import Window
+
+    from vector_search_playground_spark.queries import analytics as A
+
+    ev = load_table(spark, sf_smoke, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    env = ev.select(
+        "user_id",
+        "event_id",
+        F.min("value").over(w).alias("lo"),
+        F.max("value").over(w).alias("hi"),
+    )
+    joined = A.ewma_smooth(spark, sf_smoke).join(env, ["user_id", "event_id"])
+    bad = joined.where(
+        (F.col("ewma_micro") < F.floor(F.col("lo") * 1e6 + 0.5) - 1)
+        | (F.col("ewma_micro") > F.floor(F.col("hi") * 1e6 + 0.5) + 1)
+    ).count()
+    assert bad == 0
+
+
+def test_ewma_single_user_exchange(spark, sf_smoke):
+    import re
+
+    from vector_search_playground_spark.queries import analytics as A
+
+    plan = _plan(A.ewma_smooth(spark, sf_smoke))
+    hash_keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
+    assert hash_keys == {"user_id"}, (hash_keys, plan)

@@ -1176,3 +1176,84 @@ def histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hi"),
     )
+
+
+# --- ewma_smooth ------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+
+
+@query(
+    "ewma_smooth",
+    oracle=f"""
+    WITH RECURSIVE s AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ), r AS (
+        SELECT user_id, event_id, rn, ts_us, value AS ewma
+        FROM s WHERE rn = 1
+        UNION ALL
+        SELECT s.user_id, s.event_id, s.rn, s.ts_us,
+               {_EWMA_ALPHA} * s.value + {1 - _EWMA_ALPHA} * r.ewma
+        FROM s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, ts_us,
+           CAST(floor(ewma * 1000000.0 + 0.5) AS BIGINT) AS ewma_micro
+    FROM r
+    """,
+)
+def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of event value per user
+    (α = {a}) — the classic streaming smoother (PromQL/monitoring EWMA,
+    pandas ``ewm``). Inherently RECURSIVE: y_t = αx_t + (1-α)y_{{t-1}},
+    which no finite SQL window expresses; the oracle states the same
+    recursion as a recursive CTE, and both engines agree bit-for-bit at
+    6 dp (probed: pandas' adjust=False recursion ≡ the CTE's arithmetic).
+
+    Shape at 100 TB: ``applyInPandas`` over user_id — ONE shuffle; each
+    task smooths its users' series with the C-speed vectorized ``ewm``
+    kernel (never a per-row Python loop). Series length per user is
+    bounded by retention; no state crosses users, so the job scales with
+    the number of users, exactly like sessionization.
+    """.format(a=_EWMA_ALPHA)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts_us", "value"
+    )
+
+    def smooth(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values(["user_id", "ts_us", "event_id"])
+        # explicit float64 recursion with the SAME literals and op order
+        # as the oracle CTE (pandas' ewm kernel internally divides by
+        # old_wt+new_wt ≈ 1+ε, drifting ulps apart over long series —
+        # caught at sf0.1)
+        a, b = _EWMA_ALPHA, 1 - _EWMA_ALPHA
+        xs = pdf["value"].to_numpy()
+        out = np.empty_like(xs)
+        starts = pdf["user_id"].ne(pdf["user_id"].shift()).to_numpy()
+        acc = 0.0
+        for i, x in enumerate(xs):
+            acc = x if starts[i] else a * x + b * acc
+            out[i] = acc
+        pdf["ewma"] = out
+        return pdf[["user_id", "event_id", "ts_us", "ewma"]]
+
+    # Emit micro-units via floor(x·1e6 + 0.5): BOTH engines run the same
+    # IEEE ops on the same double, so the result is bit-deterministic.
+    # (F.round's exact BigDecimal half-up vs DuckDB's float-multiply
+    # ROUND disagree on knife-edge values — caught at sf0.1.)
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(
+            smooth, "user_id long, event_id long, ts_us long, ewma double"
+        )
+        .withColumn(
+            "ewma_micro",
+            F.floor(F.col("ewma") * F.lit(1000000.0) + F.lit(0.5)).cast("long"),
+        )
+        .drop("ewma")
+    )

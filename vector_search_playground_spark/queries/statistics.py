@@ -427,3 +427,121 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- heavy_hitters_cms ------------------------------------------------------
+
+_CMS_D = 4  # independent hash rows
+_CMS_W = 512  # buckets per row
+_CMS_TOPN = 10
+
+
+@query(
+    "heavy_hitters_cms",
+    oracle=f"""
+    WITH n AS (SELECT count(*) AS n_rows FROM lineitem),
+    cms AS (
+        SELECT seed,
+               CAST('0x' || substr(md5(l_partkey || ':' || seed), 1, 8)
+                    AS BIGINT) % {_CMS_W} AS bucket,
+               count(*) AS c
+        FROM lineitem CROSS JOIN (
+            SELECT unnest(range({_CMS_D})) AS seed
+        )
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT l_partkey AS part_key, count(*) AS exact_count
+        FROM lineitem GROUP BY 1
+        ORDER BY exact_count DESC, part_key LIMIT {_CMS_TOPN}
+    ),
+    probe AS (
+        SELECT e.part_key, e.exact_count, s.seed,
+               CAST('0x' || substr(md5(e.part_key || ':' || s.seed), 1, 8)
+                    AS BIGINT) % {_CMS_W} AS bucket
+        FROM exact e CROSS JOIN (
+            SELECT unnest(range({_CMS_D})) AS seed
+        ) s
+    )
+    SELECT p.part_key,
+           CAST(p.exact_count AS BIGINT) AS exact_count,
+           CAST(min(cms.c) AS BIGINT) AS est_count,
+           CAST(min(cms.c) - p.exact_count AS BIGINT) AS err,
+           ROUND(2.0 * n.n_rows / {_CMS_W}, 6) AS err_bound,
+           (min(cms.c) - p.exact_count) <= 2.0 * n.n_rows / {_CMS_W}
+               AS within_bound
+    FROM probe p
+    JOIN cms ON cms.seed = p.seed AND cms.bucket = p.bucket
+    CROSS JOIN n
+    GROUP BY p.part_key, p.exact_count, n.n_rows
+    ORDER BY exact_count DESC, part_key
+    """,
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimation, hash-certified end-to-end:
+    build a D×W CMS over the lineitem part stream, then probe the true
+    top-{n} parts and emit (exact, estimate, error, ε-bound, flag) per
+    probe. Because the hash rows are md5-derived (bit-identical on both
+    engines) the sketch is DETERMINISTIC — unlike HLL/GK this sketch
+    query gets a full value-hash oracle, not a rows-only check.
+
+    Shape at 100 TB: the sketch build is the textbook MERGEABLE pattern —
+    explode each row to its D (seed, bucket) cells, then ONE hash-agg:
+    map-side partial aggregation builds a per-task partial CMS (≤ D·W
+    cells) and the exchange carries only those partials; the shuffle
+    never scales with the fact table. The probe side is {n}·D metadata
+    rows broadcast against the D·W-cell sketch. CMS never underestimates
+    (est ≥ exact, test-pinned); the ε = 2/W Markov bound is emitted
+    in-row so the estimate's quality is part of the certified result.
+    """.format(n=_CMS_TOPN)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("part_key")
+    )
+    n_rows = li.agg(F.count(F.lit(1)).alias("n_rows"))
+    seeds = F.array([F.lit(s) for s in range(_CMS_D)])
+
+    def bucket(key_col, seed_col):
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", key_col, seed_col)), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(_CMS_W),
+        )
+
+    cells = li.select(
+        "part_key", F.explode(seeds).alias("seed")
+    ).select("seed", bucket(F.col("part_key"), F.col("seed")).alias("bucket"))
+    cms = cells.groupBy("seed", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = (
+        li.groupBy("part_key")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "part_key")
+        .limit(_CMS_TOPN)
+    )
+    probe = exact.select(
+        "part_key", "exact_count", F.explode(seeds).alias("seed")
+    ).withColumn("bucket", bucket(F.col("part_key"), F.col("seed")))
+    est = (
+        cms.join(F.broadcast(probe), ["seed", "bucket"])
+        .groupBy("part_key", "exact_count")
+        .agg(F.min("c").alias("est"))
+    )
+    bound = 2.0 * F.col("n_rows") / F.lit(_CMS_W)
+    return (
+        est.crossJoin(F.broadcast(n_rows))
+        .select(
+            "part_key",
+            F.col("exact_count").cast("long").alias("exact_count"),
+            F.col("est").cast("long").alias("est_count"),
+            (F.col("est") - F.col("exact_count")).cast("long").alias("err"),
+            F.round(bound, 6).alias("err_bound"),
+            ((F.col("est") - F.col("exact_count")) <= bound).alias(
+                "within_bound"
+            ),
+        )
+        .orderBy(F.desc("exact_count"), "part_key")
+    )
