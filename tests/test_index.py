@@ -151,3 +151,67 @@ def test_registered_searches_surface_recall(spark):
     r_lsh = lsh.select("recall_at_k").first()[0]
     assert 0.0 <= r_lsh <= 1.0
     assert r_lsh >= 0.1, f"lsh recall@10 collapsed: {r_lsh}"
+
+
+def test_range_search_ivf_prunes_clustered_and_stays_complete(spark, tmp_path):
+    """On a PLANTED clustered corpus the angular triangle-inequality prune
+    must (a) skip most cells and (b) still return exactly the brute-force
+    answer — completeness is a theorem, not a recall target."""
+    import math
+    import random
+
+    import numpy as np
+
+    from vector_search_playground_spark.plans.ivf import (
+        build_ivf,
+        cell_radii,
+        range_search_ivf,
+    )
+
+    rng = random.Random(7)
+    # 8 tight clusters on well-separated axes of a 16-dim sphere
+    rows = []
+    for i in range(400):
+        c = i % 8
+        v = np.zeros(16)
+        v[c * 2] = 1.0
+        v += np.array([rng.gauss(0, 0.05) for _ in range(16)])
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivf")
+    centroids = build_ivf(emb, path, k=8, seed=1)
+    radii = cell_radii(spark, path, centroids)
+    assert all(r < math.pi / 4 for r in radii)  # tight cells
+
+    query = rows[0][1]
+    t = 0.3
+    got = range_search_ivf(spark, path, centroids, radii, query, t)
+    # prune must actually prune: the scanned relation is a partition-
+    # filtered read of fewer cells than the index holds
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert m, plan
+    # count survivors directly from the operator's own math
+    def ang(c):
+        dot = sum(x * y for x, y in zip(c, query))
+        nc = math.sqrt(sum(x * x for x in c))
+        return math.acos(max(-1.0, min(1.0, dot / nc)))
+
+    theta_t = math.acos(1.0 - (t + 1e-6))
+    kept = sum(1 for i, c in enumerate(centroids) if ang(c) - radii[i] <= theta_t + 1e-9)
+    assert kept < 8, (kept, radii)
+
+    # completeness: exact brute force over the raw relation
+    from vector_search_playground_spark.functions.vector import cosine_distance
+    from pyspark.sql import functions as F
+
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    brute = (
+        emb.withColumn("dist", F.round(cosine_distance("embedding", qlit), 6))
+        .where(F.col("dist") < t)
+        .select("vec_id", "dist")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, brute.collect()))

@@ -96,3 +96,93 @@ def search_ivf(
         .limit(k)
         .select(id_col, F.round("dist", 6).alias("dist"))
     )
+
+
+def cell_radii(
+    spark: SparkSession,
+    path: str,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+) -> list[float]:
+    """Max ANGULAR distance (radians) from each centroid to its members —
+    the per-cell covering radius that makes radius search exactly
+    complete via the triangle inequality on angles.
+
+    One linear pass over the index (16-row broadcast join + hash-agg);
+    at scale this is computed once at build time and cached next to the
+    centroid metadata, exactly like the caller does here.
+    """
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "centroid_id int, centroid array<double>",
+    )
+    idx = spark.read.parquet(path)
+    cos_sim = F.lit(1.0) - cosine_distance(F.col(vec_col), F.col("centroid"))
+    ang = F.acos(F.least(F.lit(1.0), F.greatest(F.lit(-1.0), cos_sim)))
+    rows = (
+        idx.join(F.broadcast(cdf), "centroid_id")
+        .groupBy("centroid_id")
+        .agg(F.max(ang).alias("r"))
+        .collect()
+    )
+    radii = [0.0] * len(centroids)
+    for row in rows:
+        radii[row["centroid_id"]] = float(row["r"])
+    return radii
+
+
+def range_search_ivf(
+    spark: SparkSession,
+    path: str,
+    centroids: list[list[float]],
+    radii: list[float],
+    query: list[float],
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """ALL vectors with cosine distance < threshold (pgvector's
+    index-assisted ``WHERE embedding <=> q < t`` form), scanning only the
+    cells the triangle inequality cannot rule out.
+
+    Completeness is EXACT, not probabilistic: for any member x of cell c,
+    θ(q,x) ≥ θ(q,c) − r_c, so a cell with θ(q,c) − r_c > θ_t can hold no
+    hit — pruning never drops a qualifying vector (ε-slack absorbs float
+    noise and the 6-dp threshold rounding). That is why this query gets a
+    full value-hash oracle (the brute-force scan), unlike the top-k
+    searches whose nprobe cut is approximate by construction. On
+    well-clustered corpora the prune skips most cells (property-tested on
+    a planted clustered set); on structureless uniform fixtures cell
+    radii approach 90° and the prune honestly keeps everything — same
+    answer, full scan.
+    """
+    import math
+
+    def angle_to_query(c: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(c, query))
+        nc = math.sqrt(sum(x * x for x in c))
+        nq = math.sqrt(sum(y * y for y in query))
+        if nc == 0 or nq == 0:
+            return math.pi
+        return math.acos(max(-1.0, min(1.0, dot / (nc * nq))))
+
+    # threshold + ε: the oracle filters on the ROUNDED distance, so a
+    # true distance up to half an ulp-of-6dp above t can still qualify
+    theta_t = math.acos(max(-1.0, min(1.0, 1.0 - (threshold + 1e-6))))
+    survivors = [
+        i
+        for i, c in enumerate(centroids)
+        if angle_to_query(c) - radii[i] <= theta_t + 1e-9
+    ]
+    cell = spark.read.parquet(path).where(F.col("centroid_id").isin(survivors))
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        cell.withColumn(
+            "dist", F.round(cosine_distance(F.col(vec_col), qlit), round_to)
+        )
+        .where(F.col("dist") < threshold)
+        .select(id_col, "dist")
+    )

@@ -830,6 +830,64 @@ def ivf_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return found.withColumn("recall_at_k", F.lit(round(recall, 2)))
 
 
+_RANGE_T = 0.8  # keeps 29-108 rows across fixture SFs (non-vacuous)
+
+
+@query(
+    "range_search_ivf",
+    oracle=f"""
+    SELECT e.vec_id,
+           ROUND(1 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            q.qe), {ROUND_DIST}) AS dist
+    FROM embeddings e,
+         (SELECT CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id = 0) q
+    WHERE ROUND(1 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           q.qe), {ROUND_DIST}) < {_RANGE_T}
+    """,
+)
+def range_search_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-assisted RADIUS search (pgvector's ``WHERE embedding <=> q
+    < t`` with an IVFFlat index): every vector within cosine distance
+    0.8 of the standing query, scanning only cells the angular triangle
+    inequality cannot rule out (plans/ivf.py::range_search_ivf).
+
+    Unlike ivf_search's nprobe cut this pruning is exactly COMPLETE —
+    θ(q,x) ≥ θ(q,c) − r_cell — so the query carries a full value-hash
+    oracle (the brute-force scan) rather than a rows-only check. The
+    per-cell covering radii are one cached linear pass over the index
+    (`.radii.json` beside the centroid metadata, same
+    fixture-fingerprint key).
+    """
+    import json
+    import os
+
+    from vector_search_playground_spark.plans.ivf import (
+        cell_radii,
+        range_search_ivf,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path, centroids = load_or_build_ivf(spark, sf_dir, emb)
+    rmeta = f"{path}.radii.json"
+    if os.path.exists(rmeta):
+        with open(rmeta) as f:
+            radii = json.load(f)
+    else:
+        radii = cell_radii(spark, path, centroids)
+        tmp = f"{rmeta}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(radii, f)
+        os.replace(tmp, rmeta)
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    return range_search_ivf(
+        spark, path, centroids, radii, qvec, _RANGE_T, round_to=ROUND_DIST
+    )
+
+
 @query("index_build_lsh")  # rows-only: bucketed search is approximate
 def index_build_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the random-hyperplane LSH table and run a multiprobe top-10
