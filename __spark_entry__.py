@@ -67,26 +67,59 @@ def _driver_status() -> tuple[dict[str, int], set[str]]:
     return last_round, failed
 
 
-def _prioritized(d: dict) -> dict:
-    """Never-driver-checked IDs first, then IDs whose latest driver check
-    FAILED (the repaired-bug re-verification), then the stable greens
-    ordered least-recently-driver-checked first.
+# Greens the driver MUST re-certify ahead of even never-checked IDs:
+# their implementing code changed AFTER their newest driver row, so the
+# old green certifies code that no longer exists. Value = "stale if the
+# id's newest driver row is from this round or earlier"; the entry
+# self-clears as soon as the driver writes a newer row. The r2-era
+# streaming certifications predate both the round-4 events timestamp-unit
+# fix and the multi-microbatch hardening (round-4 verdict, gap #1).
+RECERTIFY_IF_AT_OR_BEFORE = {
+    "stream_tumble": 2,
+    "stream_slide": 2,
+    "stream_session": 2,
+    "stream_watermark": 2,
+    "stream_dedup": 2,
+}
 
-    The per-round correctness run covers a bounded number of queries;
-    this ordering guarantees every new query eventually gets a driver
-    entry, every fix gets re-judged before the cap can cut it off, AND
-    stable greens rotate: code that changed since an old certification
-    (e.g. the r2-era streaming checks that predate the events ts-unit
-    fix) cannot be starved behind newer rows forever."""
+
+def _prioritized(d: dict) -> dict:
+    """Stale-certified IDs whose code changed since their driver row
+    first (RECERTIFY_IF_AT_OR_BEFORE), then never-driver-checked IDs,
+    then IDs whose latest driver check FAILED (the repaired-bug
+    re-verification), then the stable greens ordered
+    least-recently-driver-checked first.
+
+    The per-round correctness run covers a bounded number of queries
+    (50 in rounds 2-4); this ordering guarantees every new query
+    eventually gets a driver entry, every fix gets re-judged before the
+    cap can cut it off, AND stable greens rotate: code that changed
+    since an old certification cannot be starved behind newer rows
+    forever — not even behind a backlog of never-checked new IDs wider
+    than the cap (the round-5 situation)."""
     last_round, failed = _driver_status()
+    recert = {
+        k: v
+        for k, v in d.items()
+        if k in last_round
+        and last_round[k] <= RECERTIFY_IF_AT_OR_BEFORE.get(k, -1)
+    }
     head = {k: v for k, v in d.items() if k not in last_round}
-    repair = {k: v for k, v in d.items() if k in failed and k in last_round}
+    repair = {
+        k: v
+        for k, v in d.items()
+        if k in failed and k in last_round and k not in recert
+    }
     green = sorted(
-        (k for k in d if k in last_round and k not in failed),
+        (
+            k
+            for k in d
+            if k in last_round and k not in failed and k not in recert
+        ),
         key=lambda k: last_round[k],
     )
     tail = {k: d[k] for k in green}
-    return {**head, **repair, **tail}
+    return {**recert, **head, **repair, **tail}
 
 
 def entry(spark: SparkSession) -> DataFrame:

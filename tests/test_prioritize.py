@@ -85,3 +85,30 @@ def teardown_module(module):
     mod = sys.modules.get("__spark_entry__")
     if mod is not None:
         importlib.reload(mod)
+
+
+def test_recertify_list_preempts_even_never_checked(tmp_path):
+    """An id on the re-certify list whose newest driver row is at or
+    before its stale round must lead the queue — ahead of never-checked
+    ids — and must drop back to ordinary green rotation once a newer
+    driver row lands (self-clearing)."""
+    em = _make_entry(
+        tmp_path,
+        {
+            "CORRECTNESS_r2.json": {"stream_tumble": _row_ok(), "b": _row_ok()},
+        },
+    )
+    d = {"x": 9, "stream_tumble": 1, "b": 2}
+    got = list(em._prioritized(d))
+    assert got == ["stream_tumble", "x", "b"]
+
+    em2 = _make_entry(
+        tmp_path,
+        {
+            "CORRECTNESS_r2.json": {"stream_tumble": _row_ok(), "b": _row_ok()},
+            "CORRECTNESS_r5.json": {"stream_tumble": _row_ok()},
+        },
+    )
+    got2 = list(em2._prioritized(d))
+    # cleared: b (r2) now rotates ahead of stream_tumble (r5)
+    assert got2 == ["x", "b", "stream_tumble"]
