@@ -1572,6 +1572,62 @@ def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_merge_schema",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM (
+        SELECT CASE WHEN doc_id % 2 = 0 THEN NULL ELSE lang END AS lang,
+               n_chars
+        FROM documents
+    ) GROUP BY lang
+    """,
+)
+def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: a corpus landed in two snapshot generations
+    — v1 files WITHOUT the ``lang`` column (even doc_ids), v2 files with
+    it — scanned as one relation. Every long-lived 100 TB corpus drifts
+    like this; the engine must read old and new files together without a
+    rewrite.
+
+    The scale-safe mechanism is the PINNED SUPERSET schema: reading both
+    directories under one explicit ``.schema(v2)`` makes the parquet
+    reader null-fill columns absent from older footers — no
+    ``mergeSchema`` footer-sampling job (which on a 100 TB lake is a
+    full extra metadata pass; that option is for interactive discovery,
+    not production scans). The oracle replays the null-fill semantics on
+    the parquet view via the known generation split: answers must not
+    depend on which snapshot a row came from."""
+    import os
+
+    from vector_search_playground_spark.queries.llm_pipeline import (
+        SCRATCH,
+        _fixture_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = _fixture_fingerprint(sf_dir, "documents")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(SCRATCH, f"documents_evolved_{tag}_{fp}")
+    v1, v2 = os.path.join(base, "v1"), os.path.join(base, "v2")
+    if not (
+        os.path.exists(os.path.join(v1, "_SUCCESS"))
+        and os.path.exists(os.path.join(v2, "_SUCCESS"))
+    ):
+        docs.where(F.col("doc_id") % 2 == 0).drop("lang").write.mode(
+            "overwrite"
+        ).parquet(v1)
+        docs.where(F.col("doc_id") % 2 == 1).write.mode("overwrite").parquet(
+            v2
+        )
+    merged = spark.read.schema(docs.schema).parquet(v1, v2)
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+@query(
     "join_bloom_filtered",
     oracle="""
     SELECT o.o_custkey, count(*) AS n_orders,
