@@ -126,3 +126,25 @@ def test_passjoin_matches_bruteforce_random(spark):
         for r in edit_distance_pairs(df, max_dist=D).collect()
     }
     assert got == want
+
+
+def test_funnel_latency_consistent_with_funnel(spark, sf_smoke):
+    """Converted-user count must be positive and latencies ordered
+    (p50 ≤ p95); every latency is non-negative by construction."""
+    from vector_search_playground_spark.queries import analytics as A
+
+    row = A.funnel_latency(spark, sf_smoke).first()
+    assert row["n_converted"] > 0
+    assert 0 <= row["p50_s"] <= row["p95_s"]
+
+
+def test_audience_overlap_matrix_shape(spark, sf_smoke):
+    """C(5,2) = 10 unordered type pairs, jaccard in (0, 1], and n_both
+    never exceeds either set size (checked via the jaccard identity)."""
+    from vector_search_playground_spark.queries import analytics as A
+
+    rows = A.audience_overlap(spark, sf_smoke).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        assert 0 < r["jaccard"] <= 1

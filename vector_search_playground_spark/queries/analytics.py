@@ -1257,3 +1257,169 @@ def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("ewma")
     )
+
+
+# --- funnel_latency ---------------------------------------------------------
+
+
+@query(
+    "funnel_latency",
+    oracle="""
+    WITH tv AS (
+        SELECT user_id, min(epoch_us(ts)) AS tv
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    tp AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS tp
+        FROM events e
+        JOIN tv ON e.user_id = tv.user_id AND epoch_us(e.ts) >= tv.tv
+        WHERE e.event_type = 'purchase'
+        GROUP BY e.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           ROUND(quantile_cont((tp.tp - tv.tv) / 1000000.0, 0.5), 4)
+               AS p50_s,
+           ROUND(quantile_cont((tp.tp - tv.tv) / 1000000.0, 0.95), 4)
+               AS p95_s
+    FROM tp JOIN tv USING (user_id)
+    """,
+)
+def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution — the metric BEHIND a funnel: how
+    long from a user's first view to their first purchase AT OR AFTER
+    it, summarized as conversion count + p50/p95 latency. Complements
+    ``funnel_events`` (which counts who converts, not how fast).
+
+    Shape at 100 TB: first-view is one user_id hash-agg; the qualifying
+    first-purchase reuses the same key (join + conditional min ride the
+    same exchange); per-user latencies are |users| rows, and the final
+    percentiles run through the distributed width-bucket selection
+    (``operators/selection``) — three linear passes, no holistic
+    percentile buffer, driver sees ONE row.
+    """
+    from vector_search_playground_spark.operators.selection import (
+        exact_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    tv = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("tv"))
+    )
+    lat = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(tv, "user_id")
+        .where(F.col("ts_us") >= F.col("tv"))
+        .groupBy("user_id")
+        .agg(
+            ((F.min("ts_us") - F.first("tv")) / F.lit(1000000.0)).alias(
+                "lat_s"
+            )
+        )
+        .withColumn("k", F.lit("all"))
+    )
+    # seconds, rounded to 4 dp: at epoch-µs magnitudes (~6e11) a double's
+    # ulp is ~1e-4, so 6-dp µs rounding can't absorb the engines'
+    # interpolation-order noise; in seconds the noise is ~1e-10 and 4 dp
+    # is safely coarse
+    per = exact_quantiles(lat, "k", "lat_s", [0.5, 0.95])
+    n = lat.count()
+    q = per.get("all", {0.5: None, 0.95: None})
+    return spark.createDataFrame(
+        [(n, round(q[0.5], 4), round(q[0.95], 4))],
+        "n_converted long, p50_s double, p95_s double",
+    )
+
+
+# --- audience_overlap -------------------------------------------------------
+
+
+@query(
+    "audience_overlap",
+    oracle="""
+    WITH ut AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+        FROM events
+    ),
+    sizes AS (SELECT event_type, count(*) AS n FROM ut GROUP BY event_type),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_both
+        FROM ut a
+        JOIN ut b ON a.user_id = b.user_id AND a.day = b.day
+                 AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT type_a, type_b,
+           CAST(n_both AS BIGINT) AS n_both,
+           ROUND(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both), 6)
+               AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.event_type = type_a
+    JOIN sizes sb ON sb.event_type = type_b
+    """,
+)
+def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: Jaccard similarity of the (user, day)
+    active sets between every pair of event types — the segment-overlap
+    diagnostic behind campaign planning and cannibalization analysis
+    (the set-similarity verb applied to audiences rather than documents).
+
+    Shape at 100 TB: the element relation is the DISTINCT (user, day,
+    type) set — collapsed by one hash-agg before anything joins, so the
+    self-join is keyed on (user, day) with ≤ |types| rows per key: the
+    pair blow-up is bounded by C(5,2) per user-day, never event-volume².
+    Set sizes are a 5-row broadcast; output is the C(5,2) matrix —
+    metadata forever.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).distinct()
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("n").alias("na"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("n").alias("nb"),
+                )
+            ),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
