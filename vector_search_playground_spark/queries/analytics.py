@@ -1213,42 +1213,51 @@ def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursion as a recursive CTE, and both engines agree bit-for-bit at
     6 dp (probed: pandas' adjust=False recursion ≡ the CTE's arithmetic).
 
-    Shape at 100 TB: ``applyInPandas`` over user_id — ONE shuffle; each
-    task smooths its users' series with the C-speed vectorized ``ewm``
-    kernel (never a per-row Python loop). Series length per user is
-    bounded by retention; no state crosses users, so the job scales with
-    the number of users, exactly like sessionization.
+    Shape at 100 TB: repartition on user_id + sortWithinPartitions, then
+    ONE ``mapInPandas`` kernel invocation per Arrow batch per TASK (the
+    LTTB lesson: per-group ``applyInPandas`` pays a Python round-trip
+    per user — a 4x tax at thousands of tiny groups); the kernel walks
+    each user's contiguous, sorted run, carrying the accumulator across
+    batch boundaries. One shuffle; no state crosses users, so the job
+    scales with the number of users, exactly like sessionization.
     """.format(a=_EWMA_ALPHA)
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "ts_us", "value"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts_us", "value")
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts_us", "event_id")
     )
 
-    def smooth(pdf):
+    def smooth(pdfs):
         import numpy as np
 
-        pdf = pdf.sort_values(["user_id", "ts_us", "event_id"])
         # explicit float64 recursion with the SAME literals and op order
         # as the oracle CTE (pandas' ewm kernel internally divides by
         # old_wt+new_wt ≈ 1+ε, drifting ulps apart over long series —
-        # caught at sf0.1)
+        # caught at sf0.1). Rows arrive (user, ts, event)-sorted with a
+        # user's whole series inside one task, so the accumulator only
+        # needs to survive Arrow BATCH boundaries, never task boundaries.
         a, b = _EWMA_ALPHA, 1 - _EWMA_ALPHA
-        xs = pdf["value"].to_numpy()
-        out = np.empty_like(xs)
-        starts = pdf["user_id"].ne(pdf["user_id"].shift()).to_numpy()
-        acc = 0.0
-        for i, x in enumerate(xs):
-            acc = x if starts[i] else a * x + b * acc
-            out[i] = acc
-        pdf["ewma"] = out
-        return pdf[["user_id", "event_id", "ts_us", "ewma"]]
+        cur, acc = None, 0.0
+        for pdf in pdfs:
+            xs = pdf["value"].to_numpy()
+            users = pdf["user_id"].to_numpy()
+            out = np.empty_like(xs)
+            for i, x in enumerate(xs):
+                if users[i] != cur:
+                    cur, acc = users[i], x
+                else:
+                    acc = a * x + b * acc
+                out[i] = acc
+            pdf["ewma"] = out
+            yield pdf[["user_id", "event_id", "ts_us", "ewma"]]
 
     # Emit micro-units via floor(x·1e6 + 0.5): BOTH engines run the same
     # IEEE ops on the same double, so the result is bit-deterministic.
     # (F.round's exact BigDecimal half-up vs DuckDB's float-multiply
     # ROUND disagree on knife-edge values — caught at sf0.1.)
     return (
-        ev.groupBy("user_id")
-        .applyInPandas(
+        ev.mapInPandas(
             smooth, "user_id long, event_id long, ts_us long, ewma double"
         )
         .withColumn(
