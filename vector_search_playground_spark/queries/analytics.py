@@ -1332,8 +1332,15 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ulp is ~1e-4, so 6-dp µs rounding can't absorb the engines'
     # interpolation-order noise; in seconds the noise is ~1e-10 and 4 dp
     # is safely coarse
-    per = exact_quantiles(lat, "k", "lat_s", [0.5, 0.95])
-    n = lat.count()
+    # the latency relation is |converted users| rows but derives from a
+    # join over the full event stream — cache it so the selection's three
+    # passes (stats, histogram, rank) and the count don't re-run the join
+    lat = lat.cache()
+    try:
+        per = exact_quantiles(lat, "k", "lat_s", [0.5, 0.95])
+        n = lat.count()
+    finally:
+        lat.unpersist()
     q = per.get("all", {0.5: None, 0.95: None})
     return spark.createDataFrame(
         [(n, round(q[0.5], 4), round(q[0.95], 4))],
