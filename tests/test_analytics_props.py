@@ -148,3 +148,53 @@ def test_audience_overlap_matrix_shape(spark, sf_smoke):
     for r in rows:
         assert r["type_a"] < r["type_b"]
         assert 0 < r["jaccard"] <= 1
+
+
+def test_path_transitions_probabilities_normalize(spark, sf_smoke):
+    """Per from_type, probabilities sum to ~1 and counts are positive."""
+    from vector_search_playground_spark.queries import analytics as A
+
+    rows = A.path_transitions(spark, sf_smoke).collect()
+    assert rows
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for r in rows:
+        assert r["n"] > 0 and 0 < r["p"] <= 1
+        sums[r["from_type"]] += r["p"]
+    for s in sums.values():
+        assert abs(s - 1.0) < 1e-4
+
+
+def test_path_transitions_single_event_exchange(spark, sf_smoke):
+    """The event stream shuffles once (user_id window); the normalizing
+    window runs on the 25-row matrix."""
+    import re
+
+    from vector_search_playground_spark.queries import analytics as A
+
+    plan = A.path_transitions(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+    assert keys.count("user_id") == 1, (keys, plan)
+
+
+def test_rfm_scores_monotone_in_features(spark, sf_smoke):
+    """Scores are 1..4 and monotone: a user with strictly larger m than
+    another never has a smaller m_score (same for f; r_score grows with
+    staleness)."""
+    from vector_search_playground_spark.queries import analytics as A
+
+    rows = A.rfm_segments(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        for c in ("r_score", "f_score", "m_score"):
+            assert 1 <= r[c] <= 4
+    by_m = sorted(rows, key=lambda r: r["m"])
+    for a, b in zip(by_m, by_m[1:]):
+        assert a["m_score"] <= b["m_score"]
+    by_f = sorted(rows, key=lambda r: r["f"])
+    for a, b in zip(by_f, by_f[1:]):
+        assert a["f_score"] <= b["f_score"]
+    by_r = sorted(rows, key=lambda r: r["r_days"])
+    for a, b in zip(by_r, by_r[1:]):
+        assert a["r_score"] <= b["r_score"]

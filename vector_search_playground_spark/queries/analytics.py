@@ -1439,3 +1439,170 @@ def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --- path_transitions -------------------------------------------------------
+
+
+@query(
+    "path_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM events
+    ),
+    t AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM t
+    """,
+)
+def path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user journeys: for every
+    consecutive event pair within a user's timeline, the count and
+    conditional probability P(next | current) — the "where do users go
+    from here" verb behind sankey flows and next-action prediction
+    (``sequence_match`` tests specific paths; this surfaces all of them).
+
+    Shape at 100 TB: one lead() window over the user_id exchange (the
+    same single-shuffle shape as the as-of family), then a hash-agg to
+    the |types|² transition matrix — the normalizing window runs on that
+    25-row relation, pure metadata. The event stream shuffles once.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    t = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    wnorm = Window.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(wnorm), 6).alias(
+            "p"
+        ),
+    )
+
+
+# --- rfm_segments -----------------------------------------------------------
+
+
+@query(
+    "rfm_segments",
+    oracle="""
+    WITH anchor AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+    per_user AS (
+        SELECT user_id,
+               CAST(floor((anchor.mx - max(epoch_us(ts)))
+                          / 86400000000.0) AS BIGINT) AS r_days,
+               CAST(count(*) AS BIGINT) AS f,
+               ROUND(sum(value), 2) AS m
+        FROM events CROSS JOIN anchor
+        WHERE event_type = 'purchase'
+        GROUP BY user_id, anchor.mx
+    ),
+    q AS (
+        SELECT quantile_cont(r_days * 1.0, 0.25) AS r1,
+               quantile_cont(r_days * 1.0, 0.5) AS r2,
+               quantile_cont(r_days * 1.0, 0.75) AS r3,
+               quantile_cont(f * 1.0, 0.25) AS f1,
+               quantile_cont(f * 1.0, 0.5) AS f2,
+               quantile_cont(f * 1.0, 0.75) AS f3,
+               quantile_cont(m, 0.25) AS m1,
+               quantile_cont(m, 0.5) AS m2,
+               quantile_cont(m, 0.75) AS m3
+        FROM per_user
+    )
+    SELECT user_id, r_days, f, m,
+           CAST(1 + CAST(r_days > q.r1 AS INT) + CAST(r_days > q.r2 AS INT)
+                  + CAST(r_days > q.r3 AS INT) AS BIGINT) AS r_score,
+           CAST(1 + CAST(f > q.f1 AS INT) + CAST(f > q.f2 AS INT)
+                  + CAST(f > q.f3 AS INT) AS BIGINT) AS f_score,
+           CAST(1 + CAST(m > q.m1 AS INT) + CAST(m > q.m2 AS INT)
+                  + CAST(m > q.m3 AS INT) AS BIGINT) AS m_score
+    FROM per_user CROSS JOIN q
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer scoring (recency / frequency / monetary quartiles) —
+    the canonical marketing-segmentation verb. Each purchaser gets days
+    since last purchase, purchase count, and spend, each scored 1-4 by
+    which quartile of the population it falls in (r_score 1 = most
+    recent; f/m score 4 = heaviest).
+
+    Shape at 100 TB: per-user features are ONE hash-agg over the
+    purchase stream; the quartile boundaries come from the distributed
+    width-bucket selection over the per-user relation (all nine
+    quantiles share the same three passes) and fold back as LITERALS —
+    never a global NTILE, whose single unpartitioned window is a whale
+    at population scale. Boundary-tie discipline: scores use strict
+    `>` against identical boundary values on both engines.
+    """
+    from vector_search_playground_spark.operators.selection import (
+        exact_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts_us").alias("mx"))
+    per_user = (
+        ev.where(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(anchor))
+        .groupBy("user_id", "mx")
+        .agg(
+            F.floor(
+                (F.col("mx") - F.max("ts_us")) / F.lit(86400000000)
+            ).alias("r_days"),
+            F.count(F.lit(1)).alias("f"),
+            F.round(F.sum("value"), 2).alias("m"),
+        )
+        .select(
+            "user_id",
+            F.col("r_days").cast("long").alias("r_days"),
+            F.col("f").cast("long").alias("f"),
+            "m",
+        )
+        .withColumn("k", F.lit("all"))
+        .cache()
+    )
+    try:
+        qs = [0.25, 0.5, 0.75]
+        rq = exact_quantiles(
+            per_user.select("k", F.col("r_days").cast("double").alias("v")),
+            "k", "v", qs,
+        )["all"]
+        fq = exact_quantiles(
+            per_user.select("k", F.col("f").cast("double").alias("v")),
+            "k", "v", qs,
+        )["all"]
+        mq = exact_quantiles(per_user.select("k", "m"), "k", "m", qs)["all"]
+
+        def score(col, b):
+            return (
+                F.lit(1)
+                + (col > F.lit(b[0.25])).cast("int")
+                + (col > F.lit(b[0.5])).cast("int")
+                + (col > F.lit(b[0.75])).cast("int")
+            ).cast("long")
+
+        return per_user.select(
+            "user_id",
+            "r_days",
+            "f",
+            "m",
+            score(F.col("r_days"), rq).alias("r_score"),
+            score(F.col("f"), fq).alias("f_score"),
+            score(F.col("m"), mq).alias("m_score"),
+        )
+    finally:
+        per_user.unpersist()
