@@ -287,3 +287,22 @@ def test_ewma_single_user_exchange(spark, sf_smoke):
     plan = _plan(A.ewma_smooth(spark, sf_smoke))
     hash_keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
     assert hash_keys == {"user_id"}, (hash_keys, plan)
+
+
+# --- segment_ci / scan_partition_pruned -------------------------------------
+
+
+def test_segment_ci_contains_mean(spark, sf_smoke):
+    for r in S.segment_ci(spark, sf_smoke).collect():
+        assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
+        assert r["n"] > 0
+
+
+def test_scan_partition_pruned_listing_time(spark, sf_smoke):
+    """The day predicate must appear as a PartitionFilter (file-listing
+    pruning), NOT a post-scan filter; only one day directory is read."""
+    df = S.scan_partition_pruned(spark, sf_smoke)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    seg = plan.split("PartitionFilters", 1)[1][:200]
+    assert "day" in seg, plan

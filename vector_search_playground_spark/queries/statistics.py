@@ -571,3 +571,92 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_count"), "part_key")
     )
+
+
+# --- segment_ci -------------------------------------------------------------
+
+
+@query(
+    "segment_ci",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(avg(value), 6) AS mean,
+           ROUND(avg(value) - 1.96 * stddev_samp(value) / sqrt(count(*)), 6)
+               AS ci_lo,
+           ROUND(avg(value) + 1.96 * stddev_samp(value) / sqrt(count(*)), 6)
+               AS ci_hi
+    FROM events GROUP BY event_type
+    """,
+)
+def segment_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment mean with a 95% normal-approximation confidence
+    interval — the difference between reporting a number and reporting
+    how sure you are of it (the A/B-readout verb). ci = mean ±
+    1.96·s/√n.
+
+    Shape at 100 TB: avg and stddev_samp are algebraic co-moment
+    aggregates (map-side partials, one hash-agg on the segment key);
+    the CI arithmetic is row-local on the |segments| result. Nothing
+    here is a window or a second pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    half = F.lit(1.96) * F.stddev_samp("value") / F.sqrt(F.count(F.lit(1)))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("value"), 6).alias("mean"),
+        F.round(F.avg("value") - half, 6).alias("ci_lo"),
+        F.round(F.avg("value") + half, 6).alias("ci_hi"),
+    )
+
+
+# --- scan_partition_pruned --------------------------------------------------
+
+
+@query(
+    "scan_partition_pruned",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(value), 2) AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+    GROUP BY event_type
+    """,
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-partitioned table layout + listing-time pruning — the
+    hypertable chunk-exclusion behavior that makes "yesterday's numbers"
+    cost one partition, not one corpus scan. The events table is
+    materialized ONCE per fixture fingerprint as parquet partitioned by
+    day; the day predicate then prunes at FILE-LISTING time
+    (PartitionFilters in the scan, plan-asserted in tests) — directories
+    for the other 29 days are never even opened. The oracle replays the
+    aggregate with a date filter on the raw table: layout must never
+    change answers.
+
+    At 100 TB this is the difference between a dashboard query touching
+    ~1/30th of the data and touching all of it; the same layout is what
+    ``rollup_hypertable`` assumes for its raw tail.
+    """
+    import os
+
+    from vector_search_playground_spark.queries.llm_pipeline import (
+        SCRATCH,
+        _fixture_fingerprint,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    fp = _fixture_fingerprint(sf_dir, "events")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(SCRATCH, f"events_byday_{tag}_{fp}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev.withColumn("day", F.to_date("ts")).write.mode(
+            "overwrite"
+        ).partitionBy("day").parquet(path)
+    part = spark.read.parquet(path).where(
+        F.col("day") == F.lit("2024-01-05").cast("date")
+    )
+    return part.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
