@@ -198,3 +198,31 @@ def test_rfm_scores_monotone_in_features(spark, sf_smoke):
     by_r = sorted(rows, key=lambda r: r["r_days"])
     for a, b in zip(by_r, by_r[1:]):
         assert a["r_score"] <= b["r_score"]
+
+
+def test_embedding_drift_identical_halves_zero(spark, tmp_path):
+    """If both halves hold identical vectors per label, drift must be
+    exactly 0; bounds hold on the fixture."""
+    rows = []
+    for i in range(40):
+        label = (i % 8) // 2  # each label sees even AND odd vec_ids
+        base = [float((label + 1) * (d + 1) % 7 - 3) for d in range(8)]
+        rows.append((i, base, label))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    from vector_search_playground_spark.queries import analytics as A
+
+    out = A.embedding_drift(spark, str(tmp_path)).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["drift"] == 0.0
+        assert r["n_a"] == r["n_b"] == 5
+
+
+def test_embedding_drift_fixture_bounds(spark, sf_smoke):
+    from vector_search_playground_spark.queries import analytics as A
+
+    for r in A.embedding_drift(spark, sf_smoke).collect():
+        assert -1e-6 <= r["drift"] <= 2
+        assert r["n_a"] > 0 and r["n_b"] > 0

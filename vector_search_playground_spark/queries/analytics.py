@@ -1606,3 +1606,94 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         per_user.unpersist()
+
+
+# --- embedding_drift --------------------------------------------------------
+
+
+@query(
+    "embedding_drift",
+    oracle="""
+    WITH cent AS (
+        SELECT label, vec_id % 2 AS half, t.i AS dim,
+               ROUND(avg(CAST(embedding AS DOUBLE[])[t.i]), 9) AS c
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+        GROUP BY label, half, t.i
+    ),
+    n AS (
+        SELECT label, vec_id % 2 AS half, count(*) AS n
+        FROM embeddings GROUP BY label, half
+    ),
+    pair AS (
+        SELECT a.label, sum(a.c * b.c) AS dot,
+               sqrt(sum(a.c * a.c)) AS na, sqrt(sum(b.c * b.c)) AS nb
+        FROM cent a
+        JOIN cent b ON a.label = b.label AND a.dim = b.dim
+                   AND a.half = 0 AND b.half = 1
+        GROUP BY a.label
+    )
+    SELECT p.label, CAST(n0.n AS BIGINT) AS n_a, CAST(n1.n AS BIGINT) AS n_b,
+           ROUND(1 - p.dot / (p.na * p.nb), 6) AS drift
+    FROM pair p
+    JOIN n n0 ON n0.label = p.label AND n0.half = 0
+    JOIN n n1 ON n1.label = p.label AND n1.half = 1
+    """,
+)
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-drift monitor: cosine distance between per-label
+    centroids of two corpus slices (here the vec_id parity halves — in
+    production, yesterday's batch vs today's). The model-monitoring verb
+    an embedding pipeline runs per ingest: a re-trained or silently
+    changed encoder shows up as drift long before retrieval quality
+    craters. ``centroid_groups`` profiles one slice; this compares two.
+
+    Shape at 100 TB: posexplode → ONE hash-agg on (label, half, dim) —
+    the shuffle carries partial sums, never vectors; everything after is
+    arithmetic on the |labels|·2·dim centroid relation (metadata). The
+    centroid means are rounded to 9 dp on BOTH engines before the dot
+    product so the certified drift never sits on a summation-order
+    knife edge.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    long = emb.select(
+        "label",
+        F.pmod("vec_id", F.lit(2)).alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "x"
+        ),
+    )
+    cent = long.groupBy(
+        "label", "half", (F.col("pos") + 1).alias("dim")
+    ).agg(F.round(F.avg("x"), 9).alias("c"))
+    n = emb.groupBy(
+        "label", F.pmod("vec_id", F.lit(2)).alias("half")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = cent.where(F.col("half") == 0).select(
+        "label", "dim", F.col("c").alias("ca")
+    )
+    b = cent.where(F.col("half") == 1).select(
+        "label", "dim", F.col("c").alias("cb")
+    )
+    pair = (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+            F.sqrt(F.sum(F.col("ca") * F.col("ca"))).alias("na"),
+            F.sqrt(F.sum(F.col("cb") * F.col("cb"))).alias("nb"),
+        )
+    )
+    n0 = n.where(F.col("half") == 0).select("label", F.col("n").alias("n_a"))
+    n1 = n.where(F.col("half") == 1).select("label", F.col("n").alias("n_b"))
+    return (
+        pair.join(F.broadcast(n0), "label")
+        .join(F.broadcast(n1), "label")
+        .select(
+            "label",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.lit(1.0) - F.col("dot") / (F.col("na") * F.col("nb")), 6
+            ).alias("drift"),
+        )
+    )
