@@ -213,3 +213,37 @@ def test_merge_intervals_long_swallows_short(spark):
         (2, 1): (0, 20, 2),
         (3, 1): (0, 12, 3),
     }
+
+
+def test_join_point_in_time_join_free_and_transition_edge(spark, tmp_path):
+    """Join-free plan (union + carry on one user_id exchange), and a
+    purchase landing exactly ON a state transition sees the NEW tile."""
+    import re
+
+    from vector_search_playground_spark.queries import reliability as R
+
+    rows = [
+        # user 9: signup@t0, click@t2, purchases at t1, t2 (ON the
+        # transition), t3; purchase@t_before any state -> NULL state
+        (1, 50, 9, 0.0, "purchase", "{}"),
+        (2, 100, 9, 0.0, "signup", "{}"),
+        (3, 150, 9, 0.0, "purchase", "{}"),
+        (4, 200, 9, 0.0, "click", "{}"),
+        (5, 200 - 0, 9, 0.0, "purchase", "{}"),  # same µs as the click
+        (6, 300, 9, 0.0, "purchase", "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, value double,"
+        " event_type string, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    df = R.join_point_in_time(spark, str(tmp_path))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
+    assert keys == {"user_id"}, (keys, plan)
+    out = {r["event_id"]: (r["state"], r["version"]) for r in df.collect()}
+    assert out[1] == (None, None)  # before any state
+    assert out[3] == ("signup", 1)
+    assert out[5] == ("click", 2)  # exactly at the transition -> new tile
+    assert out[6] == ("click", 2)

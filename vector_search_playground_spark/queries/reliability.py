@@ -555,3 +555,118 @@ def activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("longest_gap_days"),
     )
+
+
+# --- join_point_in_time -----------------------------------------------------
+
+
+@query(
+    "join_point_in_time",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+        FROM events WHERE event_type <> 'purchase'
+    ),
+    c AS (
+        SELECT user_id, event_type, t,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY t, event_id
+               ) AS prev
+        FROM o
+    ),
+    ch AS (
+        SELECT user_id, event_type, t FROM c
+        WHERE prev IS NULL OR prev <> event_type
+    ),
+    tiles AS (
+        SELECT user_id, event_type AS state, t AS vf,
+               lead(t) OVER (PARTITION BY user_id ORDER BY t) AS vt,
+               row_number() OVER (PARTITION BY user_id ORDER BY t)
+                   AS version
+        FROM ch
+    ),
+    f AS (
+        SELECT event_id, user_id, epoch_us(ts) AS t
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, f.user_id, f.t AS purchase_us,
+           tiles.state, CAST(tiles.version AS BIGINT) AS version
+    FROM f
+    LEFT JOIN tiles ON f.user_id = tiles.user_id
+                   AND f.t >= tiles.vf
+                   AND (tiles.vt IS NULL OR f.t < tiles.vt)
+    """,
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME-correct dimension lookup (the feature-store join):
+    each purchase is joined to the SCD2 state tile that was valid AT the
+    purchase instant — the user's state as it was known THEN, never the
+    current row. Training-label assembly that uses today's dimension for
+    yesterday's fact leaks the future into the features; this join is
+    the leakage-safe alternative, and the temporal consumer of
+    ``scd2_build``'s tiles.
+
+    The oracle states the lookup as the BETWEEN θ-join against the
+    tiles. The plan is join-free: the change-compressed state stream
+    (|state changes| rows) and the purchase stream union and ride ONE
+    user_id exchange; a forward-carry window assigns each purchase the
+    last state/version at-or-before it — exactly the as-of construction,
+    but carrying the dimension's attributes and version. At 100 TB the
+    θ-join would range-explode on hot users; this scan is linear per
+    user timeline.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    nonp = ev.where(F.col("event_type") != "purchase")
+    ch = (
+        nonp.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts_us").alias("t"),
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("state")))
+        .drop("prev")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("t")
+    dim = ch.withColumn(
+        "version", F.row_number().over(w2).cast("long")
+    ).select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "t",
+        F.lit(0).alias("tag"),
+        "state",
+        "version",
+    )
+    fact = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("t"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("string").alias("state"),
+        F.lit(None).cast("long").alias("version"),
+    )
+    # state change sorts before a simultaneous purchase (tag 0 < 1):
+    # a purchase exactly at a transition sees the NEW tile, matching the
+    # oracle's inclusive f.t >= vf
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        dim.unionByName(fact)
+        .withColumn("cur_state", F.last("state", ignorenulls=True).over(wc))
+        .withColumn(
+            "cur_version", F.last("version", ignorenulls=True).over(wc)
+        )
+        .where(F.col("tag") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("t").alias("purchase_us"),
+            F.col("cur_state").alias("state"),
+            F.col("cur_version").alias("version"),
+        )
+    )
