@@ -145,3 +145,26 @@ def test_semdedup_prunes_exact_duplicate_vector(spark, sf_smoke):
         .collect()
     )
     assert {r.vec_id for r in rm} == {1}
+
+
+def test_sample_negatives_never_self_and_deterministic(spark, sf_smoke):
+    """The offset construction proves anchor != negative; K rows per doc;
+    re-running yields the identical dataset (reproducibility contract)."""
+    from pyspark.sql import functions as F
+
+    from vector_search_playground_spark.queries.llm_pipeline import (
+        sample_negatives,
+    )
+
+    df = sample_negatives(spark, sf_smoke).cache()
+    try:
+        assert df.where(F.col("neg_id") == F.col("doc_id")).count() == 0
+        per = df.groupBy("doc_id").count().agg(F.min("count"), F.max("count")).first()
+        assert per[0] == per[1] == 3
+        again = sample_negatives(spark, sf_smoke)
+        assert sorted(map(tuple, df.collect())) == sorted(map(tuple, again.collect()))
+        # zero shuffles: pure row-local map + 1-row broadcast
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        df.unpersist()

@@ -1156,3 +1156,66 @@ def eval_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         labels.unpersist(blocking=False)
+
+
+_NEG_K = 3
+
+
+@query(
+    "sample_negatives",
+    oracle=f"""
+    WITH n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT d.doc_id, s.j AS neg_rank,
+           (d.doc_id + 1 +
+            ((CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) >> (15 * s.j)) % (n.n_docs - 1))
+           ) % n.n_docs AS neg_id
+    FROM documents d
+    CROSS JOIN n
+    CROSS JOIN (SELECT unnest(range({_NEG_K})) AS j) s
+    """,
+)
+def sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive retrieval training
+    (the (anchor, negative) pair generator behind every dual-encoder /
+    InfoNCE fine-tune): K={k} pseudo-random negatives per document,
+    derived from md5 bit-slices of the doc_id so the dataset is exactly
+    reproducible across runs, engines, and repartitioning — and the
+    offset construction (1 + h mod N-1, added mod N) PROVES no document
+    is ever its own negative.
+
+    Shape at 100 TB: a pure row-local map (corpus count broadcast as a
+    1-row literal) — zero shuffles, K output rows per doc. Swap-in
+    point for hard-negative mining: replace the hash offset with a
+    shortlist from ``knn_batch``/``pq_search`` and keep the same output
+    contract.
+    """.format(k=_NEG_K)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        docs.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "n_docs",
+            F.explode(
+                F.array(*[F.lit(j) for j in range(_NEG_K)])
+            ).alias("neg_rank"),
+            h.alias("h"),
+        )
+        .select(
+            "doc_id",
+            F.col("neg_rank").cast("long").alias("neg_rank"),
+            F.pmod(
+                F.col("doc_id")
+                + 1
+                + F.pmod(
+                    F.expr("shiftright(h, cast(15 * neg_rank as int))"),
+                    F.col("n_docs") - 1,
+                ),
+                F.col("n_docs"),
+            ).alias("neg_id"),
+        )
+    )
