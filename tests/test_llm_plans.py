@@ -162,3 +162,40 @@ def test_sample_stratified_broadcasts_rates(spark, sf_smoke):
     plan = _plan(L.sample_stratified(spark, sf_smoke))
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_tokenize_to_ids_contract(spark, sf_smoke):
+    """ids length == n_tokens, ids within [-1, V), OOV present (V=20 <
+    corpus vocab 31), and id 0 is the corpus's most frequent token."""
+    from pyspark.sql import functions as F
+
+    from vector_search_playground_spark.queries.llm_pipeline import (
+        _VOCAB_V,
+        tokenize_to_ids,
+    )
+    from vector_search_playground_spark.sources import load_table
+
+    df = tokenize_to_ids(spark, sf_smoke).cache()
+    try:
+        bad = df.where(F.size("ids") != F.col("n_tokens")).count()
+        assert bad == 0
+        rng = df.select(
+            F.min(F.array_min("ids")).alias("lo"),
+            F.max(F.array_max("ids")).alias("hi"),
+            F.sum("n_oov").alias("oov"),
+        ).first()
+        assert rng["lo"] >= -1 and rng["hi"] < _VOCAB_V
+        assert rng["oov"] > 0
+        # id 0 must be the modal token of the corpus
+        docs = load_table(spark, sf_smoke, "documents")
+        top = (
+            docs.select(F.explode_outer(F.split("text", " ")).alias("t"))
+            .where(F.col("t").isNotNull())
+            .groupBy("t").count().orderBy(F.desc("count"), "t").first()
+        )
+        n_id0 = df.select(
+            F.sum(F.size(F.filter("ids", lambda x: x == 0)))
+        ).first()[0]
+        assert n_id0 == top["count"]
+    finally:
+        df.unpersist()

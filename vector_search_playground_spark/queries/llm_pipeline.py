@@ -1219,3 +1219,88 @@ def sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("neg_id"),
         )
     )
+
+
+_VOCAB_V = 20
+_OOV_ID = -1
+
+
+@query(
+    "tokenize_to_ids",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, t.tok, t.pos FROM documents,
+        LATERAL (
+            SELECT unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+        ) t
+        WHERE t.tok IS NOT NULL
+    ),
+    ranked AS (
+        SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) - 1
+                   AS id
+        FROM tok GROUP BY tok
+    ),
+    vocab AS (SELECT tok, id FROM ranked WHERE id < {_VOCAB_V})
+    SELECT tok.doc_id,
+           array_agg(COALESCE(v.id, {_OOV_ID}) ORDER BY tok.pos) AS ids,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE v.id IS NULL) AS BIGINT) AS n_oov
+    FROM tok LEFT JOIN vocab v USING (tok)
+    GROUP BY tok.doc_id
+    """,
+)
+def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization to vocabulary IDs — the text→ids step every
+    training pipeline runs between cleaning and ``pack_sequences``: a
+    frequency-ranked vocabulary of the top {v} tokens (deterministic
+    count-then-lexicographic tiebreak), every document re-emitted as its
+    ordered id sequence with OOV tokens mapped to {oov}, plus per-doc
+    token/OOV counts (the tokenizer-coverage signal).
+
+    Shape at 100 TB: the vocabulary is MODEL METADATA — built with a
+    TakeOrdered top-V (driver sees V rows, the one legitimate collect)
+    and broadcast back; the corpus path is posexplode → broadcast-join →
+    one doc_id hash-agg whose collect_list is re-ordered row-locally by
+    position (sort_array on (pos, id) structs — never an ordered-window
+    whale). Token text crosses the wire once, as (doc, pos, token)
+    triples.
+    """.format(v=_VOCAB_V, oov=_OOV_ID)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode_outer(F.split("text", " ")).alias("pos", "tok"),
+    ).where(F.col("tok").isNotNull())
+    top = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(_VOCAB_V)
+        .collect()
+    )
+    vocab = spark.createDataFrame(
+        [(r["tok"], i) for i, r in enumerate(top)], "tok string, id int"
+    )
+    with_ids = tok.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.col("id"), F.lit(_OOV_ID)).cast("long").alias("id"),
+    )
+    return (
+        with_ids.groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("pos", "id"))
+            ).alias("seq"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum((F.col("id") == _OOV_ID).cast("long"))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            F.expr("transform(seq, s -> s.id)").alias("ids"),
+            "n_tokens",
+            "n_oov",
+        )
+    )
