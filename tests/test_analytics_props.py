@@ -226,3 +226,22 @@ def test_embedding_drift_fixture_bounds(spark, sf_smoke):
     for r in A.embedding_drift(spark, sf_smoke).collect():
         assert -1e-6 <= r["drift"] <= 2
         assert r["n_a"] > 0 and r["n_b"] > 0
+
+
+def test_rolling_active_users_invariants(spark, sf_smoke):
+    """wau7 >= dau always; wau7 <= total users; first day wau7 == dau."""
+    from vector_search_playground_spark.queries import analytics as A
+    from vector_search_playground_spark.sources import load_table
+
+    rows = sorted(
+        A.rolling_active_users(spark, sf_smoke).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    total = (
+        load_table(spark, sf_smoke, "events")
+        .select("user_id").distinct().count()
+    )
+    for r in rows:
+        assert r["dau"] <= r["wau7"] <= total
+    assert rows[0]["wau7"] == rows[0]["dau"]

@@ -1697,3 +1697,81 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drift"),
         )
     )
+
+
+# --- rolling_active_users ---------------------------------------------------
+
+
+@query(
+    "rolling_active_users",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),
+    obs AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                   AS d
+        FROM b
+    ),
+    dau AS (SELECT day AS d, count(*) AS dau FROM ud GROUP BY day),
+    wau AS (
+        SELECT o.d, count(DISTINCT u.user_id) AS wau
+        FROM obs o
+        JOIN ud u ON u.day BETWEEN o.d - INTERVAL 6 DAY AND o.d
+        GROUP BY o.d
+    )
+    SELECT strftime(o.d, '%Y-%m-%d') AS day,
+           CAST(COALESCE(dau.dau, 0) AS BIGINT) AS dau,
+           CAST(COALESCE(wau.wau, 0) AS BIGINT) AS wau7
+    FROM obs o
+    LEFT JOIN dau ON dau.d = o.d
+    LEFT JOIN wau ON wau.d = o.d
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + rolling 7-day WAU per calendar day — the sliding-window
+    COUNT DISTINCT that trips every engine: ``count(distinct) OVER
+    (RANGE 7 days)`` is a holistic window that re-scans a week of
+    history per day. The scalable construction instead EXPLODES each
+    (user, active-day) fact to the ≤7 observation days it supports —
+    bounded fan-out — and counts distinct users per observation day in
+    ONE hash-agg. ``running_distinct`` handles the cumulative curve;
+    this is its bounded-window sibling.
+
+    Shape at 100 TB: the element relation is the distinct (user, day)
+    set (one hash-agg over the stream); the ×7 expansion is row-local;
+    the distinct count shuffles (obs_day, user) pairs — 7·|user-days|,
+    never event volume. The day spine is metadata from one min/max agg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    bounds = ud.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    obs = bounds.select(
+        F.explode(F.expr("sequence(lo, hi)")).alias("d")
+    )
+    dau = ud.groupBy(F.col("day").alias("d")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    wau = (
+        ud.crossJoin(F.broadcast(bounds.select("hi")))
+        .select(
+            "user_id",
+            F.explode(
+                F.expr("sequence(day, least(date_add(day, 6), hi))")
+            ).alias("d"),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        obs.join(F.broadcast(dau), "d", "left")
+        .join(F.broadcast(wau), "d", "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),
+            F.coalesce("wau", F.lit(0)).cast("long").alias("wau7"),
+        )
+    )
