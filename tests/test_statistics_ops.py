@@ -306,3 +306,38 @@ def test_scan_partition_pruned_listing_time(spark, sf_smoke):
     assert "PartitionFilters" in plan, plan
     seg = plan.split("PartitionFilters", 1)[1][:200]
     assert "day" in seg, plan
+
+
+# --- revenue_concentration --------------------------------------------------
+
+
+def test_revenue_concentration_equals_naive_window(spark, sf_smoke):
+    """The bucketed two-pass must reproduce the naive global-window
+    answer exactly, and no unpartitioned window may appear in its plan."""
+    import math
+
+    df = S.revenue_concentration(spark, sf_smoke)
+    row = df.first()
+    cust = (
+        load_table(spark, sf_smoke, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    vals = sorted((r["cents"] for r in cust.collect()), reverse=True)
+    total = sum(vals)
+    cum, n80 = 0, 0
+    for v in vals:
+        if 5 * cum < 4 * total:
+            n80 += 1
+        cum += v
+    k10 = math.ceil(len(vals) / 10.0)
+    assert row["n_customers"] == len(vals)
+    assert row["total_cents"] == total
+    assert row["n80"] == n80
+    assert abs(row["top_decile_share"] - round(sum(vals[:k10]) / total, 6)) < 1e-12
+    assert 0 < row["n80"] <= row["n_customers"]
+    assert 0.1 <= row["top_decile_share"] <= 1

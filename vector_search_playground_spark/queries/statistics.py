@@ -660,3 +660,119 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+# --- revenue_concentration --------------------------------------------------
+
+
+@query(
+    "revenue_concentration",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    t AS (SELECT sum(cents) AS total, count(*) AS n FROM cust),
+    c AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk,
+               sum(cents) OVER (ORDER BY cents DESC, o_custkey
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM cust
+    )
+    SELECT CAST(t.n AS BIGINT) AS n_customers,
+           CAST(t.total AS BIGINT) AS total_cents,
+           CAST(count(*) FILTER (WHERE 5 * (c.cum - c.cents) < 4 * t.total)
+                AS BIGINT) AS n80,
+           ROUND(CAST(max(CASE WHEN c.rk = CAST(ceil(t.n / 10.0) AS BIGINT)
+                               THEN c.cum END) AS DOUBLE) / t.total, 6)
+               AS top_decile_share
+    FROM c CROSS JOIN t
+    GROUP BY t.n, t.total
+    """,
+)
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration audit (the Pareto 80/20 verb): how many
+    customers produce 80% of revenue, and what share the top decile
+    holds. Everything runs in INTEGER CENTS — per-customer revenue via
+    floor(x·100 + 0.5) (the true sum is integer cents, so the half-cent
+    floor is exact on both engines) — making the 80% crossing test
+    5·cum ≥ 4·total pure int64 arithmetic with no float knife edge.
+
+    Shape at 100 TB: the oracle's global cumsum window is a
+    single-partition whale over the customer relation; the plan here is
+    the BUCKETED TWO-PASS prefix sum (the pack_sequences /
+    curriculum_shards discipline): approxQuantile boundaries bucket the
+    per-customer relation, per-bucket (count, sum) partials prefix on
+    the driver (≤ buckets rows), and the within-bucket window runs over
+    1/64th slices — no unpartitioned sort anywhere. Driver sees 1 row.
+    """
+    import math
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents")
+    )
+    bounds = sorted(
+        set(
+            cust.select(F.col("cents").cast("double").alias("__v"))
+            .approxQuantile("__v", [i / 64 for i in range(1, 64)], 0.004)
+        )
+    )
+    bexpr = F.lit(0)
+    for b in bounds:
+        bexpr = bexpr + F.when(F.col("cents").cast("double") > F.lit(b), 1).otherwise(0)
+    bucketed = cust.withColumn("__bkt", bexpr.cast("int")).cache()
+    try:
+        parts = {
+            r["__bkt"]: (r["n"], r["s"])
+            for r in bucketed.groupBy("__bkt")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+            .collect()
+        }
+        nb = len(bounds) + 1
+        n_total = sum(n for n, _ in parts.values())
+        total = sum(s for _, s in parts.values())
+        # walk buckets from the TOP (highest cents = highest bucket id)
+        off_n, off_s, cn, cs = {}, {}, 0, 0
+        for b in range(nb - 1, -1, -1):
+            off_n[b], off_s[b] = cn, cs
+            n, s = parts.get(b, (0, 0))
+            cn, cs = cn + n, cs + s
+        map_n = F.create_map(*[F.lit(x) for b in range(nb) for x in (b, off_n[b])])
+        map_s = F.create_map(*[F.lit(x) for b in range(nb) for x in (b, off_s[b])])
+        w = (
+            Window.partitionBy("__bkt")
+            .orderBy(F.desc("cents"), "o_custkey")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        ranked = bucketed.select(
+            "cents",
+            (map_n[F.col("__bkt")] + F.count(F.lit(1)).over(w)).alias("rk"),
+            (map_s[F.col("__bkt")] + F.sum("cents").over(w)).alias("cum"),
+        )
+        k10 = math.ceil(n_total / 10.0)
+        row = ranked.agg(
+            F.sum(
+                (5 * (F.col("cum") - F.col("cents")) < 4 * F.lit(total))
+                .cast("long")
+            ).alias("n80"),
+            F.max(F.when(F.col("rk") == k10, F.col("cum"))).alias("top_cum"),
+        ).first()
+        return spark.createDataFrame(
+            [
+                (
+                    n_total,
+                    total,
+                    row["n80"],
+                    round(row["top_cum"] / total, 6),
+                )
+            ],
+            "n_customers long, total_cents long, n80 long,"
+            " top_decile_share double",
+        )
+    finally:
+        bucketed.unpersist()
