@@ -341,3 +341,30 @@ def test_revenue_concentration_equals_naive_window(spark, sf_smoke):
     assert abs(row["top_decile_share"] - round(sum(vals[:k10]) / total, 6)) < 1e-12
     assert 0 < row["n80"] <= row["n_customers"]
     assert 0.1 <= row["top_decile_share"] <= 1
+
+
+def test_corr_categorical_bounds_and_independence(spark, sf_smoke, tmp_path):
+    """V in [0,1] on the fixture; a perfectly independent synthetic
+    contingency yields V == 0 and chi2 == 0."""
+    row = S.corr_categorical(spark, sf_smoke).first()
+    assert 0 <= row["cramers_v"] <= 1
+    assert row["chi2"] >= 0
+    # independent synthetic: every (user block, segment) equally likely
+    ev = [
+        (i, 1_704_067_200_000_000 + i, i % 4, 1.0,
+         ["view", "click"][(i // 4) % 2], "{}")
+        for i in range(400)
+    ]
+    spark.createDataFrame(
+        ev,
+        "event_id long, ts long, user_id long, value double,"
+        " event_type string, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    cust = [(u, f"c{u}", 0, 0.0, ["A", "B"][u % 2]) for u in range(4)]
+    spark.createDataFrame(
+        cust,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    r2 = S.corr_categorical(spark, str(tmp_path)).first()
+    assert r2["chi2"] == 0.0 and r2["cramers_v"] == 0.0

@@ -776,3 +776,91 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         bucketed.unpersist()
+
+
+# --- corr_categorical -------------------------------------------------------
+
+
+@query(
+    "corr_categorical",
+    oracle="""
+    WITH joined AS (
+        SELECT e.event_type AS a, c.c_mktsegment AS b
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    ),
+    cell AS (SELECT a, b, count(*) AS o FROM joined GROUP BY a, b),
+    mar AS (
+        SELECT a, b, o,
+               sum(o) OVER (PARTITION BY a) AS ra,
+               sum(o) OVER (PARTITION BY b) AS cb,
+               sum(o) OVER () AS n
+        FROM cell
+    ),
+    chi AS (
+        SELECT max(n) AS n,
+               count(DISTINCT a) AS nr, count(DISTINCT b) AS nc,
+               sum(power(o - ra * cb / CAST(n AS DOUBLE), 2)
+                   / (ra * cb / CAST(n AS DOUBLE))) AS chi2
+        FROM mar
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(nr AS BIGINT) AS n_rows_cat,
+           CAST(nc AS BIGINT) AS n_cols_cat,
+           ROUND(chi2, 6) AS chi2,
+           ROUND(sqrt(chi2 / (n * (least(nr, nc) - 1))), 6) AS cramers_v
+    FROM chi
+    """,
+)
+def corr_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association between two CATEGORICAL columns — Cramér's V over the
+    (event type × market segment) contingency table, the categorical
+    sibling of ``corr_matrix``'s Pearson pass (correlating a behavior
+    column with a demographic one is the first question of any
+    segmentation analysis; Pearson is meaningless there).
+
+    Shape at 100 TB: the fact stream collapses to the |types|·|segments|
+    contingency table in ONE hash-agg behind a broadcast dimension join;
+    marginals, χ², and V are window/aggregate arithmetic on that
+    25-cell relation — metadata forever. Counts are exact integers;
+    only the final χ² crosses into floats, rounded at 6 dp.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("b"),
+    )
+    cell = (
+        ev.join(F.broadcast(cust), "user_id")
+        .select(F.col("event_type").alias("a"), "b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    wa, wb, wn = Window.partitionBy("a"), Window.partitionBy("b"), Window.partitionBy()
+    mar = cell.select(
+        "a",
+        "b",
+        "o",
+        F.sum("o").over(wa).alias("ra"),
+        F.sum("o").over(wb).alias("cb"),
+        F.sum("o").over(wn).alias("n"),
+    )
+    e = F.col("ra") * F.col("cb") / F.col("n").cast("double")
+    chi = mar.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("a").alias("nr"),
+        F.countDistinct("b").alias("nc"),
+        F.sum(F.pow(F.col("o") - e, 2) / e).alias("chi2"),
+    )
+    return chi.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("nr").cast("long").alias("n_rows_cat"),
+        F.col("nc").cast("long").alias("n_cols_cat"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * (F.least("nr", "nc") - F.lit(1)))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
