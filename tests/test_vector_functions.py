@@ -92,3 +92,17 @@ def test_quantized_knn_recall_vs_exact(spark, sf_smoke):
     exact = {r["vec_id"] for r in topk_limit(spark, sf_smoke).collect()}
     assert len(q) == 10
     assert len(q & exact) >= 7, (sorted(q), sorted(exact))
+
+
+def test_fn_vector_arith_parallelogram_law(spark, sf_smoke):
+    """For unit vectors, ||a+b||^2 + ||a-b||^2 == 2(||a||^2+||b||^2) = 4,
+    and sum_mul equals the inner product (cos sim) in [-1, 1]."""
+    from vector_search_playground_spark.queries.vector_search import (
+        fn_vector_arith,
+    )
+
+    rows = fn_vector_arith(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["norm_sum"] ** 2 + r["norm_diff"] ** 2 - 4.0) < 1e-4
+        assert -1.0 - 1e-6 <= r["sum_mul"] <= 1.0 + 1e-6

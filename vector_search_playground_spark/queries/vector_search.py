@@ -472,3 +472,67 @@ def knn_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inner_product_q(spark, sf_dir).orderBy(F.asc("dist"), F.asc("vec_id")).limit(K)
     )
+
+
+@query(
+    "fn_vector_arith",
+    oracle=f"""
+    SELECT a.vec_id,
+           ROUND(sqrt(list_sum(list_transform(
+               list_zip(CAST(a.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])),
+               x -> (x[1] + x[2]) * (x[1] + x[2])))), {ROUND_DIST})
+               AS norm_sum,
+           ROUND(sqrt(list_sum(list_transform(
+               list_zip(CAST(a.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])),
+               x -> (x[1] - x[2]) * (x[1] - x[2])))), {ROUND_DIST})
+               AS norm_diff,
+           ROUND(list_sum(list_transform(
+               list_zip(CAST(a.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])),
+               x -> x[1] * x[2])), {ROUND_DIST}) AS sum_mul
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    WHERE a.vec_id < 50
+    """,
+)
+def fn_vector_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pgvector's vector ARITHMETIC operator family (`+`, `-`,
+    elementwise `*` — the same operator table that ships `<=>`,
+    pgvector docs): consecutive embedding pairs combined elementwise,
+    summarized as ‖a+b‖, ‖a−b‖ and Σ(a·b) (the latter doubling as the
+    inner product identity check). Completes Tier B next to the three
+    distance metrics.
+
+    Implementation is the same codegen'd ``zip_with``/``aggregate`` HOF
+    discipline as the distance kernels — elementwise arithmetic never
+    leaves the JVM, no UDF. The pair join is an equi-join on vec_id+1
+    bounded to 50 rows; parity: both engines compute in f64 over the
+    cast arrays, 6-dp rounding.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.where(F.col("vec_id") < 50).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("va")
+    )
+    b = emb.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+
+    def fold_sq(expr):
+        return F.sqrt(
+            F.aggregate(expr, F.lit(0.0), lambda s, x: s + x * x)
+        )
+
+    plus = F.zip_with("va", "vb", lambda x, y: x + y)
+    minus = F.zip_with("va", "vb", lambda x, y: x - y)
+    mul = F.zip_with("va", "vb", lambda x, y: x * y)
+    return a.join(b, "vec_id").select(
+        "vec_id",
+        F.round(fold_sq(plus), ROUND_DIST).alias("norm_sum"),
+        F.round(fold_sq(minus), ROUND_DIST).alias("norm_diff"),
+        F.round(
+            F.aggregate(mul, F.lit(0.0), lambda s, x: s + x),
+            ROUND_DIST,
+        ).alias("sum_mul"),
+    )
