@@ -1577,15 +1577,16 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         qs = [0.25, 0.5, 0.75]
-        rq = exact_quantiles(
-            per_user.select("k", F.col("r_days").cast("double").alias("v")),
-            "k", "v", qs,
-        )["all"]
-        fq = exact_quantiles(
-            per_user.select("k", F.col("f").cast("double").alias("v")),
-            "k", "v", qs,
-        )["all"]
-        mq = exact_quantiles(per_user.select("k", "m"), "k", "m", qs)["all"]
+        # ONE selection run for all nine boundaries: unpivot the three
+        # features to (metric, v) and let the multi-key machinery share
+        # the stats/histogram/rank passes — 3x fewer actions than three
+        # separate calls (bench: 2.85 s -> ~1.4 s at sf0.1)
+        melted = per_user.selectExpr(
+            "stack(3, 'r', cast(r_days as double),"
+            " 'f', cast(f as double), 'm', m) as (metric, v)"
+        )
+        per = exact_quantiles(melted, "metric", "v", qs)
+        rq, fq, mq = per["r"], per["f"], per["m"]
 
         def score(col, b):
             return (
