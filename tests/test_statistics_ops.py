@@ -368,3 +368,58 @@ def test_corr_categorical_bounds_and_independence(spark, sf_smoke, tmp_path):
     ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
     r2 = S.corr_categorical(spark, str(tmp_path)).first()
     assert r2["chi2"] == 0.0 and r2["cramers_v"] == 0.0
+
+
+# --- weighted_median / prefix operator --------------------------------------
+
+
+def test_weighted_median_matches_naive(spark, sf_smoke):
+    """Bucketed two-pass == naive driver-side weighted median; the
+    weighted median differs from the unweighted one (weights matter)."""
+    row = S.weighted_median(spark, sf_smoke).first()
+    li = load_table(spark, sf_smoke, "lineitem").select(
+        "l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    rows = sorted(
+        (
+            (r["l_extendedprice"], int(r["l_quantity"]),
+             r["l_orderkey"] * 10 + r["l_linenumber"])
+            for r in li.collect()
+        ),
+        key=lambda t: (t[0], t[2]),
+    )
+    total = sum(w for _, w, _ in rows)
+    cum = 0
+    for price, w, _ in rows:
+        cum += w
+        if 2 * cum >= total:
+            naive = price
+            break
+    assert row["w_median"] == round(naive, 2)
+    assert row["total_weight"] == total
+
+
+def test_bucketed_cumsum_rank_is_dense_permutation(spark, sf_smoke):
+    """rk must be exactly 1..n with cum strictly increasing by weight."""
+    from pyspark.sql import functions as F
+
+    from vector_search_playground_spark.operators.prefix import (
+        bucketed_cumsum,
+    )
+
+    li = load_table(spark, sf_smoke, "lineitem").select(
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("tb"),
+    )
+    out, n, total = bucketed_cumsum(li, "v", "w", tiebreak_col="tb")
+    stats = out.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min("rk").alias("lo"),
+        F.max("rk").alias("hi"),
+        F.countDistinct("rk").alias("d"),
+        F.max("cum").alias("mx"),
+    ).first()
+    assert stats["c"] == n and stats["lo"] == 1 and stats["hi"] == n
+    assert stats["d"] == n
+    assert stats["mx"] == total

@@ -710,49 +710,27 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import math
 
+    from vector_search_playground_spark.operators.prefix import (
+        bucketed_cumsum,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
-    cust = orders.groupBy("o_custkey").agg(
-        F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("cents")
-    )
-    bounds = sorted(
-        set(
-            cust.select(F.col("cents").cast("double").alias("__v"))
-            .approxQuantile("__v", [i / 64 for i in range(1, 64)], 0.004)
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents")
         )
+        .cache()
     )
-    bexpr = F.lit(0)
-    for b in bounds:
-        bexpr = bexpr + F.when(F.col("cents").cast("double") > F.lit(b), 1).otherwise(0)
-    bucketed = cust.withColumn("__bkt", bexpr.cast("int")).cache()
     try:
-        parts = {
-            r["__bkt"]: (r["n"], r["s"])
-            for r in bucketed.groupBy("__bkt")
-            .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
-            .collect()
-        }
-        nb = len(bounds) + 1
-        n_total = sum(n for n, _ in parts.values())
-        total = sum(s for _, s in parts.values())
-        # walk buckets from the TOP (highest cents = highest bucket id)
-        off_n, off_s, cn, cs = {}, {}, 0, 0
-        for b in range(nb - 1, -1, -1):
-            off_n[b], off_s[b] = cn, cs
-            n, s = parts.get(b, (0, 0))
-            cn, cs = cn + n, cs + s
-        map_n = F.create_map(*[F.lit(x) for b in range(nb) for x in (b, off_n[b])])
-        map_s = F.create_map(*[F.lit(x) for b in range(nb) for x in (b, off_s[b])])
-        w = (
-            Window.partitionBy("__bkt")
-            .orderBy(F.desc("cents"), "o_custkey")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        ranked = bucketed.select(
+        ranked, n_total, total = bucketed_cumsum(
+            cust,
             "cents",
-            (map_n[F.col("__bkt")] + F.count(F.lit(1)).over(w)).alias("rk"),
-            (map_s[F.col("__bkt")] + F.sum("cents").over(w)).alias("cum"),
+            "cents",
+            tiebreak_col="o_custkey",
+            descending=True,
         )
         k10 = math.ceil(n_total / 10.0)
         row = ranked.agg(
@@ -775,7 +753,7 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             " top_decile_share double",
         )
     finally:
-        bucketed.unpersist()
+        cust.unpersist()
 
 
 # --- corr_categorical -------------------------------------------------------
@@ -864,3 +842,72 @@ def corr_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+# --- weighted_median --------------------------------------------------------
+
+
+@query(
+    "weighted_median",
+    oracle="""
+    WITH t AS (
+        SELECT l_extendedprice AS price,
+               CAST(l_quantity AS BIGINT) AS w,
+               l_orderkey * 10 + l_linenumber AS tb
+        FROM lineitem
+    ),
+    tot AS (SELECT sum(w) AS total FROM t),
+    c AS (
+        SELECT price, w,
+               sum(w) OVER (ORDER BY price, tb
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT ROUND(min(CASE WHEN 2 * c.cum >= tot.total
+                          THEN c.price END), 2) AS w_median,
+           CAST(max(tot.total) AS BIGINT) AS total_weight
+    FROM c CROSS JOIN tot
+    """,
+)
+def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median (lower): the price at which half the shipped
+    QUANTITY — not half the rows — lies at-or-below (the
+    units-actually-sold median every pricing analysis wants; plain
+    ``median(price)`` overweights small orders). No engine has a native
+    weighted quantile; the oracle states it as the global cumsum window.
+
+    Shape at 100 TB: ``operators/prefix.bucketed_cumsum`` — the
+    quantile-bucketed two-pass prefix sum shared with
+    ``revenue_concentration`` — so the running weight never needs the
+    oracle's single-partition window. Weights are integral units, the
+    crossing test 2·cum ≥ total is exact int64, and the emitted median
+    is a real data value: no float knife edge anywhere.
+    """
+    from vector_search_playground_spark.operators.prefix import (
+        bucketed_cumsum,
+    )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_quantity").cast("long").alias("w"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("tb"),
+        )
+        .cache()
+    )
+    try:
+        ranked, _n, total = bucketed_cumsum(
+            li, "price", "w", tiebreak_col="tb", descending=False
+        )
+        row = ranked.agg(
+            F.min(
+                F.when(2 * F.col("cum") >= total, F.col("price"))
+            ).alias("wm")
+        ).first()
+        return spark.createDataFrame(
+            [(round(row["wm"], 2), total)],
+            "w_median double, total_weight long",
+        )
+    finally:
+        li.unpersist()
