@@ -247,3 +247,32 @@ def test_join_point_in_time_join_free_and_transition_edge(spark, tmp_path):
     assert out[3] == ("signup", 1)
     assert out[5] == ("click", 2)  # exactly at the transition -> new tile
     assert out[6] == ("click", 2)
+
+
+def test_join_interval_overlap_nonnegative_and_user_keyed(spark, sf_smoke):
+    """Every emitted pair genuinely overlaps (length >= 0 — touching
+    counts), and the whole plan reuses the user_id partitioning."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from vector_search_playground_spark.queries import reliability as R
+
+    df = R.join_interval_overlap(spark, sf_smoke)
+    assert df.where(F.col("overlap_us") < 0).count() == 0
+    assert df.count() > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
+    assert keys == {"user_id"}, (keys, plan)
+
+
+def test_growth_daily_first_day_null(spark, sf_smoke):
+    from vector_search_playground_spark.queries import analytics as A
+
+    rows = A.growth_daily(spark, sf_smoke).collect()
+    by_type = {}
+    for r in sorted(rows, key=lambda r: (r["event_type"], r["day"])):
+        by_type.setdefault(r["event_type"], []).append(r)
+    for seq in by_type.values():
+        assert seq[0]["pct_change"] is None
+        assert all(r["pct_change"] is not None for r in seq[1:])

@@ -1776,3 +1776,46 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("wau", F.lit(0)).cast("long").alias("wau7"),
         )
     )
+
+
+# --- growth_daily -----------------------------------------------------------
+
+
+@query(
+    "growth_daily",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        FROM events GROUP BY event_type, day
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(n AS BIGINT) AS n,
+           ROUND((n - lag(n) OVER w) * 100.0 / lag(n) OVER w, 6)
+               AS pct_change
+    FROM d
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def growth_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day growth per event type — the daily-report verb
+    (counts + % change vs the previous observed day; the first day is
+    NULL, not zero). Intentionally computed on the AGGREGATED relation:
+    the lag window runs over |types|·|days| rows, never the event
+    stream — at 100 TB the only data-scale work is the one hash-agg;
+    the growth arithmetic is metadata."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    return d.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            (F.col("n") - F.lag("n").over(w))
+            * 100.0
+            / F.lag("n").over(w),
+            6,
+        ).alias("pct_change"),
+    )

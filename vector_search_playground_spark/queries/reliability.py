@@ -670,3 +670,116 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cur_version").alias("version"),
         )
     )
+
+
+# --- join_interval_overlap --------------------------------------------------
+
+
+def _islands_cte(alias: str, etype: str) -> str:
+    """Gaps-and-islands SQL for one event type's merged activity
+    intervals (same running-max-end construction as interval_merge)."""
+    return f"""
+    {alias} AS (
+        SELECT user_id, island,
+               min(s) AS s, max(e) AS e
+        FROM (
+            SELECT user_id, s, e,
+                   CAST(sum(brk) OVER (PARTITION BY user_id
+                                       ORDER BY s, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS island
+            FROM (
+                SELECT user_id, event_id, s, e,
+                       CASE WHEN max(e) OVER (PARTITION BY user_id
+                                              ORDER BY s, event_id
+                                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                                       AND 1 PRECEDING)
+                                 IS NULL
+                              OR s > max(e) OVER (PARTITION BY user_id
+                                                  ORDER BY s, event_id
+                                                  ROWS BETWEEN
+                                                      UNBOUNDED PRECEDING
+                                                      AND 1 PRECEDING)
+                            THEN 1 ELSE 0 END AS brk
+                FROM (
+                    SELECT user_id, event_id, epoch_us(ts) AS s,
+                           epoch_us(ts)
+                               + CAST(floor(value * {_US_PER_MIN}) AS BIGINT)
+                               AS e
+                    FROM events WHERE event_type = '{etype}'
+                )
+            )
+        )
+        GROUP BY user_id, island
+    )"""
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH {_islands_cte("a", "click")},
+    {_islands_cte("b", "view")}
+    SELECT a.user_id, a.island AS island_click, b.island AS island_view,
+           least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+    FROM a JOIN b ON a.user_id = b.user_id
+                 AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP join between two interval SETS — the fourth join
+    temporality (equi < as-of < point-in-interval(join_range) <
+    interval×interval): per user, every pair of overlapping (click
+    activity span, view activity span), with the overlap length. The
+    concurrency/contention verb: when were two activities live at once?
+
+    Shape at 100 TB: both sides first COALESCE to maximal spans via
+    ``operators/intervals.merge_intervals`` (the per-user span count is
+    orders of magnitude below the event count and bounded by the
+    session structure), then join keyed on user_id — the overlap
+    predicate filters inside bounded per-user pair groups, never a
+    global θ-join. All three stages reuse the user_id partitioning.
+    """
+    from vector_search_playground_spark.operators.intervals import (
+        merge_intervals,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def spans(etype):
+        iv = ev.where(F.col("event_type") == etype).select(
+            "user_id",
+            "event_id",
+            F.col("ts_us").alias("s"),
+            (
+                F.col("ts_us") + (F.col("value") * _US_PER_MIN).cast("long")
+            ).alias("e"),
+        )
+        return merge_intervals(iv).select(
+            "user_id", "island", F.col("start_us").alias("s"),
+            F.col("end_us").alias("e"),
+        )
+
+    a = spans("click").select(
+        "user_id",
+        F.col("island").alias("island_click"),
+        F.col("s").alias("sa"),
+        F.col("e").alias("ea"),
+    )
+    b = spans("view").select(
+        "user_id",
+        F.col("island").alias("island_view"),
+        F.col("s").alias("sb"),
+        F.col("e").alias("eb"),
+    )
+    return (
+        a.join(b, "user_id")
+        .where((F.col("sa") <= F.col("eb")) & (F.col("sb") <= F.col("ea")))
+        .select(
+            "user_id",
+            "island_click",
+            "island_view",
+            (
+                F.least("ea", "eb") - F.greatest("sa", "sb")
+            ).alias("overlap_us"),
+        )
+    )
