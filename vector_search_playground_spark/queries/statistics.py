@@ -911,3 +911,79 @@ def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         li.unpersist()
+
+
+# --- dedup_numeric ----------------------------------------------------------
+
+_DUP_PCT = 0.01
+_DUP_DAYS_US = 7 * 86_400_000_000
+
+
+@query(
+    "dedup_numeric",
+    oracle=f"""
+    SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b, a.o_custkey,
+           ROUND(a.o_totalprice, 2) AS price_a,
+           ROUND(b.o_totalprice, 2) AS price_b,
+           CAST(abs(epoch_us(b.o_orderdate) - epoch_us(a.o_orderdate))
+                / 86400000000 AS BIGINT) AS days_apart
+    FROM orders a
+    JOIN orders b ON a.o_custkey = b.o_custkey
+                 AND a.o_orderkey < b.o_orderkey
+                 AND abs(a.o_totalprice - b.o_totalprice)
+                     <= {_DUP_PCT} * least(a.o_totalprice, b.o_totalprice)
+                 AND abs(epoch_us(b.o_orderdate) - epoch_us(a.o_orderdate))
+                     <= {_DUP_DAYS_US}
+    """,
+)
+def dedup_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NUMERIC near-duplicate audit (the double-charge / double-entry
+    detector): order pairs by the same customer within 1% of each
+    other's price and 7 days of each other — the numeric sibling of the
+    text dedup family (where those band on shingles, this bands on the
+    natural entity key plus value/time tolerances).
+
+    Shape at 100 TB: the candidate space is the per-CUSTOMER self-join —
+    one shuffle on o_custkey, pair blow-up bounded by per-customer order
+    counts (business-bounded), never orders². The tolerance predicates
+    run inside those bounded groups. Day distance is integer µs
+    arithmetic; prices compare unrounded on both engines and are only
+    rounded for display.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("o_orderdate").cast("timestamp_ntz").alias("d"),
+    )
+    a = o.alias("a")
+    b = o.alias("b")
+    dt = F.abs(
+        F.unix_micros(F.col("b.d").cast("timestamp"))
+        - F.unix_micros(F.col("a.d").cast("timestamp"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .where(
+            (
+                F.abs(F.col("a.o_totalprice") - F.col("b.o_totalprice"))
+                <= _DUP_PCT
+                * F.least("a.o_totalprice", "b.o_totalprice")
+            )
+            & (dt <= _DUP_DAYS_US)
+        )
+        .select(
+            F.col("a.o_orderkey").alias("key_a"),
+            F.col("b.o_orderkey").alias("key_b"),
+            F.col("a.o_custkey").alias("o_custkey"),
+            F.round("a.o_totalprice", 2).alias("price_a"),
+            F.round("b.o_totalprice", 2).alias("price_b"),
+            F.floor(dt / F.lit(86_400_000_000)).cast("long").alias(
+                "days_apart"
+            ),
+        )
+    )
