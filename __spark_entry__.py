@@ -75,11 +75,16 @@ def _driver_status() -> tuple[dict[str, int], set[str]]:
 # streaming certifications predate both the round-4 events timestamp-unit
 # fix and the multi-microbatch hardening (round-4 verdict, gap #1).
 RECERTIFY_IF_AT_OR_BEFORE = {
+    # r2-era streaming rows: re-certified by the driver in round 5 (these
+    # entries self-cleared; kept for the audit trail)
     "stream_tumble": 2,
     "stream_slide": 2,
     "stream_session": 2,
     "stream_watermark": 2,
     "stream_dedup": 2,
+    # round-6: rounding discipline changed from Python round() to the
+    # shared half-up floor(x*10^k+0.5) AFTER the round-5 green row
+    "funnel_latency": 5,
 }
 
 

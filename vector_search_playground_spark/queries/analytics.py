@@ -1342,8 +1342,14 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         lat.unpersist()
     q = per.get("all", {0.5: None, 0.95: None})
+    # half-up like DuckDB ROUND, not Python banker's round (round-5 advice)
+    import math
+
+    def _r4(x: float) -> float:
+        return math.floor(x * 1e4 + 0.5) / 1e4
+
     return spark.createDataFrame(
-        [(n, round(q[0.5], 4), round(q[0.95], 4))],
+        [(n, _r4(q[0.5]), _r4(q[0.95]))],
         "n_converted long, p50_s double, p95_s double",
     )
 

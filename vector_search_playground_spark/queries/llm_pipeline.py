@@ -1243,7 +1243,10 @@ _OOV_ID = -1
     ),
     vocab AS (SELECT tok, id FROM ranked WHERE id < {_VOCAB_V})
     SELECT tok.doc_id,
-           array_agg(COALESCE(v.id, {_OOV_ID}) ORDER BY tok.pos) AS ids,
+           array_to_string(
+               array_agg(CAST(COALESCE(v.id, {_OOV_ID}) AS VARCHAR)
+                         ORDER BY tok.pos),
+               '-') AS ids,
            CAST(count(*) AS BIGINT) AS n_tokens,
            CAST(count(*) FILTER (WHERE v.id IS NULL) AS BIGINT) AS n_oov
     FROM tok LEFT JOIN vocab v USING (tok)
@@ -1299,7 +1302,12 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
-            F.expr("transform(seq, s -> s.id)").alias("ids"),
+            # Dash-joined string, not array<long>: the external driver's
+            # canonicalizer hashes cell values and cannot hash list cells
+            # (round-5 TypeError) — same serialization as pack_sequences.
+            F.concat_ws(
+                "-", F.expr("transform(seq, s -> cast(s.id as string))")
+            ).alias("ids"),
             "n_tokens",
             "n_oov",
         )

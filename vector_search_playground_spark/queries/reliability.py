@@ -568,20 +568,21 @@ def activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE event_type <> 'purchase'
     ),
     c AS (
-        SELECT user_id, event_type, t,
+        SELECT user_id, event_type, t, event_id,
                lag(event_type) OVER (
                    PARTITION BY user_id ORDER BY t, event_id
                ) AS prev
         FROM o
     ),
     ch AS (
-        SELECT user_id, event_type, t FROM c
+        SELECT user_id, event_type, t, event_id FROM c
         WHERE prev IS NULL OR prev <> event_type
     ),
     tiles AS (
         SELECT user_id, event_type AS state, t AS vf,
-               lead(t) OVER (PARTITION BY user_id ORDER BY t) AS vt,
-               row_number() OVER (PARTITION BY user_id ORDER BY t)
+               lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                   AS vt,
+               row_number() OVER (PARTITION BY user_id ORDER BY t, event_id)
                    AS version
         FROM ch
     ),
@@ -623,12 +624,16 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("event_type").alias("state"),
             F.col("ts_us").alias("t"),
+            F.col("event_id").alias("tb"),
             F.lag("event_type").over(w).alias("prev"),
         )
         .where(F.col("prev").isNull() | (F.col("prev") != F.col("state")))
         .drop("prev")
     )
-    w2 = Window.partitionBy("user_id").orderBy("t")
+    # (t, tb) ordering everywhere: two state changes at the same
+    # (user_id, ts_us) must version and forward-carry identically in
+    # Spark and the oracle, so event_id is the shared tiebreak
+    w2 = Window.partitionBy("user_id").orderBy("t", "tb")
     dim = ch.withColumn(
         "version", F.row_number().over(w2).cast("long")
     ).select(
@@ -636,6 +641,7 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "t",
         F.lit(0).alias("tag"),
+        "tb",
         "state",
         "version",
     )
@@ -644,15 +650,18 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("ts_us").alias("t"),
         F.lit(1).alias("tag"),
+        F.col("event_id").alias("tb"),
         F.lit(None).cast("string").alias("state"),
         F.lit(None).cast("long").alias("version"),
     )
     # state change sorts before a simultaneous purchase (tag 0 < 1):
     # a purchase exactly at a transition sees the NEW tile, matching the
-    # oracle's inclusive f.t >= vf
+    # oracle's inclusive f.t >= vf; among simultaneous state changes the
+    # highest event_id wins (oracle: the earlier tile's vt collapses to
+    # an empty [t, t) interval, so only the last tile matches)
     wc = (
         Window.partitionBy("user_id")
-        .orderBy("t", "tag")
+        .orderBy("t", "tag", "tb")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (

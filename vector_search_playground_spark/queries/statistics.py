@@ -322,7 +322,7 @@ _SAMPLE_SALTS = 32
         SELECT lang, doc_id,
                CAST(row_number() OVER (
                    PARTITION BY lang
-                   ORDER BY md5(text || ':' || doc_id), doc_id
+                   ORDER BY md5(COALESCE(text, '') || ':' || doc_id), doc_id
                ) AS BIGINT) AS rk
         FROM documents
     )
@@ -347,7 +347,14 @@ def sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "lang",
         "doc_id",
-        F.md5(F.concat_ws(":", F.col("text"), F.col("doc_id"))).alias("skey"),
+        # coalesce on BOTH engines: Spark concat_ws skips NULL args while
+        # DuckDB || propagates NULL — a null-text doc would otherwise get
+        # a different sampling key per engine (round-5 advice)
+        F.md5(
+            F.concat_ws(
+                ":", F.coalesce(F.col("text"), F.lit("")), F.col("doc_id")
+            )
+        ).alias("skey"),
     )
     salted = docs.withColumn(
         "salt", F.pmod(F.xxhash64("doc_id"), F.lit(_SAMPLE_SALTS))
@@ -746,7 +753,8 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
                     n_total,
                     total,
                     row["n80"],
-                    round(row["top_cum"] / total, 6),
+                    # half-up like DuckDB ROUND, not Python banker's round
+                    math.floor(row["top_cum"] / total * 1e6 + 0.5) / 1e6,
                 )
             ],
             "n_customers long, total_cents long, n80 long,"
@@ -905,8 +913,12 @@ def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(2 * F.col("cum") >= total, F.col("price"))
             ).alias("wm")
         ).first()
+        # half-up like DuckDB ROUND (a no-op on 2-dp price data, but keep
+        # the shared rounding discipline rather than Python banker's round)
+        import math
+
         return spark.createDataFrame(
-            [(round(row["wm"], 2), total)],
+            [(math.floor(row["wm"] * 100 + 0.5) / 100, total)],
             "w_median double, total_weight long",
         )
     finally:
