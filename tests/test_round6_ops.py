@@ -1,0 +1,234 @@
+"""Round-6 tier: property and plan tests for the experiment-statistics
+(experiments.py) and corpus-mining (corpusmine.py) queries, beyond the
+oracle-differential sweep in test_oracle_diff.py."""
+
+from __future__ import annotations
+
+import collections
+import hashlib
+import math
+import os
+
+import duckdb
+import numpy as np
+import pytest
+
+from vector_search_playground_spark import registry
+
+registry.load_all()
+Q = registry.QUERIES
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --- experiments ------------------------------------------------------------
+
+
+def test_ab_test_welch_matches_reference_formula(spark, sf_smoke):
+    row = Q["ab_test_welch"](spark, sf_smoke).first()
+    con = duckdb.connect()
+    a, b = con.execute(
+        f"""
+        SELECT list(o_totalprice) FILTER (c_mktsegment = 'BUILDING'),
+               list(o_totalprice) FILTER (c_mktsegment = 'MACHINERY')
+        FROM '{sf_smoke}/orders.parquet'
+        JOIN '{sf_smoke}/customer.parquet' ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        """
+    ).fetchone()
+    xa, xb = np.array(a), np.array(b)
+    va, vb = xa.var(ddof=1), xb.var(ddof=1)
+    se2 = va / len(xa) + vb / len(xb)
+    t = (xa.mean() - xb.mean()) / math.sqrt(se2)
+    df_w = se2**2 / (
+        (va / len(xa)) ** 2 / (len(xa) - 1)
+        + (vb / len(xb)) ** 2 / (len(xb) - 1)
+    )
+    assert row["n_a"] == len(xa) and row["n_b"] == len(xb)
+    assert row["t_stat"] == pytest.approx(t, abs=2e-4)
+    assert row["welch_df"] == pytest.approx(df_w, abs=0.02)
+
+
+def test_ks_2sample_bounds_and_reference(spark, sf_smoke):
+    row = Q["ks_2sample"](spark, sf_smoke).first()
+    assert 0.0 <= row["ks_d"] <= 1.0
+    con = duckdb.connect()
+    a, b = con.execute(
+        f"""
+        SELECT list(c_acctbal) FILTER (c_mktsegment = 'AUTOMOBILE'),
+               list(c_acctbal) FILTER (c_mktsegment = 'HOUSEHOLD')
+        FROM '{sf_smoke}/customer.parquet'
+        WHERE c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD')
+        """
+    ).fetchone()
+    xa, xb = np.sort(np.array(a)), np.sort(np.array(b))
+    grid = np.union1d(xa, xb)
+    fa = np.searchsorted(xa, grid, side="right") / len(xa)
+    fb = np.searchsorted(xb, grid, side="right") / len(xb)
+    d = np.max(np.abs(fa - fb))
+    assert row["n_a"] == len(xa) and row["n_b"] == len(xb)
+    assert row["ks_d"] == pytest.approx(d, abs=1e-6)
+
+
+def test_psi_terms_nonnegative_and_complete(spark, sf_smoke):
+    rows = Q["psi_drift"](spark, sf_smoke).collect()
+    assert sorted(r["bucket"] for r in rows) == list(range(10))
+    # (p_ref - p_cur) * ln(p_ref / p_cur) >= 0 always — same sign factors
+    assert all(r["psi_term"] >= 0.0 for r in rows)
+
+
+def test_winsorize_bounds(spark, sf_smoke):
+    for r in Q["winsorize_stats"](spark, sf_smoke).collect():
+        assert r["lo"] <= r["hi"]
+        # clamping pulls the mean toward the interior
+        assert r["lo"] <= r["win_mean"] <= r["hi"]
+
+
+def test_mutual_info_information_inequalities(spark, sf_smoke):
+    r = Q["mutual_info"](spark, sf_smoke).first()
+    assert -1e-6 <= r["mi_nats"] <= min(r["h_a"], r["h_b"]) + 1e-6
+    assert -1e-6 <= r["nmi"] <= 1.0 + 1e-6
+
+
+def test_cohort_ltv_cumulative_monotone(spark, sf_smoke):
+    rows = Q["cohort_ltv"](spark, sf_smoke).collect()
+    by_cohort: dict[str, list] = collections.defaultdict(list)
+    for r in rows:
+        by_cohort[r["cohort"]].append((r["age_days"], r["cum_rev_cents"]))
+    for seq in by_cohort.values():
+        seq.sort()
+        cums = [c for _, c in seq]
+        assert cums == sorted(cums)
+        assert all(c >= 0 for c in cums)
+
+
+def test_l_diversity_domain_bound(spark, sf_smoke):
+    rows = Q["l_diversity"](spark, sf_smoke).collect()
+    assert rows, "classes must exist at every SF (non-vacuity)"
+    for r in rows:
+        assert 1 <= r["l_distinct"] <= 5  # priority domain is 5 values
+        assert r["is_risky"] == (r["l_distinct"] < 3)
+
+
+def test_graph_triangles_matches_bruteforce(spark, sf_smoke):
+    row = Q["graph_triangles"](spark, sf_smoke).first()
+    con = duckdb.connect()
+    pairs = con.execute(
+        f"""
+        SELECT l_orderkey, l_partkey FROM '{sf_smoke}/lineitem.parquet'
+        WHERE l_quantity >= 45
+        """
+    ).fetchall()
+    by_order: dict[int, set] = collections.defaultdict(set)
+    for ok, pk in pairs:
+        by_order[ok].add(pk)
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+    tri = sum(
+        1
+        for a, b in edges
+        for c in adj[b]
+        if c in adj[a]
+    )
+    assert row["n_edges"] == len(edges)
+    assert row["n_triangles"] == tri
+
+
+# --- corpusmine -------------------------------------------------------------
+
+
+def test_bpe_merge_step_matches_counter(spark, sf_smoke):
+    got = [
+        (r["a"], r["b"], r["freq"])
+        for r in Q["bpe_merge_step"](spark, sf_smoke).collect()
+    ]
+    con = duckdb.connect()
+    texts = [
+        t
+        for (t,) in con.execute(
+            f"SELECT text FROM '{sf_smoke}/documents.parquet'"
+        ).fetchall()
+        if t is not None
+    ]
+    vocab: collections.Counter = collections.Counter()
+    for t in texts:
+        vocab.update(t.split(" "))
+    pair: collections.Counter = collections.Counter()
+    for tok, cnt in vocab.items():
+        for i in range(len(tok) - 1):
+            pair[(tok[i], tok[i + 1])] += cnt
+    want = sorted(
+        ((a, b, f) for (a, b), f in pair.items()),
+        key=lambda r: (-r[2], r[0], r[1]),
+    )[:20]
+    assert got == want
+
+
+def test_feature_hashing_is_join_free(spark, sf_smoke):
+    df = Q["feature_hashing"](spark, sf_smoke)
+    plan = _plan(df)
+    assert "Join" not in plan, "hashing trick must not build a vocabulary"
+    rows = df.collect()
+    assert rows
+    assert all(0 <= r["bucket"] < 64 and r["cnt"] >= 1 for r in rows)
+
+
+def test_collocations_topk_plan_and_support(spark, sf_smoke):
+    df = Q["collocations_pmi"](spark, sf_smoke)
+    assert "TakeOrderedAndProject" in _plan(df)
+    rows = df.collect()
+    assert 0 < len(rows) <= 20
+    assert all(r["n_pair"] >= 5 for r in rows)
+
+
+def test_scan_binaryfile_content_matches_disk(spark, sf_smoke):
+    Q["scan_binaryfile"](spark, sf_smoke).collect()  # materializes scratch
+    from vector_search_playground_spark.queries.llm_pipeline import (
+        SCRATCH,
+        _fixture_fingerprint,
+    )
+
+    fp = _fixture_fingerprint(sf_smoke, "documents")
+    tag = os.path.basename(sf_smoke.rstrip("/"))
+    base = os.path.join(SCRATCH, f"documents_rawtext_{tag}_{fp}")
+    got = {
+        r["path"]: (r["length"], hashlib.md5(bytes(r["content"])).hexdigest())
+        for r in spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .option("recursiveFileLookup", "true")
+        .load(base)
+        .collect()
+    }
+    assert got
+    for path, (length, digest) in got.items():
+        local = path.removeprefix("file:")
+        raw = open(local, "rb").read()
+        assert len(raw) == length
+        assert hashlib.md5(raw).hexdigest() == digest
+
+
+def test_embedding_pca_matches_numpy(spark, sf_smoke):
+    rows = Q["embedding_pca"](spark, sf_smoke).collect()
+    con = duckdb.connect()
+    vecs = con.execute(
+        f"SELECT embedding FROM '{sf_smoke}/embeddings.parquet'"
+    ).fetchall()
+    x = np.array([v[0] for v in vecs], dtype=np.float64)
+    g = x.T @ x
+    vals, vecs_ = np.linalg.eigh(g)
+    top = vecs_[:, -1]
+    top = top * np.sign(top[int(np.argmax(np.abs(top)))])
+    evr = vals[-1] / vals.sum()
+    got = np.array([r["loading"] for r in sorted(rows, key=lambda r: r["dim"])])
+    assert np.allclose(got, top, atol=1e-5)
+    assert rows[0]["evr"] == pytest.approx(evr, abs=1e-5)
+    assert np.linalg.norm(got) == pytest.approx(1.0, abs=1e-4)

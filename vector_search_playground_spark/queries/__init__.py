@@ -28,3 +28,5 @@ from vector_search_playground_spark.queries import hybrid  # noqa: F401
 from vector_search_playground_spark.queries import graph  # noqa: F401
 from vector_search_playground_spark.queries import reliability  # noqa: F401
 from vector_search_playground_spark.queries import statistics  # noqa: F401
+from vector_search_playground_spark.queries import experiments  # noqa: F401
+from vector_search_playground_spark.queries import corpusmine  # noqa: F401

@@ -1,0 +1,387 @@
+"""Corpus-mining tier — statistical text mining and ingest operators a
+tokenizer/embedding pipeline runs over the raw corpus: PMI collocation
+extraction, the first BPE merge statistics, hashing-trick featurization,
+a raw-bytes (binaryFile) ingest source, and a distributed PCA over the
+embedding table.
+
+Reference parity: extends past the reference CLI (`src/main.rs:5,85-96`)
+under SURVEY §2's addenda contract — the text→tokens→features steps that
+sit between ``tokenize_to_ids`` / ``pack_sequences`` and model training.
+
+All counting queries are exact-integer end to end; the two float outputs
+(PMI, PCA loadings) follow the shared half-up floor(x·10^k + 0.5)/10^k
+rounding evaluated identically on both engines, and any top-k ORDER BY
+on a float orders the ROUNDED value with string tiebreaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_search_playground_spark.registry import query
+from vector_search_playground_spark.sources import load_table
+
+_TOK_CTE = """
+    tok AS (
+        SELECT doc_id, t.tok, t.pos FROM documents,
+        LATERAL (
+            SELECT unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+        ) t
+        WHERE t.tok IS NOT NULL
+    )
+"""
+
+# --- collocations_pmi -------------------------------------------------------
+
+_PMI_MIN_PAIR = 5
+_PMI_TOP = 20
+
+
+@query(
+    "collocations_pmi",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    bg AS (
+        SELECT tok AS w1,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM tok
+    ),
+    bgc AS (
+        SELECT w1, w2, count(*) AS cbg FROM bg
+        WHERE w2 IS NOT NULL GROUP BY w1, w2
+    ),
+    uni AS (SELECT tok, count(*) AS cu FROM tok GROUP BY tok),
+    tot AS (
+        SELECT (SELECT sum(cbg) FROM bgc) AS nb,
+               (SELECT sum(cu) FROM uni) AS m
+    )
+    SELECT w1, w2, CAST(cbg AS BIGINT) AS n_pair,
+           floor(ln((cbg * 1.0 / tot.nb)
+                    / ((u1.cu * 1.0 / tot.m) * (u2.cu * 1.0 / tot.m)))
+                 * 1e6 + 0.5) / 1e6 AS pmi
+    FROM bgc
+    JOIN uni u1 ON bgc.w1 = u1.tok
+    JOIN uni u2 ON bgc.w2 = u2.tok
+    CROSS JOIN tot
+    WHERE cbg >= {_PMI_MIN_PAIR}
+    ORDER BY pmi DESC, w1, w2 LIMIT {_PMI_TOP}
+    """,
+)
+def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by pointwise mutual information — the
+    corpus-linguistics 'which word pairs co-occur more than chance'
+    verb behind multi-word-expression detection and tokenizer-merge
+    seeding: adjacent-bigram counts vs unigram expectations,
+    PMI = ln(p(w1,w2) / (p(w1)·p(w2))), minimum pair support {mp},
+    top {t} by rounded PMI with (w1, w2) tiebreak.
+
+    Shape at 100 TB: bigrams come from a per-document lead() window
+    (documents are bounded, never a global sort); ONE hash-agg each for
+    bigram and unigram counts; the support filter cuts the bigram
+    relation to heavy hitters BEFORE the two unigram joins; totals are
+    two collected scalars (metadata). The ranked result is a global
+    top-{t} (TakeOrdered), driver sees {t} rows.
+    """.format(mp=_PMI_MIN_PAIR, t=_PMI_TOP)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode_outer(F.split("text", " ")).alias("pos", "tok"),
+    ).where(F.col("tok").isNotNull())
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tok.withColumn("w2", F.lead("tok").over(w))
+        .where(F.col("w2").isNotNull())
+        .select(F.col("tok").alias("w1"), "w2")
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cbg")).cache()
+    uni = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cu")).cache()
+    try:
+        nb = bgc.agg(F.sum("cbg")).first()[0]
+        m = uni.agg(F.sum("cu")).first()[0]
+        u1 = uni.select(F.col("tok").alias("w1"), F.col("cu").alias("cu1"))
+        u2 = uni.select(F.col("tok").alias("w2"), F.col("cu").alias("cu2"))
+        pmi = F.log(
+            (F.col("cbg") * 1.0 / F.lit(nb))
+            / (
+                (F.col("cu1") * 1.0 / F.lit(m))
+                * (F.col("cu2") * 1.0 / F.lit(m))
+            )
+        )
+        return (
+            bgc.where(F.col("cbg") >= _PMI_MIN_PAIR)
+            .join(u1, "w1")
+            .join(u2, "w2")
+            .select(
+                "w1",
+                "w2",
+                F.col("cbg").cast("long").alias("n_pair"),
+                (F.floor(pmi * 1e6 + 0.5) / 1e6).alias("pmi"),
+            )
+            .orderBy(F.desc("pmi"), "w1", "w2")
+            .limit(_PMI_TOP)
+        )
+    finally:
+        # top-N output is fully materialized by the driver compare before
+        # these caches could be re-scanned; safe to release eagerly
+        bgc.unpersist()
+        uni.unpersist()
+
+
+# --- bpe_merge_step ---------------------------------------------------------
+
+_BPE_TOP = 20
+
+
+@query(
+    "bpe_merge_step",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+    p AS (
+        SELECT substring(v.tok, i.i, 1) AS a,
+               substring(v.tok, i.i + 1, 1) AS b,
+               v.cnt
+        FROM v, LATERAL (
+            SELECT unnest(range(1, length(v.tok))) AS i
+        ) i
+    )
+    SELECT a, b, CAST(sum(cnt) AS BIGINT) AS freq
+    FROM p GROUP BY a, b
+    ORDER BY freq DESC, a, b LIMIT {_BPE_TOP}
+    """,
+)
+def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The statistics pass of ONE byte-pair-encoding merge round — the
+    inner loop of tokenizer training (Sennrich 2016): weight every
+    adjacent symbol pair by corpus frequency (pair occurrences within a
+    word × word count) and rank the merge candidates. Top-{t} pairs by
+    frequency with (a, b) tiebreak; a full trainer iterates this with
+    the winning pair fused.
+
+    Shape at 100 TB: the corpus collapses to its VOCABULARY (distinct
+    token, count) in one hash-agg — the pair enumeration then runs over
+    vocab-sized data (a row-local transform/explode, zero shuffles),
+    which is the whole trick: char-pair stats over 100 TB of text cost
+    one corpus agg plus work proportional to |vocab|. Exact integers
+    end to end.
+    """.format(t=_BPE_TOP)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.posexplode_outer(F.split("text", " ")).alias("pos", "tok")
+    ).where(F.col("tok").isNotNull())
+    v = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = v.where(F.length("tok") >= 2).select(
+        "cnt",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1),"
+                " i -> named_struct("
+                "'a', substring(tok, i, 1),"
+                " 'b', substring(tok, i + 1, 1)))"
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "cnt")
+        .groupBy("a", "b")
+        .agg(F.sum("cnt").cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), "a", "b")
+        .limit(_BPE_TOP)
+    )
+
+
+# --- feature_hashing --------------------------------------------------------
+
+_FH_DIM = 64
+_FH_DOC_MOD = 5
+
+
+@query(
+    "feature_hashing",
+    oracle=f"""
+    WITH {_TOK_CTE}
+    SELECT doc_id,
+           CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % {_FH_DIM}
+                AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM tok
+    WHERE doc_id % {_FH_DOC_MOD} = 0
+    GROUP BY doc_id, bucket
+    """,
+)
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger 2009): bag-of-words features
+    hashed into a FIXED {d}-dim space — the vocabulary-free
+    featurization that makes streaming/online text models possible (no
+    vocab build pass, no OOV problem, memory bounded by d forever).
+    Sparse long-format output (doc, bucket, count); the shared hash is
+    the first 8 hex digits of md5 mod {d}, identical on both engines.
+
+    Shape at 100 TB: tokenize → hash is a pure row-local map (the hash
+    IS the feature id — no vocabulary join, which is the point of the
+    trick); ONE (doc, bucket) hash-agg bounded by |docs|·{d} emits the
+    sparse matrix. The doc_id filter is pushed to the parquet scan.
+    """.format(d=_FH_DIM)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % _FH_DOC_MOD == 0
+    )
+    tok = docs.select(
+        "doc_id",
+        F.posexplode_outer(F.split("text", " ")).alias("pos", "tok"),
+    ).where(F.col("tok").isNotNull())
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"),
+        F.lit(_FH_DIM),
+    )
+    return (
+        tok.groupBy(
+            "doc_id", bucket.cast("long").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+# --- scan_binaryfile --------------------------------------------------------
+
+
+@query(
+    "scan_binaryfile",
+    oracle="""
+    SELECT source, CAST(1 AS BIGINT) AS n_files,
+           CAST(sum(strlen(text) + 1) AS BIGINT) AS bytes
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY source
+    """,
+)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-bytes ingest via the ``binaryFile`` source — the front door
+    for multimodal corpora (images/audio land as whole files, not
+    rows). The documents table is materialized once per fixture
+    fingerprint as source-partitioned raw text files; the query then
+    scans them as OPAQUE BINARY (path, length, content) and aggregates
+    per source dir. The oracle recomputes the exact byte accounting
+    (Σ utf8len(text)+1 newline per row, one file per source — the
+    writer hash-partitions by source) from the parquet view: the
+    binary reader must report sizes byte-exactly.
+
+    Shape at 100 TB: binaryFile lists files in parallel and never
+    splits them (whole-file semantics are the contract for opaque
+    blobs); the metadata agg reads (path, length) only — column
+    pruning means file CONTENT is never materialized for this plan.
+    Downstream decode (functions/multimodal) consumes the content
+    column batch-wise.
+    """
+    import os
+
+    from vector_search_playground_spark.queries.llm_pipeline import (
+        SCRATCH,
+        _fixture_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    fp = _fixture_fingerprint(sf_dir, "documents")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(SCRATCH, f"documents_rawtext_{tag}_{fp}")
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        (
+            docs.select("source", "text")
+            .repartition("source")
+            .write.mode("overwrite")
+            .partitionBy("source")
+            .format("text")
+            .save(base)
+        )
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .option("recursiveFileLookup", "true")
+        .load(base)
+    )
+    return (
+        files.select(
+            F.regexp_extract("path", r"source=([^/]+)", 1).alias("source"),
+            "length",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("length").cast("long").alias("bytes"),
+        )
+    )
+
+
+# --- embedding_pca ----------------------------------------------------------
+
+_PCA_ROUND = 6
+
+
+@query("embedding_pca")  # rows-only: float-sum order varies; property-tested
+def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding table — the spectral
+    summary behind whitening, anisotropy diagnostics ('is the embedding
+    space collapsing?'), and PCA-based dimensionality reduction before
+    coarse quantization (the IVF-PQ preprocessing step).
+
+    Distributed shape (the part that must scale): the d×d Gram matrix
+    Σ xxᵀ is computed as PER-PARTITION PARTIALS in one ``mapInPandas``
+    pass (each worker emits its d² partial, a few KB), reduced by one
+    d²-row hash-agg — the classic tree-aggregation pattern; the corpus
+    is read ONCE and never shuffled. The eigensolve then runs on the
+    driver over d² = {dd} numbers (model metadata, like the KMeans
+    centroids in plans/ivf). Loadings are sign-fixed (largest-|loading|
+    coordinate positive) and floor-rounded; ``evr`` is the explained
+    variance ratio λ₁/trace.
+
+    No SQL oracle: the Gram reduction's float summation order is
+    engine-dependent; tests/test_corpusmine.py pins the result against
+    an exact in-memory numpy PCA at sf0.001 instead.
+    """.format(dd="4096")
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    d = len(emb.first()["embedding"])
+
+    def gram_partials(batches):
+        g = np.zeros((d, d), dtype=np.float64)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            g += x.T @ x
+            seen = True
+        if seen:
+            flat = g.ravel()
+            yield pd.DataFrame(
+                {"idx": np.arange(d * d, dtype=np.int64), "v": flat}
+            )
+
+    g_rows = (
+        emb.mapInPandas(gram_partials, "idx long, v double")
+        .groupBy("idx")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    g = np.zeros(d * d, dtype=np.float64)
+    for r in g_rows:
+        g[r["idx"]] = r["v"]
+    g = g.reshape(d, d)
+    vals, vecs = np.linalg.eigh(g)
+    top = vecs[:, -1]
+    top = top * np.sign(top[int(np.argmax(np.abs(top)))])
+    evr = float(vals[-1] / vals.sum())
+
+    def _r(x: float) -> float:
+        return math.floor(x * 10**_PCA_ROUND + 0.5) / 10**_PCA_ROUND
+
+    rows = [(i, _r(float(top[i])), _r(evr)) for i in range(d)]
+    return spark.createDataFrame(
+        rows, "dim long, loading double, evr double"
+    )

@@ -1,0 +1,735 @@
+"""Experiment & monitoring statistics tier — the verbs an ML platform
+runs NEXT TO the training-data pipeline: A/B significance (Welch),
+distribution equality (two-sample KS), drift (PSI), robust summary
+(winsorized means), dependence (mutual information), cohort economics
+(LTV curves), privacy audit (l-diversity), and graph structure
+(triangle counting).
+
+Reference parity: the reference (a pgvector CLI, `src/main.rs:5,85-96`)
+exposes none of these — this tier extends the engine the way SURVEY §2's
+addenda contract allows: operations a large-scale data platform needs,
+each hash-certified against a DuckDB oracle.
+
+Numeric discipline (registry docstring + FIXTURES.md): money flows as
+per-row integer cents via floor(x·100 + 0.5) so sums are exact int64;
+every reported double is rounded with the SHARED half-up
+floor(x·10^k + 0.5)/10^k expression evaluated inside BOTH engines
+(never Python round(), never engine-native ROUND, which disagree on
+knife edges); log/sqrt noise is ulp-level and 4–6 dp rounding absorbs
+it; any ORDER BY on a float orders the ROUNDED value with a string
+tiebreak so top-k selection is cross-engine deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_search_playground_spark.registry import query
+from vector_search_playground_spark.sources import load_table
+
+# --- ab_test_welch ----------------------------------------------------------
+
+_AB_A = "BUILDING"
+_AB_B = "MACHINERY"
+
+
+@query(
+    "ab_test_welch",
+    oracle=f"""
+    WITH j AS (
+        SELECT c_mktsegment AS seg, o_totalprice AS x,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('{_AB_A}', '{_AB_B}')
+    ),
+    s AS (
+        SELECT count(*) FILTER (WHERE seg = '{_AB_A}') AS na,
+               count(*) FILTER (WHERE seg = '{_AB_B}') AS nb,
+               sum(cents) FILTER (WHERE seg = '{_AB_A}') AS sa,
+               sum(cents) FILTER (WHERE seg = '{_AB_B}') AS sb,
+               var_samp(x) FILTER (WHERE seg = '{_AB_A}') AS va,
+               var_samp(x) FILTER (WHERE seg = '{_AB_B}') AS vb
+        FROM j
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(floor(CAST(sa AS DOUBLE) / na + 0.5) AS BIGINT)
+               AS mean_cents_a,
+           CAST(floor(CAST(sb AS DOUBLE) / nb + 0.5) AS BIGINT)
+               AS mean_cents_b,
+           floor((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) / 100.0
+                 / sqrt(va / na + vb / nb) * 1e4 + 0.5) / 1e4 AS t_stat,
+           floor(pow(va / na + vb / nb, 2)
+                 / (pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1))
+                 * 100 + 0.5) / 100 AS welch_df
+    FROM s
+    """,
+)
+def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two customer segments'
+    order values — the A/B-experiment readout (difference of means,
+    t statistic, Welch–Satterthwaite degrees of freedom). Welch, not
+    Student: segment sizes and variances differ, and pooled-variance t
+    is the classic experiment-analysis bug.
+
+    Shape at 100 TB: ONE conditional hash-agg over the fact stream
+    behind a broadcast dimension join — count/sum/var partials combine
+    map-side, the driver sees six numbers. Means ride exact integer
+    cents; only t/df touch float variance, rounded 4/2 dp with the
+    shared half-up floor (engine var_samp noise is ~1e-12 relative).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment").isin(_AB_A, _AB_B)
+    )
+    j = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_totalprice").alias("x"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    a, b = F.col("seg") == _AB_A, F.col("seg") == _AB_B
+    s = j.agg(
+        F.count(F.when(a, 1)).alias("na"),
+        F.count(F.when(b, 1)).alias("nb"),
+        F.sum(F.when(a, F.col("cents"))).alias("sa"),
+        F.sum(F.when(b, F.col("cents"))).alias("sb"),
+        F.var_samp(F.when(a, F.col("x"))).alias("va"),
+        F.var_samp(F.when(b, F.col("x"))).alias("vb"),
+    )
+    ma = F.col("sa").cast("double") / F.col("na")
+    mb = F.col("sb").cast("double") / F.col("nb")
+    se2 = F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    return s.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.floor(ma + 0.5).cast("long").alias("mean_cents_a"),
+        F.floor(mb + 0.5).cast("long").alias("mean_cents_b"),
+        (F.floor((ma - mb) / 100.0 / F.sqrt(se2) * 1e4 + 0.5) / 1e4).alias(
+            "t_stat"
+        ),
+        (
+            F.floor(
+                F.pow(se2, 2)
+                / (
+                    F.pow(F.col("va") / F.col("na"), 2) / (F.col("na") - 1)
+                    + F.pow(F.col("vb") / F.col("nb"), 2) / (F.col("nb") - 1)
+                )
+                * 100
+                + 0.5
+            )
+            / 100
+        ).alias("welch_df"),
+    )
+
+
+# --- ks_2sample -------------------------------------------------------------
+
+_KS_A = "AUTOMOBILE"
+_KS_B = "HOUSEHOLD"
+
+
+@query(
+    "ks_2sample",
+    oracle=f"""
+    WITH s AS (
+        SELECT c_acctbal AS v,
+               count(*) FILTER (WHERE c_mktsegment = '{_KS_A}') AS ca,
+               count(*) FILTER (WHERE c_mktsegment = '{_KS_B}') AS cb
+        FROM customer
+        WHERE c_mktsegment IN ('{_KS_A}', '{_KS_B}')
+        GROUP BY c_acctbal
+    ),
+    t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM s),
+    c AS (
+        SELECT abs(sum(s.ca * t.nb - s.cb * t.na)
+                   OVER (ORDER BY s.v ROWS UNBOUNDED PRECEDING)) AS adev
+        FROM s CROSS JOIN t
+    )
+    SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+           CAST(max(c.adev) AS BIGINT) AS d_num,
+           floor(CAST(max(c.adev) AS DOUBLE) / (t.na * t.nb) * 1e6 + 0.5)
+               / 1e6 AS ks_d
+    FROM c CROSS JOIN t
+    GROUP BY t.na, t.nb
+    """,
+)
+def ks_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between two segments'
+    account-balance distributions — the nonparametric 'did the
+    distribution shift?' test that pairs with ``psi_drift`` (bucketed)
+    and ``embedding_drift`` (vectors). D is computed EXACTLY in
+    integers: at each distinct value, |F_a − F_b| has common
+    denominator na·nb, so the running deviation na_le·nb − nb_le·na is
+    a signed-int64 cumulative sum — no float CDF anywhere; only the
+    final ratio is floated, floor-rounded at 6 dp.
+
+    Shape at 100 TB: one hash-agg collapses the sample to its distinct
+    values; the running deviation is the BUCKETED two-pass prefix sum
+    (``operators/prefix``) — the oracle's global ORDER BY window is a
+    single-partition whale stated only for certification. Driver sees
+    one row.
+    """
+    from vector_search_playground_spark.operators.prefix import (
+        bucketed_cumsum,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment").isin(_KS_A, _KS_B)
+    )
+    s = (
+        cust.groupBy(F.col("c_acctbal").alias("v"))
+        .agg(
+            F.count(F.when(F.col("c_mktsegment") == _KS_A, 1)).alias("ca"),
+            F.count(F.when(F.col("c_mktsegment") == _KS_B, 1)).alias("cb"),
+        )
+        .cache()
+    )
+    try:
+        tot = s.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb")).first()
+        na, nb = tot["na"], tot["nb"]
+        dev = s.withColumn(
+            "w", F.col("ca") * F.lit(nb) - F.col("cb") * F.lit(na)
+        )
+        ranked, _n, _total = bucketed_cumsum(
+            dev, "v", "w", tiebreak_col="v"
+        )
+        d_num = ranked.agg(F.max(F.abs(F.col("cum"))).alias("d")).first()["d"]
+    finally:
+        s.unpersist()
+    return spark.createDataFrame(
+        [(na, nb, d_num)], "n_a long, n_b long, d_num long"
+    ).select(
+        "n_a",
+        "n_b",
+        "d_num",
+        (
+            F.floor(
+                F.col("d_num").cast("double") / (na * nb) * 1e6 + 0.5
+            )
+            / 1e6
+        ).alias("ks_d"),
+    )
+
+
+# --- psi_drift --------------------------------------------------------------
+
+_PSI_SPLIT = "1998-07-01"
+_PSI_WIDTH = 50_000
+_PSI_BUCKETS = 10
+
+
+@query(
+    "psi_drift",
+    oracle=f"""
+    WITH o AS (
+        SELECT least(CAST(floor(o_totalprice / {_PSI_WIDTH}) AS BIGINT),
+                     {_PSI_BUCKETS - 1}) AS bucket,
+               CASE WHEN o_orderdate < TIMESTAMP '{_PSI_SPLIT}'
+                    THEN 1 ELSE 0 END AS is_ref
+        FROM orders
+    ),
+    c AS (
+        SELECT bucket,
+               sum(is_ref) AS n_ref, sum(1 - is_ref) AS n_cur
+        FROM o GROUP BY bucket
+    ),
+    t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM c),
+    spine AS (SELECT unnest(range({_PSI_BUCKETS})) AS bucket),
+    p AS (
+        SELECT spine.bucket,
+               COALESCE(c.n_ref, 0) AS n_ref, COALESCE(c.n_cur, 0) AS n_cur,
+               (COALESCE(c.n_ref, 0) + 1.0) / (t.tr + {_PSI_BUCKETS})
+                   AS pr,
+               (COALESCE(c.n_cur, 0) + 1.0) / (t.tc + {_PSI_BUCKETS})
+                   AS pc
+        FROM spine LEFT JOIN c ON spine.bucket = c.bucket CROSS JOIN t
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+           floor((pr - pc) * ln(pr / pc) * 1e6 + 0.5) / 1e6 AS psi_term
+    FROM p
+    """,
+)
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the order history — the standard production-ML drift monitor: order
+    values bucketed into {b} fixed-width bins, PSI term
+    (p_ref − p_cur)·ln(p_ref/p_cur) per bin with add-one (Laplace)
+    smoothing so empty bins stay finite. Σ psi_term > 0.2 is the
+    conventional 'retrain' alarm.
+
+    Shape at 100 TB: bucket assignment is a pure row-local map pushed
+    onto the scan; ONE conditional hash-agg yields {b} (ref, cur) count
+    pairs — metadata — and the smoothing/log arithmetic runs on that.
+    The bucket spine is generated (never collected), so absent buckets
+    appear deterministically on both engines. Counts are exact ints;
+    the single float expression is floor-rounded at 6 dp.
+    """.format(b=_PSI_BUCKETS)
+    orders = load_table(spark, sf_dir, "orders")
+    c = (
+        orders.select(
+            F.least(
+                F.floor(F.col("o_totalprice") / _PSI_WIDTH).cast("long"),
+                F.lit(_PSI_BUCKETS - 1),
+            ).alias("bucket"),
+            F.when(
+                F.col("o_orderdate") < F.lit(_PSI_SPLIT).cast("timestamp"), 1
+            )
+            .otherwise(0)
+            .alias("is_ref"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("is_ref").alias("n_ref"),
+            F.sum(1 - F.col("is_ref")).alias("n_cur"),
+        )
+    )
+    spine = spark.range(_PSI_BUCKETS).withColumnRenamed("id", "bucket")
+    t = c.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    p = (
+        spine.join(c, "bucket", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+            (
+                (F.coalesce("n_ref", F.lit(0)) + 1.0)
+                / (F.col("tr") + _PSI_BUCKETS)
+            ).alias("pr"),
+            (
+                (F.coalesce("n_cur", F.lit(0)) + 1.0)
+                / (F.col("tc") + _PSI_BUCKETS)
+            ).alias("pc"),
+        )
+    )
+    return p.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        (
+            F.floor(
+                (F.col("pr") - F.col("pc"))
+                * F.log(F.col("pr") / F.col("pc"))
+                * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("psi_term"),
+    )
+
+
+# --- winsorize_stats --------------------------------------------------------
+
+_WINS_LO = 0.05
+_WINS_HI = 0.95
+
+
+@query(
+    "winsorize_stats",
+    oracle=f"""
+    WITH q AS (
+        SELECT l_returnflag AS k,
+               quantile_cont(l_extendedprice, {_WINS_LO}) AS lo,
+               quantile_cont(l_extendedprice, {_WINS_HI}) AS hi
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag AS rflag,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(max(q.lo) * 1e6 + 0.5) / 1e6 AS lo,
+           floor(max(q.hi) * 1e6 + 0.5) / 1e6 AS hi,
+           floor(avg(CASE WHEN l.l_extendedprice < q.lo THEN q.lo
+                          WHEN l.l_extendedprice > q.hi THEN q.hi
+                          ELSE l.l_extendedprice END) * 1e4 + 0.5) / 1e4
+               AS win_mean,
+           floor(avg(l.l_extendedprice) * 1e4 + 0.5) / 1e4 AS raw_mean
+    FROM lineitem l JOIN q ON l.l_returnflag = q.k
+    GROUP BY l.l_returnflag
+    """,
+)
+def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per group — clamp each group's prices to its own
+    [p5, p95] before averaging: the robust location estimate reporting
+    pipelines use when raw means are hostage to outliers (and the
+    aggregate sibling of ``outliers_mad``'s row-level flagging).
+
+    Shape at 100 TB: the per-group p5/p95 come from the distributed
+    3-pass width-bucket selection (``operators/selection``), NOT a
+    holistic percentile buffer; the clamp+mean is then one conditional
+    hash-agg with the ≤|groups| bounds broadcast as literals. The
+    oracle's quantile_cont is bit-identical to the selection operator's
+    interpolation (the funnel_latency/quantile_groups precedent), so
+    the clamp thresholds agree exactly.
+    """
+    from vector_search_playground_spark.operators.selection import (
+        exact_quantiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rflag"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    li = li.cache()
+    try:
+        per = exact_quantiles(li, "rflag", "price", [_WINS_LO, _WINS_HI])
+        lo_map = F.create_map(
+            *[F.lit(x) for k, q in per.items() for x in (k, q[_WINS_LO])]
+        )
+        hi_map = F.create_map(
+            *[F.lit(x) for k, q in per.items() for x in (k, q[_WINS_HI])]
+        )
+        lo, hi = lo_map[F.col("rflag")], hi_map[F.col("rflag")]
+        clipped = (
+            F.when(F.col("price") < lo, lo)
+            .when(F.col("price") > hi, hi)
+            .otherwise(F.col("price"))
+        )
+        return (
+            li.groupBy("rflag")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.first(F.floor(lo * 1e6 + 0.5) / 1e6).alias("lo"),
+                F.first(F.floor(hi * 1e6 + 0.5) / 1e6).alias("hi"),
+                (F.floor(F.avg(clipped) * 1e4 + 0.5) / 1e4).alias(
+                    "win_mean"
+                ),
+                (F.floor(F.avg("price") * 1e4 + 0.5) / 1e4).alias(
+                    "raw_mean"
+                ),
+            )
+        )
+    finally:
+        li.unpersist()
+
+
+# --- mutual_info ------------------------------------------------------------
+
+
+@query(
+    "mutual_info",
+    oracle="""
+    WITH cell AS (
+        SELECT e.event_type AS a, c.c_mktsegment AS b, count(*) AS o
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY a, b
+    ),
+    t AS (SELECT sum(o) AS n FROM cell),
+    mar AS (
+        SELECT a, b, o,
+               sum(o) OVER (PARTITION BY a) AS ra,
+               sum(o) OVER (PARTITION BY b) AS cb
+        FROM cell
+    ),
+    mi AS (
+        SELECT sum((CAST(o AS DOUBLE) / t.n)
+                   * ln(CAST(o AS DOUBLE) * t.n
+                        / (CAST(ra AS DOUBLE) * cb))) AS mi
+        FROM mar CROSS JOIN t
+    ),
+    ha AS (
+        SELECT -sum((CAST(ra AS DOUBLE) / t.n)
+                    * ln(CAST(ra AS DOUBLE) / t.n)) AS h
+        FROM (SELECT a, sum(o) AS ra FROM cell GROUP BY a)
+        CROSS JOIN t
+    ),
+    hb AS (
+        SELECT -sum((CAST(cb AS DOUBLE) / t.n)
+                    * ln(CAST(cb AS DOUBLE) / t.n)) AS h
+        FROM (SELECT b, sum(o) AS cb FROM cell GROUP BY b)
+        CROSS JOIN t
+    )
+    SELECT CAST(t.n AS BIGINT) AS n,
+           floor(mi.mi * 1e6 + 0.5) / 1e6 AS mi_nats,
+           floor(ha.h * 1e6 + 0.5) / 1e6 AS h_a,
+           floor(hb.h * 1e6 + 0.5) / 1e6 AS h_b,
+           floor(mi.mi / sqrt(ha.h * hb.h) * 1e6 + 0.5) / 1e6 AS nmi
+    FROM mi CROSS JOIN ha CROSS JOIN hb CROSS JOIN t
+    """,
+)
+def mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (and normalized MI) between event type and
+    customer segment — the information-theoretic sibling of
+    ``corr_categorical``'s Cramér's V over the same contingency table:
+    MI captures ANY dependence, not just linear-in-χ² association, and
+    normalized MI = MI/√(H(A)H(B)) makes it comparable across tables.
+
+    Shape at 100 TB: identical to corr_categorical — the fact stream
+    collapses to a |types|·|segments| contingency table in one hash-agg
+    behind a broadcast dim join; marginals, entropies and MI are
+    arithmetic on that 25-cell relation. Counts exact ints; ln noise is
+    ulp-level under the 6 dp floor rounding.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("b"),
+    )
+    cell = (
+        ev.join(F.broadcast(cust), "user_id")
+        .select(F.col("event_type").alias("a"), "b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .cache()
+    )
+    try:
+        n = cell.agg(F.sum("o")).first()[0]
+        wa, wb = Window.partitionBy("a"), Window.partitionBy("b")
+        mar = cell.select(
+            "o",
+            F.sum("o").over(wa).alias("ra"),
+            F.sum("o").over(wb).alias("cb"),
+        )
+        mi = mar.agg(
+            F.sum(
+                (F.col("o").cast("double") / F.lit(n))
+                * F.log(
+                    F.col("o").cast("double")
+                    * F.lit(n)
+                    / (F.col("ra").cast("double") * F.col("cb"))
+                )
+            ).alias("mi")
+        ).first()["mi"]
+        ha = (
+            cell.groupBy("a")
+            .agg(F.sum("o").alias("ra"))
+            .agg(
+                (
+                    -F.sum(
+                        (F.col("ra").cast("double") / F.lit(n))
+                        * F.log(F.col("ra").cast("double") / F.lit(n))
+                    )
+                ).alias("h")
+            )
+            .first()["h"]
+        )
+        hb = (
+            cell.groupBy("b")
+            .agg(F.sum("o").alias("cb"))
+            .agg(
+                (
+                    -F.sum(
+                        (F.col("cb").cast("double") / F.lit(n))
+                        * F.log(F.col("cb").cast("double") / F.lit(n))
+                    )
+                ).alias("h")
+            )
+            .first()["h"]
+        )
+    finally:
+        cell.unpersist()
+    return spark.createDataFrame(
+        [(n, mi, ha, hb)], "n long, mi double, ha double, hb double"
+    ).select(
+        "n",
+        (F.floor(F.col("mi") * 1e6 + 0.5) / 1e6).alias("mi_nats"),
+        (F.floor(F.col("ha") * 1e6 + 0.5) / 1e6).alias("h_a"),
+        (F.floor(F.col("hb") * 1e6 + 0.5) / 1e6).alias("h_b"),
+        (
+            F.floor(
+                F.col("mi") / F.sqrt(F.col("ha") * F.col("hb")) * 1e6 + 0.5
+            )
+            / 1e6
+        ).alias("nmi"),
+    )
+
+
+# --- cohort_ltv -------------------------------------------------------------
+
+
+@query(
+    "cohort_ltv",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, CAST(min(ts) AS DATE) AS d0
+        FROM events GROUP BY user_id
+    ),
+    p AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    g AS (
+        SELECT strftime(f.d0, '%Y-%m-%d') AS cohort,
+               p.d - f.d0 AS age_days,
+               count(DISTINCT p.user_id) AS n_buyers,
+               sum(p.cents) AS rev
+        FROM p JOIN f USING (user_id)
+        GROUP BY cohort, age_days
+    )
+    SELECT cohort, CAST(age_days AS BIGINT) AS age_days,
+           CAST(n_buyers AS BIGINT) AS n_buyers,
+           CAST(rev AS BIGINT) AS rev_cents,
+           CAST(sum(rev) OVER (PARTITION BY cohort ORDER BY age_days
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_rev_cents
+    FROM g
+    """,
+)
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users grouped by first-seen day,
+    purchase revenue accumulated by days-since-acquisition — the
+    economics companion to ``retention_cohorts`` (which counts activity,
+    not money). Revenue flows as per-event integer cents so every sum
+    and running total is exact int64.
+
+    Shape at 100 TB: first-seen is one user_id hash-agg; purchases join
+    it on the SAME key (one exchange, reused); the (cohort, age) grid is
+    |days|² — metadata — so the cumulative window over it is free. The
+    event stream is never globally sorted.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("d0")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    g = (
+        p.join(f, "user_id")
+        .groupBy(
+            F.date_format("d0", "yyyy-MM-dd").alias("cohort"),
+            F.datediff("d", "d0").cast("long").alias("age_days"),
+        )
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_buyers"),
+            F.sum("cents").alias("rev"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.select(
+        "cohort",
+        "age_days",
+        "n_buyers",
+        F.col("rev").cast("long").alias("rev_cents"),
+        F.sum("rev").over(w).cast("long").alias("cum_rev_cents"),
+    )
+
+
+# --- l_diversity ------------------------------------------------------------
+
+_LDIV_L = 3
+
+
+@query(
+    "l_diversity",
+    oracle=f"""
+    SELECT CAST(c.c_nationkey AS INTEGER) AS nation,
+           c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o.o_orderpriority) AS BIGINT) AS l_distinct,
+           count(DISTINCT o.o_orderpriority) < {_LDIV_L} AS is_risky
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey, c.c_mktsegment
+    """,
+)
+def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the privacy check one step past
+    ``k_anonymity``: a quasi-identifier class (nation × segment) can be
+    large (k-anonymous) yet still leak if everyone in it shares the same
+    sensitive value; l-diversity requires ≥ l DISTINCT sensitive values
+    (order priority) per class. Emits every class with its l so the
+    result is non-vacuous at every SF (the k_anonymity empty-result
+    lesson), flagging classes below l = {l}.
+
+    Shape at 100 TB: one hash-agg with a distinct-count on a 5-value
+    domain behind a broadcast dimension join — the distinct partials are
+    bounded by the sensitive-attribute cardinality, so map-side combine
+    keeps the shuffle at |classes|·|domain|. Exact integers throughout.
+    """.format(l=_LDIV_L)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
+        .groupBy(
+            F.col("c_nationkey").cast("int").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.countDistinct("o_orderpriority").cast("long").alias(
+                "l_distinct"
+            ),
+        )
+        .withColumn("is_risky", F.col("l_distinct") < _LDIV_L)
+    )
+
+
+# --- graph_triangles --------------------------------------------------------
+
+_TRI_MIN_QTY = 45
+
+
+@query(
+    "graph_triangles",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey, l_partkey FROM lineitem
+        WHERE l_quantity >= {_TRI_MIN_QTY}
+    ),
+    e AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM big l1 JOIN big l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    )
+    , ne AS (SELECT count(*) AS n_edges FROM e)
+    SELECT CAST(ne.n_edges AS BIGINT) AS n_edges,
+           CAST(count(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e1.b = e2.a
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    CROSS JOIN ne
+    GROUP BY ne.n_edges
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the part co-purchase graph (parts appearing
+    in the same high-quantity order are adjacent) — the clustering
+    primitive behind community detection and recommend-together
+    features, and the classic 'joins as graph algorithm' stress test.
+
+    Shape at 100 TB: edges are oriented a < b by id, so each triangle
+    is counted ONCE as the ordered path a<b<c closed by edge (a,c) —
+    two hash joins on the edge relation, never a cartesian wedge
+    enumeration. The production refinement is degree-ordering (orient
+    from low- to high-degree) which bounds wedge counts by arboricity;
+    id-ordering keeps the oracle SQL identical while preserving the
+    join shape. Edge derivation collapses per-order part sets before
+    pairing, so the pair blow-up is per-order C(k,2), never corpus².
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity") >= _TRI_MIN_QTY
+    )
+    l1 = li.select("l_orderkey", F.col("l_partkey").alias("a"))
+    l2 = li.select("l_orderkey", F.col("l_partkey").alias("b"))
+    e = (
+        l1.join(l2, "l_orderkey")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .cache()
+    )
+    try:
+        n_edges = e.count()
+        e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+        e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+        tri = (
+            e1.join(e2, "y")
+            .join(e3, ["x", "z"])
+            .count()
+        )
+    finally:
+        e.unpersist()
+    return spark.createDataFrame(
+        [(n_edges, tri)], "n_edges long, n_triangles long"
+    )
