@@ -175,13 +175,21 @@ def test_tokenize_to_ids_contract(spark, sf_smoke):
     )
     from vector_search_playground_spark.sources import load_table
 
-    df = tokenize_to_ids(spark, sf_smoke).cache()
+    # ids is a comma-joined STRING (round-6: the driver canonicalizer
+    # cannot hash array cells); re-split it to check sequence properties
+    df = (
+        tokenize_to_ids(spark, sf_smoke)
+        .withColumn(
+            "seq", F.transform(F.split("ids", ","), lambda s: s.cast("long"))
+        )
+        .cache()
+    )
     try:
-        bad = df.where(F.size("ids") != F.col("n_tokens")).count()
+        bad = df.where(F.size("seq") != F.col("n_tokens")).count()
         assert bad == 0
         rng = df.select(
-            F.min(F.array_min("ids")).alias("lo"),
-            F.max(F.array_max("ids")).alias("hi"),
+            F.min(F.array_min("seq")).alias("lo"),
+            F.max(F.array_max("seq")).alias("hi"),
             F.sum("n_oov").alias("oov"),
         ).first()
         assert rng["lo"] >= -1 and rng["hi"] < _VOCAB_V
@@ -194,7 +202,7 @@ def test_tokenize_to_ids_contract(spark, sf_smoke):
             .groupBy("t").count().orderBy(F.desc("count"), "t").first()
         )
         n_id0 = df.select(
-            F.sum(F.size(F.filter("ids", lambda x: x == 0)))
+            F.sum(F.size(F.filter("seq", lambda x: x == 0)))
         ).first()[0]
         assert n_id0 == top["count"]
     finally:

@@ -232,3 +232,59 @@ def test_embedding_pca_matches_numpy(spark, sf_smoke):
     assert np.allclose(got, top, atol=1e-5)
     assert rows[0]["evr"] == pytest.approx(evr, abs=1e-5)
     assert np.linalg.norm(got) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_bpe_train_matches_python_reference(spark, sf_smoke):
+    got = [
+        (r["merge_rank"], r["a"], r["b"], r["freq"])
+        for r in Q["bpe_train"](spark, sf_smoke).collect()
+    ]
+    con = duckdb.connect()
+    texts = [
+        t
+        for (t,) in con.execute(
+            f"SELECT text FROM '{sf_smoke}/documents.parquet'"
+        ).fetchall()
+        if t is not None
+    ]
+    vocab: collections.Counter = collections.Counter()
+    for t in texts:
+        vocab.update(t.split(" "))
+    words = {tok: tuple(tok) for tok in vocab}
+    want = []
+    for rank in range(1, 11):
+        pair: collections.Counter = collections.Counter()
+        for tok, syms in words.items():
+            cnt = vocab[tok]
+            for i in range(len(syms) - 1):
+                pair[(syms[i], syms[i + 1])] += cnt
+        if not pair:
+            break
+        (a, b), freq = min(
+            pair.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((rank, a, b, freq))
+        for tok, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == a
+                    and syms[i + 1] == b
+                ):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[tok] = tuple(out)
+    assert got == want
+
+
+def test_benford_chi2_structure(spark, sf_smoke):
+    rows = Q["benford_test"](spark, sf_smoke).collect()
+    assert sorted(r["digit"] for r in rows) == list(range(1, 10))
+    n = sum(r["n_obs"] for r in rows)
+    assert n > 0
+    assert sum(r["exp_p"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+    assert all(r["chi2_term"] >= 0 for r in rows)

@@ -385,3 +385,94 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "dim long, loading double, evr double"
     )
+
+
+# --- bpe_train --------------------------------------------------------------
+
+_BPE_ROUNDS = 10
+
+
+@query("bpe_train")  # rows-only: iterative merges are not one-shot SQL;
+# pinned against a pure-Python Sennrich-style reference in tests
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer TRAINING (Sennrich 2016) — {r} full merge
+    rounds, not just the first round's statistics (``bpe_merge_step``):
+    each round scores every adjacent symbol pair by corpus frequency,
+    fuses the winner (ties: lexicographic) left-to-right non-overlapping
+    in every vocabulary word, and repeats on the merged symbols. Output
+    is the learned merge table (rank, a, b, freq) — the artifact a BPE
+    tokenizer ships.
+
+    Shape at 100 TB: the corpus collapses ONCE to its (token, count)
+    vocabulary; all {r} rounds then run over the VOCAB-sized relation —
+    pair scoring is one hash-agg + TakeOrdered(1) per round, and the
+    merge application is a row-local codegen'd ``aggregate`` HOF fold
+    (carrying a just-merged flag for non-overlap semantics) — no Python
+    in the loop, no shuffle of anything corpus-sized. Each round
+    materializes via localCheckpoint so plan depth stays O(1), the same
+    iterative discipline as pagerank_topn.
+    """.format(r=_BPE_ROUNDS)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.posexplode_outer(F.split("text", " ")).alias("pos", "tok")
+    ).where(F.col("tok").isNotNull())
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.expr(
+                "transform(sequence(1, length(tok)),"
+                " i -> substring(tok, i, 1))"
+            ).alias("syms"),
+            "cnt",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for rank in range(1, _BPE_ROUNDS + 1):
+        top = (
+            vocab.where(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> named_struct("
+                        "'a', element_at(syms, i),"
+                        " 'b', element_at(syms, i + 1)))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("freq"))
+            .orderBy(F.desc("freq"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, freq = top[0]["a"], top[0]["b"], top[0]["freq"]
+        merges.append((rank, a, b, int(freq)))
+        # left-to-right non-overlapping fuse of (a, b) -> a||b: the fold
+        # carries (acc, just_merged) so a symbol created this round never
+        # re-merges with the following input symbol ('aaa' -> [aa, a])
+        prev = vocab
+        vocab = vocab.select(
+            F.expr(
+                "aggregate(syms,"
+                " struct(cast(array() as array<string>) as acc,"
+                "        false as jm),"
+                " (st, s) -> if(NOT st.jm AND size(st.acc) > 0"
+                f"   AND element_at(st.acc, -1) = {a!r} AND s = {b!r},"
+                "   struct(concat(slice(st.acc, 1, size(st.acc) - 1),"
+                f"                array({a + b!r})), true),"
+                "   struct(concat(st.acc, array(s)), false)),"
+                " st -> st.acc)"
+            ).alias("syms"),
+            "cnt",
+        ).localCheckpoint(eager=True)
+        prev.unpersist()
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_rank long, a string, b string, freq long"
+    )

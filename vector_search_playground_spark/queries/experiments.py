@@ -733,3 +733,88 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_edges, tri)], "n_edges long, n_triangles long"
     )
+
+
+# --- benford_test -----------------------------------------------------------
+
+
+@query(
+    "benford_test",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT) AS VARCHAR), 1, 1)
+                    AS BIGINT) AS digit
+        FROM orders
+    ),
+    o AS (SELECT digit, count(*) AS n_obs FROM c GROUP BY digit),
+    t AS (SELECT sum(n_obs) AS n FROM o),
+    spine AS (SELECT unnest(range(1, 10)) AS digit)
+    SELECT CAST(spine.digit AS BIGINT) AS digit,
+           CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+           floor(COALESCE(o.n_obs, 0) * 1.0 / t.n * 1e6 + 0.5) / 1e6
+               AS obs_p,
+           floor(log10(1.0 + 1.0 / spine.digit) * 1e6 + 0.5) / 1e6
+               AS exp_p,
+           floor(pow(COALESCE(o.n_obs, 0)
+                     - t.n * log10(1.0 + 1.0 / spine.digit), 2)
+                 / (t.n * log10(1.0 + 1.0 / spine.digit)) * 1e4 + 0.5) / 1e4
+               AS chi2_term
+    FROM spine LEFT JOIN o ON spine.digit = o.digit CROSS JOIN t
+    """,
+)
+def benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order values — the classic
+    forensic-accounting / synthetic-data smell test: natural multi-scale
+    amounts follow P(d) = log10(1 + 1/d); fabricated or truncated data
+    doesn't. Per-digit observed vs expected shares with χ² terms
+    (Σ chi2_term vs the χ²₈ critical value is the verdict).
+
+    The leading digit is extracted from the EXACT integer-cents string
+    (floor(x·100 + 0.5) then int→text, identical on both engines) —
+    never floor(log10(x)), whose off-by-one at exact powers of ten
+    differs per libm. Shape at 100 TB: a row-local map then ONE 9-row
+    hash-agg; expectations and χ² are arithmetic on the generated digit
+    spine. Counts exact; floats floor-rounded 6/4 dp.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    o = (
+        orders.select(
+            F.substring(
+                F.floor(F.col("o_totalprice") * 100 + 0.5)
+                .cast("long")
+                .cast("string"),
+                1,
+                1,
+            )
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    spine = spark.range(1, 10).withColumnRenamed("id", "digit")
+    t = o.agg(F.sum("n_obs").alias("n"))
+    exp_p = F.log10(1.0 + 1.0 / F.col("digit"))
+    n_obs = F.coalesce("n_obs", F.lit(0))
+    return (
+        spine.join(o, "digit", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("digit").cast("long").alias("digit"),
+            n_obs.cast("long").alias("n_obs"),
+            (F.floor(n_obs * 1.0 / F.col("n") * 1e6 + 0.5) / 1e6).alias(
+                "obs_p"
+            ),
+            (F.floor(exp_p * 1e6 + 0.5) / 1e6).alias("exp_p"),
+            (
+                F.floor(
+                    F.pow(n_obs - F.col("n") * exp_p, 2)
+                    / (F.col("n") * exp_p)
+                    * 1e4
+                    + 0.5
+                )
+                / 1e4
+            ).alias("chi2_term"),
+        )
+    )

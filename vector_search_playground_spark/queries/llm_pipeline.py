@@ -1246,7 +1246,7 @@ _OOV_ID = -1
            array_to_string(
                array_agg(CAST(COALESCE(v.id, {_OOV_ID}) AS VARCHAR)
                          ORDER BY tok.pos),
-               '-') AS ids,
+               ',') AS ids,
            CAST(count(*) AS BIGINT) AS n_tokens,
            CAST(count(*) FILTER (WHERE v.id IS NULL) AS BIGINT) AS n_oov
     FROM tok LEFT JOIN vocab v USING (tok)
@@ -1302,11 +1302,12 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
-            # Dash-joined string, not array<long>: the external driver's
+            # Comma-joined string, not array<long>: the external driver's
             # canonicalizer hashes cell values and cannot hash list cells
-            # (round-5 TypeError) — same serialization as pack_sequences.
+            # (round-5 TypeError). Comma, not dash: the OOV id is -1 and a
+            # dash delimiter would be ambiguous against its sign.
             F.concat_ws(
-                "-", F.expr("transform(seq, s -> cast(s.id as string))")
+                ",", F.expr("transform(seq, s -> cast(s.id as string))")
             ).alias("ids"),
             "n_tokens",
             "n_oov",
