@@ -409,3 +409,73 @@ def test_stream_index_append_equals_batch_index(spark, sf_smoke):
     assert [(r["vec_id"], r["dist"]) for r in streamed] == [
         (r["vec_id"], r["dist"]) for r in batch
     ]
+
+
+def test_cdc_apply_multibatch_equals_batch(
+    spark, sf_smoke, tmp_path, monkeypatch
+):
+    """stream_cdc_apply over a TIME-SPLIT two-file source drained one file
+    per micro-batch: the merged state table must equal the one-shot batch
+    CDC result — last-writer-wins merges must be associative across
+    micro-batch boundaries (a user whose upsert lands in batch 1 and
+    delete in batch 2, or vice versa, must resolve by timestamp, not by
+    arrival)."""
+    import os as _os
+    import shutil as _sh
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from vector_search_playground_spark.streaming import jobs
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    tbl = pq.read_table(_os.path.join(sf_smoke, "events.parquet"))
+    mid = pc.quantile(tbl["ts"].cast("int64"), 0.5)[0].as_py()
+    early, late = str(d / "events_a.parquet"), str(d / "events_b.parquet")
+    keep = pc.less(tbl["ts"].cast("int64"), mid)
+    pq.write_table(tbl.filter(keep), early)
+    pq.write_table(tbl.filter(pc.invert(keep)), late)
+    now = _os.stat(late).st_mtime
+    _os.utime(early, (now - 60, now - 60))
+    monkeypatch.setattr(jobs, "_MAX_FILES_PER_TRIGGER", 1)
+
+    got = {
+        r["user_id"]: (r["last_us"], r["last_value_cents"], r["n_changes"])
+        for r in jobs.stream_cdc_apply(spark, str(d)).collect()
+    }
+
+    # batch reference over the SAME two-file dir
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(str(d)).select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp_ntz").cast("timestamp"))
+        .alias("t"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    last = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.struct("t", "event_id", "event_type", "value")).alias(
+                "m"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("m.event_type") != "error")
+        .select(
+            "user_id",
+            F.col("m.t").alias("last_us"),
+            F.floor(F.col("m.value") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+            "n",
+        )
+    )
+    want = {
+        r["user_id"]: (r["last_us"], r["cents"], r["n"])
+        for r in last.collect()
+    }
+    assert got == want

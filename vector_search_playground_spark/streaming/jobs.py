@@ -31,6 +31,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 
@@ -682,3 +683,174 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.ids").alias("event_id"), F.col("c.vals").alias("value")
     )
     return cand.orderBy(F.desc("value"), F.asc("event_id")).limit(TOPK_K)
+
+
+CDC_BUCKETS = 16
+
+
+@query(
+    "stream_cdc_apply",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type, value, epoch_us(ts) AS t, event_id,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY t DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ),
+    n AS (SELECT user_id, count(*) AS n_changes FROM events GROUP BY user_id)
+    SELECT r.user_id,
+           CAST(r.t AS BIGINT) AS last_us,
+           CAST(floor(r.value * 100 + 0.5) AS BIGINT) AS last_value_cents,
+           CAST(n.n_changes AS BIGINT) AS n_changes
+    FROM ranked r JOIN n USING (user_id)
+    WHERE r.rn = 1 AND r.event_type <> 'error'
+    """,
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC APPLY — the continuous version of ``cdc_upsert``:
+    the event stream is a change feed per user key ('error' = delete,
+    anything else = upsert), merged into a durable keyed STATE TABLE by
+    ``foreachBatch``. After the drain, the state table must equal the
+    batch CDC result regardless of how the feed was micro-batched —
+    last-writer-wins is associative over (ts, event_id)-max merges, and
+    tests/test_streaming.py asserts the multi-batch split.
+
+    Shape at 100 TB: the state table is parquet PARTITIONED BY a key
+    bucket; each micro-batch (1) collapses to its latest-change-per-key
+    via one max_by hash-agg, (2) reads back ONLY the touched buckets
+    (partition pruning at file listing), (3) merges and rewrites JUST
+    those buckets under dynamic partitionOverwrite. Cost per batch is
+    O(touched buckets), never O(state) — the same incremental-sink
+    discipline as stream_index_append (production would speak Delta/
+    Iceberg MERGE; the bucket-overwrite is the engine-native analogue).
+    Delete semantics keep tombstones in-state (op='D' rows filtered at
+    read) so a later upsert for the key still wins by timestamp.
+    """
+    state_dir = os.path.join(SCRATCH, "cdc_state")
+    shutil.rmtree(state_dir, ignore_errors=True)
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        latest = (
+            batch.withColumn(
+                "op",
+                F.when(F.col("event_type") == "error", F.lit("D")).otherwise(
+                    F.lit("U")
+                ),
+            )
+            .groupBy("user_id")
+            .agg(
+                F.max(F.struct("ts_us", "event_id", "op", "value")).alias(
+                    "m"
+                ),
+                F.count(F.lit(1)).alias("n_changes"),
+            )
+            .select(
+                "user_id",
+                F.col("m.ts_us").alias("last_us"),
+                F.col("m.event_id").alias("last_event_id"),
+                F.col("m.op").alias("op"),
+                F.col("m.value").alias("last_value"),
+                "n_changes",
+            )
+            .withColumn(
+                "bucket", F.pmod(F.col("user_id"), F.lit(CDC_BUCKETS))
+            )
+        )
+        touched = [r["bucket"] for r in latest.select("bucket").distinct().collect()]
+        if not touched:
+            return
+        # bucket=* glob, not _SUCCESS: the dynamic-overwrite committer
+        # doesn't write a success marker at the table root
+        has_state = bool(glob.glob(os.path.join(state_dir, "bucket=*")))
+        if has_state:
+            prev = s.read.parquet(state_dir).where(
+                F.col("bucket").isin(touched)
+            )
+            merged = (
+                prev.unionByName(latest)
+                .groupBy("user_id")
+                .agg(
+                    F.max(
+                        F.struct(
+                            "last_us", "last_event_id", "op", "last_value"
+                        )
+                    ).alias("m"),
+                    F.sum("n_changes").alias("n_changes"),
+                    F.first("bucket").alias("bucket"),
+                )
+                .select(
+                    "user_id",
+                    F.col("m.last_us").alias("last_us"),
+                    F.col("m.last_event_id").alias("last_event_id"),
+                    F.col("m.op").alias("op"),
+                    F.col("m.last_value").alias("last_value"),
+                    "n_changes",
+                    "bucket",
+                )
+            )
+        else:
+            merged = latest
+        # Materialize the merge BEFORE overwriting: the plan lazily reads
+        # the same files the write replaces (read-your-own-overwrite), so
+        # cut the lineage to disk first. At production scale this is the
+        # transaction a Delta/Iceberg MERGE provides natively.
+        merged = merged.localCheckpoint(eager=True)
+        prev_mode = s.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                merged.repartition("bucket")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(state_dir)
+            )
+            merged.unpersist()
+        finally:
+            s.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    ev = read_events_stream(spark, sf_dir)
+    qname = "s_cdc_apply"
+    ckpt = os.path.join(SCRATCH, f"ckpt_{qname}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    try:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    except Exception:
+        prev_parts = None
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(_STREAM_SHUFFLE_PARTITIONS)
+    )
+    try:
+        q = (
+            ev.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_parts is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if _SAVED_TZ:
+            prev = _SAVED_TZ.pop()
+            if prev is None:
+                spark.conf.unset("spark.sql.session.timeZone")
+            else:
+                spark.conf.set("spark.sql.session.timeZone", prev)
+    return (
+        spark.read.parquet(state_dir)
+        .where(F.col("op") != "D")
+        .select(
+            "user_id",
+            F.col("last_us").cast("long").alias("last_us"),
+            F.floor(F.col("last_value") * 100 + 0.5)
+            .cast("long")
+            .alias("last_value_cents"),
+            F.col("n_changes").cast("long").alias("n_changes"),
+        )
+    )
