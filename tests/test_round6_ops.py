@@ -288,3 +288,32 @@ def test_benford_chi2_structure(spark, sf_smoke):
     assert n > 0
     assert sum(r["exp_p"] for r in rows) == pytest.approx(1.0, abs=1e-4)
     assert all(r["chi2_term"] >= 0 for r in rows)
+
+
+def test_holt_forecast_matches_python_recursion(spark, sf_smoke):
+    rows = {
+        r["user_id"]: (r["n"], r["level_micro"], r["trend_micro"],
+                       r["forecast_micro"])
+        for r in Q["holt_forecast"](spark, sf_smoke).collect()
+    }
+    con = duckdb.connect()
+    series = con.execute(
+        f"""
+        SELECT user_id, list(value ORDER BY ts, event_id)
+        FROM '{sf_smoke}/events.parquet' GROUP BY user_id
+        """
+    ).fetchall()
+    a, g, h = 0.4, 0.3, 3.0
+    for uid, xs in series:
+        lvl, trd = float(xs[0]), 0.0
+        for x in xs[1:]:
+            l_new = a * x + (1 - a) * (lvl + trd)
+            trd = g * (l_new - lvl) + (1 - g) * trd
+            lvl = l_new
+        want = (
+            len(xs),
+            math.floor(lvl * 1e6 + 0.5),
+            math.floor(trd * 1e6 + 0.5),
+            math.floor((lvl + h * trd) * 1e6 + 0.5),
+        )
+        assert rows[uid] == want, uid

@@ -1825,3 +1825,115 @@ def growth_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pct_change"),
     )
+
+
+# --- holt_forecast ----------------------------------------------------------
+
+_HOLT_A = 0.4  # level smoothing
+_HOLT_G = 0.3  # trend smoothing
+_HOLT_H = 3  # forecast horizon (steps ahead)
+
+
+@query(
+    "holt_forecast",
+    oracle=f"""
+    WITH RECURSIVE s AS (
+        SELECT user_id, value, epoch_us(ts) AS t, event_id,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    ), r AS (
+        SELECT user_id, rn, n, CAST(value AS DOUBLE) AS l,
+               CAST(0.0 AS DOUBLE) AS b
+        FROM s WHERE rn = 1
+        UNION ALL
+        SELECT s.user_id, s.rn, s.n,
+               {_HOLT_A} * s.value + {1 - _HOLT_A} * (r.l + r.b),
+               {_HOLT_G} * (({_HOLT_A} * s.value
+                             + {1 - _HOLT_A} * (r.l + r.b)) - r.l)
+                   + {1 - _HOLT_G} * r.b
+        FROM s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n,
+           CAST(floor(l * 1000000.0 + 0.5) AS BIGINT) AS level_micro,
+           CAST(floor(b * 1000000.0 + 0.5) AS BIGINT) AS trend_micro,
+           CAST(floor((l + {_HOLT_H}.0 * b) * 1000000.0 + 0.5) AS BIGINT)
+               AS forecast_micro
+    FROM r WHERE rn = n
+    """,
+)
+def holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing per user series (level α={a},
+    trend β={g}) with an h={h}-step-ahead forecast — the trend-aware
+    sibling of ``ewma_smooth`` and the simplest real forecaster a
+    monitoring pipeline runs (EWMA lags trends; Holt extrapolates them).
+    Init l₁=x₁, b₁=0; recursion l_t = αx_t + (1-α)(l+b),
+    b_t = β(l_t - l) + (1-β)b — inherently sequential, no finite SQL
+    window; the oracle states the identical recursion as a recursive
+    CTE and both engines agree bit-for-bit in micro-units (the same
+    literals and IEEE op order on both sides — the ewma_smooth
+    discipline).
+
+    Shape at 100 TB: one user_id repartition + in-partition sort, ONE
+    mapInPandas kernel invocation per Arrow batch per task carrying
+    (level, trend) across batch boundaries, emitting ONE row per series
+    (state flushes at user transitions, never per event) — output is
+    |users|-sized before any further exchange.
+    """.format(a=_HOLT_A, g=_HOLT_G, h=_HOLT_H)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts_us", "value")
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts_us", "event_id")
+    )
+    a, one_a, g, one_g, h = (
+        _HOLT_A,
+        1 - _HOLT_A,
+        _HOLT_G,
+        1 - _HOLT_G,
+        float(_HOLT_H),
+    )
+
+    def fit(pdfs):
+        import pandas as pd
+
+        done: list[tuple] = []
+        cur = None
+        lvl = trd = 0.0
+        n = 0
+        for pdf in pdfs:
+            users = pdf["user_id"].to_numpy()
+            xs = pdf["value"].to_numpy()
+            for i in range(len(xs)):
+                u, x = users[i], xs[i]
+                if u != cur:
+                    if cur is not None:
+                        done.append((int(cur), n, lvl, trd, lvl + h * trd))
+                    cur, lvl, trd, n = u, float(x), 0.0, 1
+                else:
+                    # SAME literals and op order as the oracle CTE
+                    l_new = a * x + one_a * (lvl + trd)
+                    trd = g * (l_new - lvl) + one_g * trd
+                    lvl = l_new
+                    n += 1
+        if cur is not None:
+            done.append((int(cur), n, lvl, trd, lvl + h * trd))
+        yield pd.DataFrame(
+            done, columns=["user_id", "n", "l", "b", "f"]
+        )
+
+    out = ev.mapInPandas(
+        fit, "user_id long, n long, l double, b double, f double"
+    )
+    micro = lambda c: F.floor(  # noqa: E731 - shared rounding expression
+        F.col(c) * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    return out.select(
+        "user_id",
+        "n",
+        micro("l").alias("level_micro"),
+        micro("b").alias("trend_micro"),
+        micro("f").alias("forecast_micro"),
+    )
