@@ -317,3 +317,59 @@ def test_holt_forecast_matches_python_recursion(spark, sf_smoke):
             math.floor((lvl + h * trd) * 1e6 + 0.5),
         )
         assert rows[uid] == want, uid
+
+
+def test_window_funnel_dp_equals_bruteforce_random():
+    """The windowFunnel greedy (keep latest chain-start per depth) must
+    equal brute-force EXISTS-chain search on adversarial small series —
+    ties, interleavings, and window-boundary spans included."""
+    import itertools
+    import random
+
+    rng = random.Random(6)
+    steps = ["view", "click", "purchase"]
+    W = 10
+
+    def brute(events):  # events: [(t, id, type)] any order
+        ev = sorted(events, key=lambda e: (e[0], e[1]))
+        best = 0
+        idx = [
+            [i for i, e in enumerate(ev) if e[2] == s] for s in steps
+        ]
+        for d in (3, 2, 1):
+            for combo in itertools.product(*idx[:d]):
+                if all(
+                    (ev[combo[k]][0], ev[combo[k]][1])
+                    < (ev[combo[k + 1]][0], ev[combo[k + 1]][1])
+                    for k in range(d - 1)
+                ) and ev[combo[-1]][0] - ev[combo[0]][0] <= W:
+                    best = max(best, d)
+                    break
+            if best:
+                break
+        return best
+
+    def dp(events):
+        ev = sorted(events, key=lambda e: (e[0], e[1]))
+        NEG = float("-inf")
+        best = [NEG] * 4
+        depth = 0
+        for t, _eid, et in ev:
+            if et not in steps:
+                continue
+            s = steps.index(et) + 1
+            if s == 1:
+                best[1] = max(best[1], t)
+                depth = max(depth, 1)
+            elif best[s - 1] != NEG and t - best[s - 1] <= W:
+                best[s] = max(best[s], best[s - 1])
+                depth = max(depth, s)
+        return depth
+
+    kinds = steps + ["error", "signup"]
+    for trial in range(500):
+        n = rng.randint(0, 12)
+        events = [
+            (rng.randint(0, 25), i, rng.choice(kinds)) for i in range(n)
+        ]
+        assert dp(events) == brute(events), events

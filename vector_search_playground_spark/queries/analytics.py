@@ -1937,3 +1937,115 @@ def holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         micro("b").alias("trend_micro"),
         micro("f").alias("forecast_micro"),
     )
+
+
+# --- window_funnel ----------------------------------------------------------
+
+_WF_STEPS = ("view", "click", "purchase")
+_WF_WINDOW_US = 2 * 3600 * 1_000_000  # 2 hours
+
+
+@query(
+    "window_funnel",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    d1 AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+    ),
+    d2 AS (
+        SELECT DISTINCT v.user_id
+        FROM events v JOIN events c ON c.user_id = v.user_id
+        WHERE v.event_type = 'view' AND c.event_type = 'click'
+          AND (c.ts > v.ts OR (c.ts = v.ts AND c.event_id > v.event_id))
+          AND epoch_us(c.ts) - epoch_us(v.ts) <= {_WF_WINDOW_US}
+    ),
+    d3 AS (
+        SELECT DISTINCT v.user_id
+        FROM events v
+        JOIN events c ON c.user_id = v.user_id
+        JOIN events p ON p.user_id = v.user_id
+        WHERE v.event_type = 'view' AND c.event_type = 'click'
+          AND p.event_type = 'purchase'
+          AND (c.ts > v.ts OR (c.ts = v.ts AND c.event_id > v.event_id))
+          AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+          AND epoch_us(p.ts) - epoch_us(v.ts) <= {_WF_WINDOW_US}
+    )
+    SELECT u.user_id,
+           CAST(CASE WHEN d3.user_id IS NOT NULL THEN 3
+                     WHEN d2.user_id IS NOT NULL THEN 2
+                     WHEN d1.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS depth
+    FROM u
+    LEFT JOIN d1 USING (user_id)
+    LEFT JOIN d2 USING (user_id)
+    LEFT JOIN d3 USING (user_id)
+    """,
+)
+def window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-style ``windowFunnel``: per user, the deepest prefix of
+    the view→click→purchase step chain completable inside a 2-hour
+    window (strictly increasing (ts, event_id) order, other events
+    interleaved freely). Complements ``funnel_events`` (global step
+    counts) and ``funnel_latency`` (conversion speed) with the per-user
+    depth column a cohort analysis joins on.
+
+    The oracle states depth as brute-force EXISTS chains (a θ-join per
+    depth — certification only). The plan is the windowFunnel DP: one
+    user_id repartition + in-partition sort, one mapInPandas kernel
+    that carries, per depth, the LATEST chain-start time seen so far —
+    maximizing the start dominates every other prefix choice, so the
+    greedy is exact in one linear pass per series (O(n·steps), never
+    the oracle's O(n³) pair space).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts_us", "event_type")
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts_us", "event_id")
+    )
+    steps = list(_WF_STEPS)
+    win = _WF_WINDOW_US
+
+    def funnel(pdfs):
+        import pandas as pd
+
+        done: list[tuple] = []
+        cur = None
+        NEG = float("-inf")
+        best = [NEG] * (len(steps) + 1)  # best[s] = latest depth-s start
+        depth = 0
+
+        def flush():
+            if cur is not None:
+                done.append((int(cur), depth))
+
+        for pdf in pdfs:
+            users = pdf["user_id"].to_numpy()
+            ts = pdf["ts_us"].to_numpy()
+            types = pdf["event_type"].to_numpy()
+            for i in range(len(users)):
+                u = users[i]
+                if u != cur:
+                    flush()
+                    cur = u
+                    best = [NEG] * (len(steps) + 1)
+                    depth = 0
+                et = types[i]
+                if et not in _WF_STEPS:
+                    continue
+                s = steps.index(et) + 1
+                t = int(ts[i])
+                if s == 1:
+                    if t > best[1]:
+                        best[1] = t
+                    depth = max(depth, 1)
+                elif best[s - 1] != NEG and t - best[s - 1] <= win:
+                    if best[s - 1] > best[s]:
+                        best[s] = best[s - 1]
+                    depth = max(depth, s)
+        flush()
+        yield pd.DataFrame(done, columns=["user_id", "depth"])
+
+    return ev.mapInPandas(funnel, "user_id long, depth long").select(
+        "user_id", F.col("depth").cast("long").alias("depth")
+    )
