@@ -22,10 +22,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from vector_search_playground_spark import registry  # noqa: E402
 from vector_search_playground_spark.session import get_spark  # noqa: E402
 
-# One-off construction cost (k-means fit / partitioned write / streaming
-# index ingest); everything else measures steady-state query latency.
-# ivf_search / lsh_search reuse cached indexes, so they land in "query".
-BUILD_IDS = {"index_build_ivf", "index_build_lsh", "stream_index_append"}
+# One-off construction cost (k-means fit / PQ codebook fit / partitioned
+# write / streaming index ingest / tokenizer training); everything else
+# measures steady-state query latency. ivf_search / lsh_search reuse
+# cached indexes, so they land in "query".
+BUILD_IDS = {
+    "index_build_ivf",
+    "index_build_lsh",
+    "index_build_pq",
+    "stream_index_append",
+    "bpe_train",
+}
 
 
 def main() -> None:
