@@ -32,6 +32,7 @@ BUILD_IDS = {
     "index_build_pq",
     "stream_index_append",
     "bpe_train",
+    "als_recommend",
 }
 
 

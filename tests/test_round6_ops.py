@@ -373,3 +373,22 @@ def test_window_funnel_dp_equals_bruteforce_random():
             (rng.randint(0, 25), i, rng.choice(kinds)) for i in range(n)
         ]
         assert dp(events) == brute(events), events
+
+
+def test_als_recommend_structure(spark, sf_smoke):
+    rows = Q["als_recommend"](spark, sf_smoke).collect()
+    assert rows
+    con = duckdb.connect()
+    parts = {
+        p
+        for (p,) in con.execute(
+            f"SELECT DISTINCT l_partkey FROM '{sf_smoke}/lineitem.parquet'"
+        ).fetchall()
+    }
+    by_user: dict[int, list] = collections.defaultdict(list)
+    for r in rows:
+        assert r["part_id"] in parts, "recommended part must exist"
+        by_user[r["user_id"]].append(r["rank"])
+        assert r["user_id"] % 50 == 0
+    for u, ranks in by_user.items():
+        assert sorted(ranks) == [1, 2, 3], u

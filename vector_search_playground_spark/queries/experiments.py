@@ -818,3 +818,69 @@ def benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_term"),
         )
     )
+
+
+# --- als_recommend ----------------------------------------------------------
+
+_ALS_RANK = 8
+_ALS_ITER = 5
+_ALS_K = 3
+_ALS_USER_MOD = 50
+
+
+@query("als_recommend")  # rows-only: factorization is iterative/seeded —
+# structure (k recs per sampled user, catalog membership, rank ordering)
+# is pinned by tests/test_round6_ops.py
+def als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implicit-feedback collaborative filtering (Hu/Koren/Volinsky 2008)
+    via MLlib ALS over the customer×part purchase matrix — the
+    recommender verb next to the content-based KNN family: co-purchase
+    structure, not embedding geometry. Top-{k} part recommendations per
+    sampled user (every {m}-th customer), already-purchased parts NOT
+    excluded (the self-retrieval sanity signal).
+
+    Shape at 100 TB: the ratings matrix is ONE hash-agg off the fact
+    join; ALS itself is the canonical distributed factorization —
+    block-to-block alternating least squares where each iteration
+    shuffles only factor blocks (rank-{r} vectors), never the ratings
+    re-materialized. Model artifacts are |users|·{r} + |items|·{r}
+    floats — the same 'model is metadata relative to the corpus'
+    posture as the IVF centroids. Scores are float and seed-dependent,
+    so the certified surface is structural (rows-only), like the other
+    approximate/iterative operators.
+    """.format(k=_ALS_K, m=_ALS_USER_MOD, r=_ALS_RANK)
+    from pyspark.ml.recommendation import ALS
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    ratings = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(F.count(F.lit(1)).cast("float").alias("rating"))
+    )
+    als = ALS(
+        rank=_ALS_RANK,
+        maxIter=_ALS_ITER,
+        implicitPrefs=True,
+        seed=42,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    users = ratings.select("user").distinct().where(
+        F.col("user") % _ALS_USER_MOD == 0
+    )
+    recs = model.recommendForUserSubset(users, _ALS_K)
+    return recs.select(
+        F.col("user").cast("long").alias("user_id"),
+        F.posexplode("recommendations").alias("rk", "rec"),
+    ).select(
+        "user_id",
+        (F.col("rk") + 1).cast("long").alias("rank"),
+        F.col("rec.item").cast("long").alias("part_id"),
+    )
