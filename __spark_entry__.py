@@ -90,18 +90,20 @@ RECERTIFY_IF_AT_OR_BEFORE = {
 
 def _prioritized(d: dict) -> dict:
     """Stale-certified IDs whose code changed since their driver row
-    first (RECERTIFY_IF_AT_OR_BEFORE), then never-driver-checked IDs,
-    then IDs whose latest driver check FAILED (the repaired-bug
-    re-verification), then the stable greens ordered
+    first (RECERTIFY_IF_AT_OR_BEFORE), then IDs whose latest driver
+    check FAILED (the repaired-bug re-verification), then
+    never-driver-checked IDs, then the stable greens ordered
     least-recently-driver-checked first.
 
     The per-round correctness run covers a bounded number of queries
-    (50 in rounds 2-4); this ordering guarantees every new query
-    eventually gets a driver entry, every fix gets re-judged before the
-    cap can cut it off, AND stable greens rotate: code that changed
-    since an old certification cannot be starved behind newer rows
-    forever — not even behind a backlog of never-checked new IDs wider
-    than the cap (the round-5 situation)."""
+    (50 in rounds 2-5); this ordering guarantees every fix gets
+    re-judged before the cap can cut it off (repairs outrank even
+    never-checked IDs: a red row that stays red is strictly worse than
+    a new query waiting one round — round 6 grew the new-ID backlog to
+    exactly the cap and would otherwise have starved the round-5
+    tokenize_to_ids repair), every new query eventually gets a driver
+    entry, AND stable greens rotate: code that changed since an old
+    certification cannot be starved behind newer rows forever."""
     last_round, failed = _driver_status()
     recert = {
         k: v
@@ -109,12 +111,12 @@ def _prioritized(d: dict) -> dict:
         if k in last_round
         and last_round[k] <= RECERTIFY_IF_AT_OR_BEFORE.get(k, -1)
     }
-    head = {k: v for k, v in d.items() if k not in last_round}
     repair = {
         k: v
         for k, v in d.items()
         if k in failed and k in last_round and k not in recert
     }
+    head = {k: v for k, v in d.items() if k not in last_round}
     green = sorted(
         (
             k
@@ -124,7 +126,7 @@ def _prioritized(d: dict) -> dict:
         key=lambda k: last_round[k],
     )
     tail = {k: d[k] for k in green}
-    return {**recert, **head, **repair, **tail}
+    return {**recert, **repair, **head, **tail}
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -40,9 +40,10 @@ def test_ordering_new_then_failed_then_oldest_green(tmp_path):
     )
     d = {"c": 3, "x": 9, "a": 1, "b": 2}
     got = list(em._prioritized(d))
-    # x never checked -> head; c failed latest -> repair; greens oldest
-    # first: a (r1) before b (r2)
-    assert got == ["x", "c", "a", "b"]
+    # c failed latest -> repair FIRST (a red row that stays red is worse
+    # than a new id waiting a round — round-6 cap lesson); x never
+    # checked -> head; greens oldest first: a (r1) before b (r2)
+    assert got == ["c", "x", "a", "b"]
 
 
 def test_numeric_round_ordering_beats_lexicographic(tmp_path):

@@ -392,3 +392,38 @@ def test_als_recommend_structure(spark, sf_smoke):
         assert r["user_id"] % 50 == 0
     for u, ranks in by_user.items():
         assert sorted(ranks) == [1, 2, 3], u
+
+
+def test_seasonality_profile_structure(spark, sf_smoke):
+    rows = Q["seasonality_profile"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["dow"] <= 7
+        assert r["seasonality_index"] > 0
+
+
+def test_changepoint_cusum_closes_at_zero(spark, sf_smoke):
+    rows = sorted(
+        Q["changepoint_cusum"](spark, sf_smoke).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    # sum of deviations from the mean is identically zero at the end
+    assert rows[-1]["cusum"] == pytest.approx(0.0, abs=1e-4)
+    assert any(r["is_peak"] for r in rows)
+
+
+def test_user_entropy_bounds(spark, sf_smoke):
+    for r in Q["user_entropy"](spark, sf_smoke).collect():
+        assert -1e-9 <= r["entropy"] <= math.log(5) + 1e-6
+        if r["n_types"] == 1:
+            assert r["entropy"] == 0.0
+
+
+def test_impute_missing_accounting(spark, sf_smoke):
+    for r in Q["impute_missing"](spark, sf_smoke).collect():
+        assert 0 < r["n_missing"] < r["n_total"]
+        # roughly one in seven event_ids is in the synthetic missing set
+        # (per-type drift is large at sf0.001 — bound loosely)
+        assert 0.02 < r["n_missing"] / r["n_total"] < 0.4
+        assert r["total_cents_imputed"] > 0

@@ -884,3 +884,207 @@ def als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rk") + 1).cast("long").alias("rank"),
         F.col("rec.item").cast("long").alias("part_id"),
     )
+
+
+# --- seasonality_profile ----------------------------------------------------
+
+
+@query(
+    "seasonality_profile",
+    oracle="""
+    WITH e AS (SELECT event_type, isodow(ts) AS dow FROM events),
+    td AS (SELECT event_type, dow, count(*) AS n FROM e GROUP BY 1, 2),
+    t AS (SELECT event_type, sum(n) AS nt FROM td GROUP BY 1),
+    d AS (SELECT dow, sum(n) AS nd FROM td GROUP BY 1),
+    g AS (SELECT sum(n) AS total FROM td)
+    SELECT td.event_type, CAST(td.dow AS BIGINT) AS dow,
+           CAST(td.n AS BIGINT) AS n,
+           floor((CAST(td.n AS DOUBLE) / t.nt)
+                 / (CAST(d.nd AS DOUBLE) / g.total) * 1e6 + 0.5) / 1e6
+               AS seasonality_index
+    FROM td
+    JOIN t USING (event_type)
+    JOIN d USING (dow)
+    CROSS JOIN g
+    """,
+)
+def seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index per event type — the calendar-
+    heatmap verb behind staffing and anomaly-baseline decisions: the
+    index is each type's ISO-weekday share divided by the corpus-wide
+    weekday share, so 1.0 = no type-specific seasonality and the matrix
+    is comparable across types of different volume.
+
+    Shape at 100 TB: ONE hash-agg collapses the stream to the
+    |types|·7 matrix; marginals and the index are joins over that
+    metadata relation. The ISO weekday (1=Mon) is computed identically
+    on both engines (Spark's dayofweek is Sunday-based — remapped).
+    Counts exact; the single ratio is floor-rounded at 6 dp.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    td = (
+        ev.select(
+            "event_type",
+            ((F.dayofweek("ts") + 5) % 7 + 1).cast("long").alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = td.groupBy("event_type").agg(F.sum("n").alias("nt"))
+    d = td.groupBy("dow").agg(F.sum("n").alias("nd"))
+    g = td.agg(F.sum("n").alias("total"))
+    return (
+        td.join(t, "event_type")
+        .join(d, "dow")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            F.col("dow").cast("long").alias("dow"),
+            F.col("n").cast("long").alias("n"),
+            (
+                F.floor(
+                    (F.col("n").cast("double") / F.col("nt"))
+                    / (F.col("nd").cast("double") / F.col("total"))
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("seasonality_index"),
+        )
+    )
+
+
+# --- changepoint_cusum ------------------------------------------------------
+
+
+@query(
+    "changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS n
+        FROM events GROUP BY 1
+    ),
+    t AS (SELECT sum(n) AS total, count(*) AS nd FROM daily),
+    c AS (
+        SELECT day, n,
+               sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum,
+               row_number() OVER (ORDER BY day) AS rk
+        FROM daily
+    ),
+    s AS (
+        SELECT strftime(c.day, '%Y-%m-%d') AS day, c.n,
+               c.cum - c.rk * (CAST(t.total AS DOUBLE) / t.nd) AS cusum
+        FROM c CROSS JOIN t
+    ),
+    m AS (SELECT max(abs(cusum)) AS peak FROM s)
+    SELECT s.day, CAST(s.n AS BIGINT) AS n,
+           floor(s.cusum * 1e4 + 0.5) / 1e4 AS cusum,
+           abs(s.cusum) = m.peak AS is_peak
+    FROM s CROSS JOIN m
+    """,
+)
+def changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily event-volume series —
+    the classic 'did the level shift, and when' monitor (Page 1954):
+    the cumulative sum of deviations from the global daily mean peaks
+    at the most likely changepoint. Emits the full CUSUM curve plus the
+    peak flag (the argmax day).
+
+    Shape at 100 TB: the stream collapses to |days| rows in one
+    hash-agg; the cumulative window, mean, and argmax are arithmetic on
+    that calendar-sized relation — the oracle's global window is
+    metadata here, not a whale. CUSUM stays exact-int cum minus
+    rank·mean (one deterministic double product), floor-rounded 4 dp;
+    the peak test compares the UNROUNDED doubles identically on both
+    engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = daily.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("nd")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = daily.select(
+        "day",
+        "n",
+        F.sum("n").over(w).alias("cum"),
+        F.row_number().over(Window.orderBy("day")).alias("rk"),
+    )
+    s = c.crossJoin(F.broadcast(t)).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("long").alias("n"),
+        (
+            F.col("cum")
+            - F.col("rk") * (F.col("total").cast("double") / F.col("nd"))
+        ).alias("cusum_raw"),
+    )
+    m = s.agg(F.max(F.abs("cusum_raw")).alias("peak"))
+    return s.crossJoin(F.broadcast(m)).select(
+        "day",
+        "n",
+        (F.floor(F.col("cusum_raw") * 1e4 + 0.5) / 1e4).alias("cusum"),
+        (F.abs("cusum_raw") == F.col("peak")).alias("is_peak"),
+    )
+
+
+# --- user_entropy -----------------------------------------------------------
+
+
+@query(
+    "user_entropy",
+    oracle="""
+    WITH ut AS (
+        SELECT user_id, event_type, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    u AS (SELECT user_id, sum(c) AS n FROM ut GROUP BY 1)
+    SELECT ut.user_id,
+           CAST(u.n AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_types,
+           floor(-sum((CAST(ut.c AS DOUBLE) / u.n)
+                      * ln(CAST(ut.c AS DOUBLE) / u.n)) * 1e6 + 0.5) / 1e6
+               AS entropy
+    FROM ut JOIN u USING (user_id)
+    GROUP BY ut.user_id, u.n
+    """,
+)
+def user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user: Shannon entropy of each user's
+    event-type mix — the engagement-breadth feature (0 = single-verb
+    users, ln(5) ≈ 1.609 = uniform across all five types) that feeds
+    churn and segmentation models next to ``rfm_segments``; the
+    per-entity sibling of ``text_entropy``'s per-document pass.
+
+    Shape at 100 TB: one (user, type) hash-agg bounded by
+    |users|·|types|, then a user-keyed agg riding the SAME key — the
+    entropy fold never touches the raw stream twice. Counts exact; the
+    entropy is floor-rounded at 6 dp (ln noise is ulp-level).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wu = Window.partitionBy("user_id")
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        ut.withColumn("n", F.sum("c").over(wu))
+        .groupBy("user_id", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            (F.floor(-F.sum(p * F.log(p)) * 1e6 + 0.5) / 1e6).alias(
+                "entropy"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n_events"),
+            "n_types",
+            "entropy",
+        )
+    )

@@ -510,3 +510,82 @@ def curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.expr(f"(rid * {CURRICULUM_SHARDS}) div {n}").alias("shard"),
     )
+
+
+# --- impute_missing ---------------------------------------------------------
+
+_IMPUTE_MOD = 7  # event_id % MOD == 0 rows are the synthetic missing set
+
+
+@query(
+    "impute_missing",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type, value,
+               event_id % {_IMPUTE_MOD} = 0 AS miss
+        FROM events
+    ),
+    med AS (
+        SELECT event_type,
+               quantile_cont(value, 0.5) FILTER (WHERE NOT miss) AS med
+        FROM e GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (WHERE e.miss) AS BIGINT) AS n_missing,
+           floor(max(med.med) * 1e6 + 0.5) / 1e6 AS median_micro,
+           CAST(sum(CASE WHEN e.miss
+                         THEN floor(med.med * 100 + 0.5)
+                         ELSE floor(e.value * 100 + 0.5) END) AS BIGINT)
+               AS total_cents_imputed
+    FROM e JOIN med USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def impute_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-median imputation — the feature-cleaning verb every
+    training pipeline runs before normalization: rows in the synthetic
+    missing set (event_id ≡ 0 mod {m} — a deterministic stand-in for
+    real NULLs, which the fixture lacks) receive their event type's
+    median of OBSERVED values. Median, not mean: imputation with the
+    mean drags toward the outliers the robust tier (``outliers_mad``)
+    exists to resist.
+
+    Shape at 100 TB: the per-group medians come from the distributed
+    3-pass width-bucket selection (``operators/selection``) over the
+    observed subset — no holistic percentile buffer — broadcast back as
+    literals into ONE conditional hash-agg. Each imputed row's cents
+    are floored per-row, so the audited totals are exact int64 on both
+    engines.
+    """.format(m=_IMPUTE_MOD)
+    from vector_search_playground_spark.operators.selection import (
+        exact_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        (F.col("event_id") % _IMPUTE_MOD == 0).alias("miss"),
+    )
+    ev = ev.cache()
+    try:
+        med = exact_quantiles(
+            ev.where(~F.col("miss")), "event_type", "value", [0.5]
+        )
+        med_map = F.create_map(
+            *[F.lit(x) for k, q in med.items() for x in (k, q[0.5])]
+        )
+        m = med_map[F.col("event_type")]
+        cents = F.when(
+            F.col("miss"), F.floor(m * 100 + 0.5)
+        ).otherwise(F.floor(F.col("value") * 100 + 0.5))
+        return ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum(F.col("miss").cast("long")).cast("long").alias(
+                "n_missing"
+            ),
+            F.first(F.floor(m * 1e6 + 0.5) / 1e6).alias("median_micro"),
+            F.sum(cents).cast("long").alias("total_cents_imputed"),
+        )
+    finally:
+        ev.unpersist()
