@@ -411,7 +411,9 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the entropy fold over the counts relation. The corpus text
     itself is never shuffled; only character counts move.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the fixture scan yields ~3 splits; the char explode is the
+    # per-row-heavy stage, so spread it across the full core count
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     chars = docs.select(
         "doc_id",
         F.explode_outer(F.expr("regexp_extract_all(text, '.', 0)")).alias("ch"),
