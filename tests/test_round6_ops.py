@@ -427,3 +427,74 @@ def test_impute_missing_accounting(spark, sf_smoke):
         # (per-type drift is large at sf0.001 — bound loosely)
         assert 0.02 < r["n_missing"] / r["n_total"] < 0.4
         assert r["total_cents_imputed"] > 0
+
+
+def test_knn_classify_matches_numpy(spark, sf_smoke):
+    rows = {
+        r["vec_id"]: (r["pred_label"], r["true_label"])
+        for r in Q["knn_classify"](spark, sf_smoke).collect()
+    }
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT vec_id, label, embedding FROM '{sf_smoke}/embeddings.parquet'"
+    ).fetchall()
+    ids = np.array([d[0] for d in data])
+    labels = np.array([d[1] for d in data])
+    X = np.array([d[2] for d in data], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    test_mask = ids % 5 == 0
+    for qi in np.where(test_mask)[0]:
+        dists = np.round(1.0 - Xn[~test_mask] @ Xn[qi], 6)
+        tr_ids = ids[~test_mask]
+        tr_lbl = labels[~test_mask]
+        order = np.lexsort((tr_ids, dists))[:5]
+        votes = collections.Counter(tr_lbl[order])
+        best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert rows[ids[qi]] == (best, labels[qi]), ids[qi]
+
+
+def test_embedding_outliers_structure(spark, sf_smoke):
+    rows = Q["embedding_outliers"](spark, sf_smoke).collect()
+    per = collections.Counter(r["label"] for r in rows)
+    assert all(v == 3 for v in per.values())
+    assert all(r["dist"] >= 0 and 1 <= r["rank"] <= 3 for r in rows)
+
+
+def test_session_funnel_paths_shape(spark, sf_smoke):
+    import re
+
+    rows = Q["session_funnel_paths"](spark, sf_smoke).collect()
+    assert 0 < len(rows) <= 20
+    pat = re.compile(r"^[a-z](>[a-z]){0,7}$")
+    counts = [r["n_users"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert pat.match(r["path"]), r["path"]
+
+
+def test_autocorrelation_bounds(spark, sf_smoke):
+    rows = Q["autocorrelation"](spark, sf_smoke).collect()
+    assert sorted(r["lag"] for r in rows) == list(range(1, 8))
+    for r in rows:
+        assert -1.001 <= r["acf"] <= 1.001
+
+
+def test_attribution_linear_credit_conserved(spark, sf_smoke):
+    rows = Q["attribution_linear"](spark, sf_smoke).collect()
+    assert rows
+    con = duckdb.connect()
+    (n_influenced,) = con.execute(
+        f"""
+        SELECT count(DISTINCT p.event_id)
+        FROM '{sf_smoke}/events.parquet' p
+        JOIN '{sf_smoke}/events.parquet' t
+          ON p.user_id = t.user_id AND t.event_type <> 'purchase'
+         AND epoch_us(t.ts) >= epoch_us(p.ts) - 7 * 86400000000
+         AND epoch_us(t.ts) < epoch_us(p.ts)
+        WHERE p.event_type = 'purchase'
+        """
+    ).fetchone()
+    # linear attribution conserves credit: one unit per influenced purchase
+    assert sum(r["credit"] for r in rows) == pytest.approx(
+        n_influenced, abs=0.01
+    )

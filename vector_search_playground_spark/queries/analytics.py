@@ -2049,3 +2049,239 @@ def window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.mapInPandas(funnel, "user_id long, depth long").select(
         "user_id", F.col("depth").cast("long").alias("depth")
     )
+
+
+# --- session_funnel_paths ---------------------------------------------------
+
+_PATH_MAXLEN = 8
+_PATH_TOP = 20
+
+
+@query(
+    "session_funnel_paths",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id,
+               array_to_string(
+                   list_slice(
+                       array_agg(substr(event_type, 1, 1)
+                                 ORDER BY ts, event_id),
+                       1, {_PATH_MAXLEN}),
+                   '>') AS path
+        FROM events GROUP BY user_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM seq GROUP BY path
+    ORDER BY n_users DESC, path LIMIT {_PATH_TOP}
+    """,
+)
+def session_funnel_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journey paths: each user's first {n} events as an
+    ordered initial-letter string (v>c>p…), ranked by population — the
+    path-mining verb behind sankey diagrams and journey clustering,
+    sitting between ``path_transitions`` (1-step matrix) and
+    ``sequence_match`` (pattern tests): full prefixes, exact counts.
+
+    Shape at 100 TB: ONE user_id hash-agg whose collect_list is
+    re-ordered row-locally by (ts, event_id) struct sort — never an
+    ordered-window whale (the tokenize_to_ids discipline) — truncated
+    to {n} before it becomes a string; the path relation is ≤ |users|
+    rows of tiny strings, and the final count + top-{t} is a second
+    hash-agg feeding TakeOrdered. Exact integers; deterministic
+    (count desc, path) ranking.
+    """.format(n=_PATH_MAXLEN, t=_PATH_TOP)
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "ts_us",
+                        "event_id",
+                        F.substring("event_type", 1, 1).alias("i"),
+                    )
+                )
+            ).alias("s")
+        )
+        .select(
+            F.concat_ws(
+                ">",
+                F.slice(
+                    F.expr("transform(s, x -> x.i)"), 1, _PATH_MAXLEN
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        seq.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(_PATH_TOP)
+    )
+
+
+# --- autocorrelation --------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+
+@query(
+    "autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1
+    ),
+    t AS (
+        SELECT sum(x) / count(*) AS mu,
+               sum((x - (SELECT sum(x) / count(*) FROM daily))
+                   * (x - (SELECT sum(x) / count(*) FROM daily))) AS ss
+        FROM daily
+    ),
+    lags AS (SELECT unnest(range(1, {_ACF_MAX_LAG + 1})) AS lag),
+    pairs AS (
+        SELECT lags.lag,
+               count(*) AS n_pairs,
+               sum((a.x - t.mu) * (b.x - t.mu)) AS num
+        FROM lags
+        JOIN daily a ON TRUE
+        JOIN daily b ON b.day = a.day + CAST(lags.lag AS INTEGER)
+        CROSS JOIN t
+        GROUP BY lags.lag
+    )
+    SELECT CAST(p.lag AS BIGINT) AS lag,
+           CAST(p.n_pairs AS BIGINT) AS n_pairs,
+           floor(p.num / t.ss * 1e6 + 0.5) / 1e6 AS acf
+    FROM pairs p CROSS JOIN t
+    """,
+)
+def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-volume series (lags
+    1..{k}) — the seasonality detector that tells you WHICH period to
+    model (a weekly rhythm shows as an acf peak at lag 7); rides next
+    to ``seasonality_profile`` (which assumes the weekly period) and
+    ``changepoint_cusum`` (level shifts, not cycles).
+
+    Shape at 100 TB: the stream collapses to |days| rows in one
+    hash-agg; mean, variance and the per-lag products are arithmetic on
+    that calendar-sized relation joined to itself on day+lag — metadata
+    joined to metadata. The acf ratio is floor-rounded at 6 dp; both
+    engines sum the same ≤|days| products.
+    """.format(k=_ACF_MAX_LAG)
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+        .cache()
+    )
+    try:
+        row = daily.agg(
+            (F.sum("x") / F.count(F.lit(1))).alias("mu")
+        ).first()
+        mu = row["mu"]
+        ss = daily.agg(
+            F.sum((F.col("x") - F.lit(mu)) * (F.col("x") - F.lit(mu)))
+        ).first()[0]
+        lags = spark.range(1, _ACF_MAX_LAG + 1).withColumnRenamed(
+            "id", "lag"
+        )
+        a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+        b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+        pairs = (
+            lags.crossJoin(F.broadcast(a))
+            .join(
+                F.broadcast(b),
+                F.col("db")
+                == F.expr("date_add(da, cast(lag as int))"),
+            )
+            .groupBy("lag")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.sum(
+                    (F.col("xa") - F.lit(mu)) * (F.col("xb") - F.lit(mu))
+                ).alias("num"),
+            )
+        )
+        out = pairs.select(
+            F.col("lag").cast("long").alias("lag"),
+            "n_pairs",
+            (F.floor(F.col("num") / F.lit(ss) * 1e6 + 0.5) / 1e6).alias(
+                "acf"
+            ),
+        )
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        daily.unpersist()
+
+
+# --- attribution_linear -----------------------------------------------------
+
+_ATTR_WIN_US = 7 * 86_400_000_000
+
+
+@query(
+    "attribution_linear",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id, user_id, epoch_us(ts) AS t
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+        FROM events WHERE event_type <> 'purchase'
+    ),
+    pair AS (
+        SELECT p.event_id AS pid, touch.event_type,
+               count(*) OVER (PARTITION BY p.event_id) AS n_touches
+        FROM p JOIN touch ON p.user_id = touch.user_id
+         AND touch.t >= p.t - {_ATTR_WIN_US} AND touch.t < p.t
+    )
+    SELECT event_type AS channel,
+           CAST(count(*) AS BIGINT) AS n_touchpoints,
+           CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases,
+           floor(sum(1.0 / n_touches) * 1e6 + 0.5) / 1e6 AS credit
+    FROM pair GROUP BY event_type
+    """,
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution: every purchase's credit is split
+    equally across ALL the user's touches in the preceding 7 days —
+    the position-agnostic counterweight to ``attribution_lasttouch``
+    (which gives the final click everything). Per channel: touchpoint
+    count, purchases influenced, and fractional credit.
+
+    Shape at 100 TB: the purchase↔touch pairing is a user_id-keyed join
+    with the time predicate inside bounded per-user groups (the
+    join_interval_overlap discipline — never a global θ-join); the
+    per-purchase touch count is a window over those bounded groups, and
+    the channel rollup is one hash-agg. Credit sums ≤|pairs| rationals;
+    floor-rounded at 6 dp.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts_us").alias("pt"),
+    )
+    touch = ev.where(F.col("event_type") != "purchase").select(
+        "user_id", "event_type", F.col("ts_us").alias("tt")
+    )
+    pair = p.join(touch, "user_id").where(
+        (F.col("tt") >= F.col("pt") - _ATTR_WIN_US)
+        & (F.col("tt") < F.col("pt"))
+    )
+    w = Window.partitionBy("pid")
+    pair = pair.withColumn("n_touches", F.count(F.lit(1)).over(w))
+    return (
+        pair.groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touchpoints"),
+            F.countDistinct("pid").cast("long").alias("n_purchases"),
+            (
+                F.floor(F.sum(1.0 / F.col("n_touches")) * 1e6 + 0.5) / 1e6
+            ).alias("credit"),
+        )
+    )

@@ -536,3 +536,203 @@ def fn_vector_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             ROUND_DIST,
         ).alias("sum_mul"),
     )
+
+
+_KNNC_K = 5
+_KNNC_MOD = 5
+
+
+@query(
+    "knn_classify",
+    oracle=f"""
+    WITH d AS (
+        SELECT q.vec_id AS q, e.vec_id AS c, e.label,
+               ROUND(1 - list_cosine_similarity(
+                         CAST(e.embedding AS DOUBLE[]),
+                         CAST(q.embedding AS DOUBLE[])), {ROUND_DIST})
+                   AS dist
+        FROM embeddings e,
+             (SELECT * FROM embeddings WHERE vec_id % {_KNNC_MOD} = 0) q
+        WHERE e.vec_id % {_KNNC_MOD} <> 0
+    ),
+    nn AS (
+        SELECT q, label FROM (
+            SELECT q, label,
+                   row_number() OVER (PARTITION BY q ORDER BY dist, c)
+                       AS rn
+            FROM d
+        ) WHERE rn <= {_KNNC_K}
+    ),
+    votes AS (SELECT q, label, count(*) AS cnt FROM nn GROUP BY q, label),
+    pred AS (
+        SELECT q, label AS pred_label, cnt FROM (
+            SELECT q, label, cnt,
+                   row_number() OVER (
+                       PARTITION BY q ORDER BY cnt DESC, label
+                   ) AS rk
+            FROM votes
+        ) WHERE rk = 1
+    )
+    SELECT t.vec_id, CAST(t.label AS INT) AS true_label,
+           CAST(p.pred_label AS INT) AS pred_label,
+           CAST(p.cnt AS BIGINT) AS n_votes,
+           p.pred_label = t.label AS correct
+    FROM pred p JOIN embeddings t ON p.q = t.vec_id
+    """,
+)
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN CLASSIFICATION over the labeled embedding table — the
+    lazy-learner baseline every vector-quality audit starts with: every
+    {m}-th vector is held out and labeled by the majority vote of its
+    {k} nearest training neighbors (cosine; rounded-distance + id
+    ranking so the neighbor SET is engine-independent; vote ties break
+    to the smallest label). The per-row `correct` column makes held-out
+    accuracy a one-agg follow-up, and a collapse here is the earliest
+    signal an embedding pipeline regressed.
+
+    Shape at 100 TB: the held-out queries ride ``operators/knn.knn_batch``
+    — broadcast query matrix, per-Arrow-batch BLAS with a value-based
+    local cut, deterministic HOF recompute on survivors; the corpus is
+    scanned ONCE and never shuffled. Voting is one |Q|·{k}-row hash-agg
+    with a deterministic max_by; the oracle replays it as the O(|Q|·|C|)
+    cross join (certification only).
+    """.format(m=_KNNC_MOD, k=_KNNC_K)
+    from vector_search_playground_spark.operators.knn import knn_batch
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    test = embs.where(F.col("vec_id") % _KNNC_MOD == 0)
+    train = embs.where(F.col("vec_id") % _KNNC_MOD != 0)
+    queries_df = test.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    nn = knn_batch(
+        train,
+        queries_df,
+        metric="cosine",
+        k=_KNNC_K,
+        tiebreak="vec_id",
+        round_to=ROUND_DIST,
+    ).select("query_id", "vec_id")
+    labels = train.select("vec_id", "label")
+    votes = (
+        nn.join(labels, "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pred = votes.groupBy("query_id").agg(
+        F.max_by(
+            F.struct(
+                F.col("label").alias("pred_label"),
+                F.col("cnt").alias("n_votes"),
+            ),
+            F.struct(F.col("cnt"), -F.col("label")),
+        ).alias("p")
+    )
+    truth = test.select("vec_id", F.col("label").alias("true_label"))
+    return (
+        pred.join(truth, pred.query_id == truth.vec_id)
+        .select(
+            "vec_id",
+            F.col("true_label").cast("int").alias("true_label"),
+            F.col("p.pred_label").cast("int").alias("pred_label"),
+            F.col("p.n_votes").cast("long").alias("n_votes"),
+            (F.col("p.pred_label") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
+_OUT_TOP = 3
+
+
+@query(
+    "embedding_outliers",
+    oracle=f"""
+    WITH x AS (
+        SELECT vec_id, label,
+               unnest(CAST(embedding AS DOUBLE[])) AS v,
+               generate_subscripts(embedding, 1) AS d
+        FROM embeddings
+    ),
+    c AS (
+        SELECT label, d, ROUND(avg(v), 9) AS cv FROM x GROUP BY label, d
+    ),
+    dist AS (
+        SELECT x.vec_id, x.label,
+               ROUND(sqrt(sum((x.v - c.cv) * (x.v - c.cv))), {ROUND_DIST})
+                   AS dist
+        FROM x JOIN c USING (label, d)
+        GROUP BY x.vec_id, x.label
+    ),
+    ranked AS (
+        SELECT vec_id, label, dist,
+               row_number() OVER (
+                   PARTITION BY label ORDER BY dist DESC, vec_id
+               ) AS rk
+        FROM dist
+    )
+    SELECT vec_id, CAST(label AS INT) AS label, dist,
+           CAST(rk AS BIGINT) AS rank
+    FROM ranked WHERE rk <= {_OUT_TOP}
+    """,
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster embedding outliers: each label's top-{t} vectors by
+    L2 distance to the LABEL CENTROID — the vector-quality audit that
+    surfaces mislabeled or corrupted embeddings before they poison
+    retrieval (the per-vector sibling of ``embedding_drift``'s
+    slice-level monitor, same rounded-centroid discipline: means are
+    rounded at 9 dp on BOTH engines before the distance, so the
+    certified ranking has no summation-order knife edge).
+
+    Shape at 100 TB: centroids via posexplode → ONE (label, dim)
+    hash-agg carrying partial sums (never vectors) — |labels|·d rows =
+    model metadata, folded back as a broadcast map-of-array literals;
+    the distance is a row-local codegen'd HOF fold, and the per-label
+    top-{t} window ranks |corpus| rows on the already-computed scalar.
+    """.format(t=_OUT_TOP)
+    from pyspark.sql import Window
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        embs.select(
+            "label", F.posexplode("embedding").alias("d", "v")
+        )
+        .groupBy("label", "d")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 9).alias("cv"))
+        .collect()
+    )
+    by_label: dict[int, dict[int, float]] = {}
+    for r in cent:
+        by_label.setdefault(r["label"], {})[r["d"]] = r["cv"]
+    cmap = F.create_map(
+        *[
+            x
+            for lbl, dims in sorted(by_label.items())
+            for x in (
+                F.lit(lbl),
+                F.array(*[F.lit(dims[i]) for i in range(len(dims))]),
+            )
+        ]
+    )
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    cmap[F.col("label")],
+                    lambda x, c: (x - c) * (x - c),
+                ),
+                F.lit(0.0),
+                lambda acc, y: acc + y,
+            )
+        ),
+        ROUND_DIST,
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("dist"), "vec_id")
+    return (
+        embs.select("vec_id", "label", dist.alias("dist"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _OUT_TOP)
+        .select("vec_id", F.col("label").cast("int").alias("label"), "dist", "rank")
+    )
