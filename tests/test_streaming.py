@@ -479,3 +479,42 @@ def test_cdc_apply_multibatch_equals_batch(
         for r in last.collect()
     }
     assert got == want
+
+
+def test_stream_moments_exact_across_batches(
+    spark, sf_smoke, tmp_path, monkeypatch
+):
+    """stream_moments over a two-file source drained one file per
+    micro-batch: integer moment state is associative, so the drained
+    snapshot must EXACTLY equal the batch sums — not approximately, the
+    way float Welford state would drift with arrival order."""
+    import math as _math
+    import os as _os
+    import shutil as _sh
+
+    from vector_search_playground_spark.streaming import jobs
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    src = _os.path.join(sf_smoke, "events.parquet")
+    _sh.copy(src, d / "events_a.parquet")
+    _sh.copy(src, d / "events_b.parquet")
+    monkeypatch.setattr(jobs, "_MAX_FILES_PER_TRIGGER", 1)
+
+    got = {
+        r["user_id"]: (r["n"], r["sum_cents"], r["sumsq_cents"])
+        for r in jobs.stream_moments(spark, str(d)).collect()
+    }
+    import duckdb as _duck
+
+    ref = _duck.connect().execute(
+        f"""
+        SELECT user_id, count(*), sum(c), sum(c * c)
+        FROM (SELECT user_id,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+              FROM '{src}')
+        GROUP BY user_id
+        """
+    ).fetchall()
+    want = {u: (2 * n, 2 * s, 2 * ss) for u, n, s, ss in ref}
+    assert got == want

@@ -854,3 +854,75 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_changes").cast("long").alias("n_changes"),
         )
     )
+
+
+@query(
+    "stream_moments",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(c) AS BIGINT) AS sum_cents,
+           CAST(sum(c * c) AS BIGINT) AS sumsq_cents
+    FROM (
+        SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events
+    )
+    GROUP BY user_id
+    """,
+)
+def stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT streaming moments: per-user (count, Σ, Σ²) accumulated in
+    INTEGER CENTS by a custom stateful operator — unlike float Welford
+    state (whose result depends on arrival order), integer moment sums
+    are associative and exact, so the drained state HASH-EQUALS the
+    batch aggregate no matter how the stream was micro-batched. This is
+    the one stateful streaming query certified value-for-value against
+    a SQL oracle, and mean/variance derive from the three integers
+    downstream without touching the stream again.
+
+    Shape at 100 TB: one tiny int-triple of state per user
+    (applyInPandasWithState, Arrow-batched); update-mode emissions are
+    reduced to the latest snapshot per key by the strictly-increasing
+    count — the stream_stateful discipline. State is bounded by |users|
+    and evictable by timeout in a production deployment.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def moments(key, pdfs, state: GroupState):
+        import math
+
+        import pandas as pd
+
+        n, s, ss = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            for v in pdf["value"]:
+                c = math.floor(v * 100 + 0.5)
+                n += 1
+                s += c
+                ss += c * c
+        state.update((n, s, ss))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n": [n],
+                "sum_cents": [s],
+                "sumsq_cents": [ss],
+            }
+        )
+
+    ev = read_events_stream(spark, sf_dir)
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        moments,
+        outputStructType=(
+            "user_id long, n long, sum_cents long, sumsq_cents long"
+        ),
+        stateStructType="n long, s long, ss long",
+        outputMode="Update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_available_now(out, output_mode="update", name="moments")
+    return sink.groupBy("user_id").agg(
+        F.max("n").alias("n"),
+        F.max_by("sum_cents", "n").alias("sum_cents"),
+        F.max_by("sumsq_cents", "n").alias("sumsq_cents"),
+    )
