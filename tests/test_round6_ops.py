@@ -498,3 +498,50 @@ def test_attribution_linear_credit_conserved(spark, sf_smoke):
     assert sum(r["credit"] for r in rows) == pytest.approx(
         n_influenced, abs=0.01
     )
+
+
+def test_survival_km_monotone(spark, sf_smoke):
+    rows = sorted(
+        Q["survival_km"](spark, sf_smoke).collect(),
+        key=lambda r: r["dur_days"],
+    )
+    assert rows
+    surv = [r["survival"] for r in rows]
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    assert surv == sorted(surv, reverse=True)
+    risks = [r["n_risk"] for r in rows]
+    assert risks == sorted(risks, reverse=True)
+    con = duckdb.connect()
+    (n_users,) = con.execute(
+        f"SELECT count(DISTINCT user_id) FROM '{sf_smoke}/events.parquet'"
+    ).fetchone()
+    assert risks[0] == n_users
+
+
+def test_mannwhitney_matches_reference(spark, sf_smoke):
+    row = Q["mannwhitney_u"](spark, sf_smoke).first()
+    con = duckdb.connect()
+    a, b = con.execute(
+        f"""
+        SELECT list(c_acctbal) FILTER (c_mktsegment = 'AUTOMOBILE'),
+               list(c_acctbal) FILTER (c_mktsegment = 'HOUSEHOLD')
+        FROM '{sf_smoke}/customer.parquet'
+        WHERE c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD')
+        """
+    ).fetchone()
+    na, nb = len(a), len(b)
+    allv = sorted(a + b)
+    # average ranks with ties
+    rank_of: dict[float, float] = {}
+    i = 0
+    while i < len(allv):
+        j = i
+        while j < len(allv) and allv[j] == allv[i]:
+            j += 1
+        rank_of[allv[i]] = (i + 1 + j) / 2
+        i = j
+    ra = sum(rank_of[v] for v in a)
+    u_a = ra - na * (na + 1) / 2
+    assert row["n_a"] == na and row["n_b"] == nb
+    assert row["u2_a"] == int(2 * u_a)
+    assert 0 <= row["u2_a"] <= 2 * na * nb

@@ -1088,3 +1088,241 @@ def user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy",
         )
     )
+
+
+# --- survival_km ------------------------------------------------------------
+
+_US_PER_DAY = 86_400_000_000
+
+
+@query(
+    "survival_km",
+    oracle=f"""
+    WITH first_seen AS (
+        SELECT user_id, min(epoch_us(ts)) AS t0 FROM events GROUP BY 1
+    ),
+    conv AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS tc
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > f.t0
+        GROUP BY e.user_id
+    ),
+    last_seen AS (
+        SELECT user_id, max(epoch_us(ts)) AS tl FROM events GROUP BY 1
+    ),
+    subj AS (
+        SELECT f.user_id,
+               CAST(floor(CAST(COALESCE(c.tc, l.tl) - f.t0 AS DOUBLE)
+                          / {_US_PER_DAY}) AS BIGINT) AS dur,
+               CASE WHEN c.tc IS NULL THEN 0 ELSE 1 END AS ev
+        FROM first_seen f
+        LEFT JOIN conv c USING (user_id)
+        JOIN last_seen l USING (user_id)
+    ),
+    t AS (SELECT count(*) AS n_total FROM subj),
+    step AS (
+        SELECT dur, count(*) AS at_dur, sum(ev) AS d
+        FROM subj GROUP BY dur
+    ),
+    risk AS (
+        SELECT dur, at_dur, d,
+               t.n_total
+               - COALESCE(sum(at_dur) OVER (
+                     ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING), 0) AS n_risk
+        FROM step CROSS JOIN t
+    ),
+    curve AS (
+        SELECT dur, n_risk, d, at_dur - d AS censored,
+               max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (
+                   ORDER BY dur ROWS UNBOUNDED PRECEDING) AS dead,
+               sum(CASE WHEN d > 0 AND d < n_risk
+                        THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                        ELSE 0.0 END) OVER (
+                   ORDER BY dur ROWS UNBOUNDED PRECEDING) AS lns
+        FROM risk
+    )
+    SELECT CAST(dur AS BIGINT) AS dur_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(censored AS BIGINT) AS n_censored,
+           CASE WHEN dead = 1 THEN 0.0
+                ELSE floor(exp(lns) * 1e6 + 0.5) / 1e6 END AS survival
+    FROM curve
+    """,
+)
+def survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for time-to-first-purchase with
+    right-censoring — THE estimator for 'how long until users convert'
+    when many never do: users without a purchase are censored at their
+    last activity instead of being dropped (dropping them is the
+    classic conversion-analysis bias). Per distinct day: risk set,
+    events, censored, and the product-limit survival estimate.
+
+    Shape at 100 TB: three user_id hash-aggs (first-seen, first
+    conversion, last-seen) riding ONE exchange key collapse the stream
+    to |users| subjects; the KM table is |distinct durations| rows —
+    calendar-bounded metadata — where the risk-set window and the
+    product (as exp of a running ln-sum, identical expression on both
+    engines; the d = n_risk absorbing state handled explicitly since
+    ln(0) differs per engine) are free. Counts exact; survival
+    floor-rounded 6 dp.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min("ts_us").alias("t0"))
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .where(F.col("ts_us") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("tc"))
+    )
+    last_seen = ev.groupBy("user_id").agg(F.max("ts_us").alias("tl"))
+    subj = (
+        first_seen.join(conv, "user_id", "left")
+        .join(last_seen, "user_id")
+        .select(
+            F.floor(
+                (F.coalesce("tc", "tl") - F.col("t0")).cast("double")
+                / _US_PER_DAY
+            )
+            .cast("long")
+            .alias("dur"),
+            F.when(F.col("tc").isNull(), 0).otherwise(1).alias("ev"),
+        )
+    )
+    step = subj.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("at_dur"), F.sum("ev").alias("d")
+    )
+    n_total = subj.count()
+    w_prev = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = step.withColumn(
+        "n_risk",
+        F.lit(n_total) - F.coalesce(F.sum("at_dur").over(w_prev), F.lit(0)),
+    )
+    guarded_ln = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.log(1.0 - F.col("d").cast("double") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    curve = risk.withColumn(
+        "dead",
+        F.max(
+            F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)
+        ).over(w_cum),
+    ).withColumn("lns", F.sum(guarded_ln).over(w_cum))
+    return curve.select(
+        F.col("dur").cast("long").alias("dur_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        (F.col("at_dur") - F.col("d")).cast("long").alias("n_censored"),
+        F.when(F.col("dead") == 1, F.lit(0.0))
+        .otherwise(F.floor(F.exp("lns") * 1e6 + 0.5) / 1e6)
+        .alias("survival"),
+    )
+
+
+# --- mannwhitney_u ----------------------------------------------------------
+
+
+@query(
+    "mannwhitney_u",
+    oracle=f"""
+    WITH s AS (
+        SELECT c_acctbal AS v,
+               count(*) FILTER (WHERE c_mktsegment = '{_KS_A}') AS ca,
+               count(*) FILTER (WHERE c_mktsegment = '{_KS_B}') AS cb
+        FROM customer
+        WHERE c_mktsegment IN ('{_KS_A}', '{_KS_B}')
+        GROUP BY c_acctbal
+    ),
+    r AS (
+        SELECT ca, cb, ca + cb AS cnt,
+               COALESCE(sum(ca + cb) OVER (
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS cumb
+        FROM s
+    ),
+    agg AS (
+        SELECT sum(ca) AS na, sum(cb) AS nb,
+               sum(ca * (2 * cumb + cnt + 1)) AS r2a,
+               sum(cnt * cnt * cnt - cnt) AS ties
+        FROM r
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(r2a - na * (na + 1) AS BIGINT) AS u2_a,
+           CAST(ties AS BIGINT) AS tie_correction,
+           floor((CAST(r2a - na * (na + 1) AS DOUBLE) / 2
+                  - CAST(na AS DOUBLE) * nb / 2)
+                 / sqrt(CAST(na AS DOUBLE) * nb / 12.0
+                        * ((na + nb + 1)
+                           - CAST(ties AS DOUBLE)
+                             / ((na + nb) * (na + nb - 1.0))))
+                 * 1e4 + 0.5) / 1e4 AS z
+    FROM agg
+    """,
+)
+def mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) between two segments' balance
+    distributions — the rank-based location test that needs no
+    normality assumption, completing the two-sample family beside
+    ``ab_test_welch`` (parametric means) and ``ks_2sample`` (whole
+    distribution). The U statistic is computed EXACTLY in integers via
+    DOUBLED ranks: a tie group's average rank is (2·cum_before + size
+    + 1)/2, so doubling makes every rank sum an int64 — no float rank
+    arithmetic anywhere; only the final normal-approximation z (with
+    the exact-integer tie correction Σ(t³−t)) is floated, floor-rounded
+    4 dp.
+
+    Shape at 100 TB: one hash-agg to the distinct-value relation (the
+    same collapse ks_2sample uses), ranks from a prefix window over it
+    — bucketed two-pass at scale — and a single reduce. Driver sees one
+    row.
+    """
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment").isin(_KS_A, _KS_B)
+    )
+    s = cust.groupBy(F.col("c_acctbal").alias("v")).agg(
+        F.count(F.when(F.col("c_mktsegment") == _KS_A, 1)).alias("ca"),
+        F.count(F.when(F.col("c_mktsegment") == _KS_B, 1)).alias("cb"),
+    )
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    r = s.withColumn("cnt", F.col("ca") + F.col("cb")).withColumn(
+        "cumb", F.coalesce(F.sum(F.col("cnt")).over(w_prev), F.lit(0))
+    )
+    agg = r.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.sum(
+            F.col("ca") * (2 * F.col("cumb") + F.col("cnt") + 1)
+        ).alias("r2a"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("ties"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    u2a = F.col("r2a") - na * (na + 1)
+    mu = na.cast("double") * nb / 2
+    sigma = F.sqrt(
+        na.cast("double")
+        * nb
+        / 12.0
+        * (
+            (na + nb + 1)
+            - F.col("ties").cast("double") / ((na + nb) * (na + nb - 1.0))
+        )
+    )
+    return agg.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        u2a.cast("long").alias("u2_a"),
+        F.col("ties").cast("long").alias("tie_correction"),
+        (
+            F.floor((u2a.cast("double") / 2 - mu) / sigma * 1e4 + 0.5)
+            / 1e4
+        ).alias("z"),
+    )
