@@ -545,3 +545,20 @@ def test_mannwhitney_matches_reference(spark, sf_smoke):
     assert row["n_a"] == na and row["n_b"] == nb
     assert row["u2_a"] == int(2 * u_a)
     assert 0 <= row["u2_a"] <= 2 * na * nb
+
+
+def test_sla_compliance_monotone_windows(spark, sf_smoke):
+    for r in Q["sla_compliance"](spark, sf_smoke).collect():
+        assert (
+            0 <= r["within_30"] <= r["within_60"]
+            <= r["within_90"] <= r["n_lines"]
+        )
+        assert 0.0 <= r["pct_30"] <= 1.0
+
+
+def test_volume_bands_ordered(spark, sf_smoke):
+    rows = Q["volume_bands"](spark, sf_smoke).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["p10"] <= r["p50"] <= r["p90"]
+        assert r["n_days"] > 0

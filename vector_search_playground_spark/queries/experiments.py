@@ -1326,3 +1326,146 @@ def mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e4
         ).alias("z"),
     )
+
+
+# --- sla_compliance ---------------------------------------------------------
+
+_SLA_DAYS = (30, 60, 90)
+
+
+@query(
+    "sla_compliance",
+    oracle=f"""
+    WITH lag AS (
+        SELECT o.o_orderpriority AS priority,
+               date_diff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE)) AS lag_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (WHERE lag_days <= {_SLA_DAYS[0]})
+                AS BIGINT) AS within_30,
+           CAST(count(*) FILTER (WHERE lag_days <= {_SLA_DAYS[1]})
+                AS BIGINT) AS within_60,
+           CAST(count(*) FILTER (WHERE lag_days <= {_SLA_DAYS[2]})
+                AS BIGINT) AS within_90,
+           floor(count(*) FILTER (WHERE lag_days <= {_SLA_DAYS[0]})
+                 * 1.0 / count(*) * 1e6 + 0.5) / 1e6 AS pct_30
+    FROM lag GROUP BY priority
+    """,
+)
+def sla_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-SLA compliance per order priority: the share of line
+    items shipped within 30/60/90 days of order placement — the
+    operations scorecard that closes the order-to-ship loop the TPC-H
+    schema models (and the business sibling of ``funnel_latency``'s
+    user-facing latency percentiles).
+
+    Shape at 100 TB: the ship lag is a row-local date diff behind the
+    fact-fact join on the ORDER key (both sides huge → a shuffle join
+    on o_orderkey, the one join key that co-partitions them; with
+    bucketed tables this is the zero-exchange join_bucketed layout);
+    the scorecard is ONE conditional hash-agg to |priorities| rows.
+    Day lags are exact integers on both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lag = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date("o_orderdate")
+        ).alias("lag_days"),
+    )
+    within = {
+        d: F.sum((F.col("lag_days") <= d).cast("long")) for d in _SLA_DAYS
+    }
+    return lag.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        within[30].cast("long").alias("within_30"),
+        within[60].cast("long").alias("within_60"),
+        within[90].cast("long").alias("within_90"),
+        (
+            F.floor(
+                within[30] * 1.0 / F.count(F.lit(1)) * 1e6 + 0.5
+            )
+            / 1e6
+        ).alias("pct_30"),
+    )
+
+
+# --- volume_bands -----------------------------------------------------------
+
+_BAND_QS = (0.1, 0.5, 0.9)
+
+
+@query(
+    "volume_bands",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           floor(quantile_cont(x, {_BAND_QS[0]}) * 1e4 + 0.5) / 1e4
+               AS p10,
+           floor(quantile_cont(x, {_BAND_QS[1]}) * 1e4 + 0.5) / 1e4
+               AS p50,
+           floor(quantile_cont(x, {_BAND_QS[2]}) * 1e4 + 0.5) / 1e4
+               AS p90
+    FROM daily GROUP BY event_type
+    """,
+)
+def volume_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected-volume control bands per event type: P10/P50/P90 of the
+    DAILY count distribution — the alerting baseline that turns
+    'traffic looks low' into 'today is below the P10 band'; pairs with
+    ``changepoint_cusum`` (level shifts) and ``autocorrelation``
+    (period detection) as the monitoring trio over the same daily
+    relation.
+
+    Shape at 100 TB: one hash-agg to the |types|·|days| relation, then
+    the shared 3-pass width-bucket selection for the per-type exact
+    quantiles (bit-identical to quantile_cont — the funnel_latency
+    precedent); the band table is |types| rows. Floor-rounded 4 dp.
+    """
+    from vector_search_playground_spark.operators.selection import (
+        exact_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+        .cache()
+    )
+    try:
+        per = exact_quantiles(daily, "event_type", "x", list(_BAND_QS))
+        counts = {
+            r["event_type"]: r["n"]
+            for r in daily.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    finally:
+        daily.unpersist()
+    import math
+
+    rows = [
+        (
+            t,
+            counts[t],
+            *[
+                math.floor(per[t][q] * 1e4 + 0.5) / 1e4
+                for q in _BAND_QS
+            ],
+        )
+        for t in sorted(per)
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, n_days long, p10 double, p50 double,"
+        " p90 double"
+    )
