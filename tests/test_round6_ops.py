@@ -562,3 +562,35 @@ def test_volume_bands_ordered(spark, sf_smoke):
     for r in rows:
         assert r["p10"] <= r["p50"] <= r["p90"]
         assert r["n_days"] > 0
+
+
+def test_lift_deciles_partition(spark, sf_smoke):
+    rows = Q["lift_deciles"](spark, sf_smoke).collect()
+    assert sorted(r["decile"] for r in rows) == sorted(
+        {r["decile"] for r in rows}
+    )
+    total = sum(r["n_users"] for r in rows)
+    con = duckdb.connect()
+    (n_users,) = con.execute(
+        f"SELECT count(DISTINCT user_id) FROM '{sf_smoke}/events.parquet'"
+    ).fetchone()
+    assert total == n_users
+    for r in rows:
+        assert 0 <= r["n_buyers"] <= r["n_users"]
+        assert r["lift"] >= 0
+
+
+def test_ab_power_mde_relation(spark, sf_smoke):
+    r = Q["ab_power_mde"](spark, sf_smoke).first()
+    # MDE = (z_a + z_b) * SE with the shared literals
+    assert r["mde"] == pytest.approx(
+        (1.959964 + 0.841621) * r["se"], abs=0.05
+    )
+    assert r["se"] > 0
+
+
+def test_corpus_summary_consistency(spark, sf_smoke):
+    r = Q["corpus_summary"](spark, sf_smoke).first()
+    assert r["n_docs"] > 0 and r["n_tokens"] > 0
+    assert r["vocab_size"] <= r["n_tokens"]
+    assert r["n_langs"] >= 1 and r["n_sources"] >= 1

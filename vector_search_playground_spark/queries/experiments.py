@@ -1469,3 +1469,235 @@ def volume_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "event_type string, n_days long, p10 double, p50 double,"
         " p90 double"
     )
+
+
+# --- lift_deciles -----------------------------------------------------------
+
+_LIFT_KEYSPAN = 10_000_000  # user_id < 1e7 in every fixture SF
+
+
+@query(
+    "lift_deciles",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id, count(*) AS score,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS buyer
+        FROM events GROUP BY user_id
+    ),
+    t AS (SELECT count(*) AS n, sum(buyer) AS nb FROM u),
+    ranked AS (
+        SELECT u.buyer, t.n, t.nb,
+               CAST(floor((row_number() OVER (
+                               ORDER BY u.score DESC, u.user_id)
+                           - 1) * 10.0 / t.n) AS BIGINT) AS decile
+        FROM u CROSS JOIN t
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(buyer) AS BIGINT) AS n_buyers,
+           floor(CAST(sum(buyer) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
+               AS buy_rate,
+           floor((CAST(sum(buyer) AS DOUBLE) / count(*))
+                 / (CAST(max(nb) AS DOUBLE) / max(n)) * 1e4 + 0.5) / 1e4
+               AS lift
+    FROM ranked GROUP BY decile
+    """,
+)
+def lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-lift table — the ML-evaluation verb behind every targeting
+    decision: users ranked by a score (here activity volume as the
+    proxy model), cut into population deciles, each decile's purchase
+    rate compared to the base rate. Decile 0 holding lift ≫ 1 is what
+    'the model works' looks like to a marketer.
+
+    Shape at 100 TB: the ranking is the bucketed two-pass dense rank
+    (``operators/ids.dense_ids`` over a composite (score desc, user)
+    integer key) — never a global ROW_NUMBER whale over the population;
+    the lift table is one 10-row hash-agg on the ranked relation.
+    Counts exact; rates/lift are identical-expression doubles floored
+    at 6/4 dp.
+    """
+    from vector_search_playground_spark.operators.ids import dense_ids
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("buyer"),
+    )
+    # composite integer key: ascending key order == (score desc, user asc)
+    u = u.withColumn(
+        "rank_key",
+        (F.lit(_LIFT_KEYSPAN) - F.col("score")) * _LIFT_KEYSPAN
+        + F.col("user_id"),
+    ).cache()
+    try:
+        tot = u.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("buyer").alias("nb")
+        ).first()
+        n, nb = tot["n"], tot["nb"]
+        ranked = dense_ids(u, "rank_key")
+        out = (
+            ranked.withColumn(
+                "decile", (F.col("rid") * 10 / F.lit(n)).cast("long")
+            )
+            .groupBy("decile")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_users"),
+                F.sum("buyer").cast("long").alias("n_buyers"),
+            )
+            .select(
+                "decile",
+                "n_users",
+                "n_buyers",
+                (
+                    F.floor(
+                        F.col("n_buyers").cast("double")
+                        / F.col("n_users")
+                        * 1e6
+                        + 0.5
+                    )
+                    / 1e6
+                ).alias("buy_rate"),
+                (
+                    F.floor(
+                        (F.col("n_buyers").cast("double") / F.col("n_users"))
+                        / (F.lit(nb).cast("double") / F.lit(n))
+                        * 1e4
+                        + 0.5
+                    )
+                    / 1e4
+                ).alias("lift"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        u.unpersist()
+
+
+# --- ab_power_mde -----------------------------------------------------------
+
+_Z_ALPHA = 1.959964  # two-sided 5%
+_Z_BETA = 0.841621  # 80% power
+
+
+@query(
+    "ab_power_mde",
+    oracle=f"""
+    WITH j AS (
+        SELECT c_mktsegment AS seg, o_totalprice AS x
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('{_AB_A}', '{_AB_B}')
+    ),
+    s AS (
+        SELECT count(*) FILTER (WHERE seg = '{_AB_A}') AS na,
+               count(*) FILTER (WHERE seg = '{_AB_B}') AS nb,
+               var_samp(x) FILTER (WHERE seg = '{_AB_A}') AS va,
+               var_samp(x) FILTER (WHERE seg = '{_AB_B}') AS vb
+        FROM s_base
+    ),
+    s_base AS (SELECT * FROM j)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           floor(sqrt(va / na + vb / nb) * 1e2 + 0.5) / 1e2 AS se,
+           floor(({_Z_ALPHA} + {_Z_BETA}) * sqrt(va / na + vb / nb)
+                 * 1e2 + 0.5) / 1e2 AS mde
+    FROM s
+    """,
+)
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power analysis for the A/B setup of ``ab_test_welch``: the
+    minimum detectable effect at 80% power / 5% two-sided α given the
+    CURRENT sample sizes and variances — the 'is this experiment even
+    big enough' pre-check that should run before any t-test gets read.
+    MDE = (z_α + z_β)·SE with the unpooled standard error.
+
+    Shape at 100 TB: one conditional hash-agg behind the broadcast
+    dimension join (identical to ab_test_welch — the two queries share
+    a cached relation in a real session); driver sees one row. The z
+    constants are shared literals; SE/MDE floor-rounded at 2 dp
+    (dollars).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment").isin(_AB_A, _AB_B)
+    )
+    j = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(F.col("c_mktsegment").alias("seg"), F.col("o_totalprice").alias("x"))
+    a, b = F.col("seg") == _AB_A, F.col("seg") == _AB_B
+    s = j.agg(
+        F.count(F.when(a, 1)).alias("na"),
+        F.count(F.when(b, 1)).alias("nb"),
+        F.var_samp(F.when(a, F.col("x"))).alias("va"),
+        F.var_samp(F.when(b, F.col("x"))).alias("vb"),
+    )
+    se = F.sqrt(F.col("va") / F.col("na") + F.col("vb") / F.col("nb"))
+    return s.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        (F.floor(se * 1e2 + 0.5) / 1e2).alias("se"),
+        (F.floor((_Z_ALPHA + _Z_BETA) * se * 1e2 + 0.5) / 1e2).alias(
+            "mde"
+        ),
+    )
+
+
+# --- corpus_summary ---------------------------------------------------------
+
+
+@query(
+    "corpus_summary",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, t.tok FROM documents,
+        LATERAL (SELECT unnest(string_split(text, ' ')) AS tok) t
+        WHERE t.tok IS NOT NULL
+    ),
+    d AS (
+        SELECT count(*) AS n_docs,
+               count(DISTINCT lang) AS n_langs,
+               count(DISTINCT source) AS n_sources,
+               sum(n_chars) AS total_chars
+        FROM documents
+    ),
+    t AS (
+        SELECT count(*) AS n_tokens, count(DISTINCT tok) AS vocab
+        FROM tok
+    )
+    SELECT CAST(d.n_docs AS BIGINT) AS n_docs,
+           CAST(d.n_langs AS BIGINT) AS n_langs,
+           CAST(d.n_sources AS BIGINT) AS n_sources,
+           CAST(d.total_chars AS BIGINT) AS total_chars,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(t.vocab AS BIGINT) AS vocab_size
+    FROM d CROSS JOIN t
+    """,
+)
+def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card header row: corpus size in documents, tokens,
+    characters, languages, sources, and vocabulary — the six numbers
+    every dataset README leads with, produced as ONE hash-certified
+    relation so the card is reproducible rather than hand-collected.
+
+    Shape at 100 TB: one metadata agg over the documents table plus one
+    token pass (posexplode → count + distinct, where the distinct's
+    partial sets are vocabulary-bounded); the two single-row relations
+    cross-join for free. Exact integers only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.posexplode_outer(F.split("text", " ")).alias("pos", "tok")
+    ).where(F.col("tok").isNotNull())
+    d = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    t = tok.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("tok").cast("long").alias("vocab_size"),
+    )
+    return d.crossJoin(t)
