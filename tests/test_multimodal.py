@@ -263,8 +263,73 @@ def test_media_pipeline_carries_png(spark, sf_smoke):
         .distinct()
         .collect()
     }
-    assert fmts == {"png", "ppm"}
+    assert fmts == {"png", "ppm", "gif"}
     feats = extract_features(media, fake=False)
     img = feats.where(F.col("kind") == "image")
     assert img.count() > 0
     assert img.where(F.size("features") == 0).count() == 0
+
+
+def test_gif_roundtrip_exact():
+    import numpy as np
+
+    from vector_search_playground_spark.functions.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(6)
+    yy, xx = np.mgrid[0:16, 0:32]
+    gradient = np.stack(
+        [(3 * xx + 5 * yy + 11 * c) % 256 for c in range(3)], axis=-1
+    ).astype(np.uint8)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    big_random = pal[rng.integers(0, 256, (128, 128))]
+    checker = np.stack(
+        [(np.indices((64, 64)).sum(0) % 2) * 255] * 3, axis=-1
+    ).astype(np.uint8)
+    for px in (gradient, big_random, checker):
+        back = decode_gif(encode_gif(px))
+        assert (back == px).all()
+    # LZW genuinely compresses structure
+    assert len(encode_gif(checker)) < checker.nbytes // 10
+
+
+def test_gif_rejects_garbage_and_wide_palettes():
+    import numpy as np
+    import pytest as _pytest
+
+    from vector_search_playground_spark.functions.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF" + b"\x00" * 30)
+    rng = np.random.default_rng(1)
+    wide = rng.integers(0, 256, (32, 64, 3), dtype=np.uint8)
+    with _pytest.raises(NotImplementedError):
+        encode_gif(wide)  # ~2k distinct colors > 256
+
+
+def test_gif_payloads_flow_through_pipeline(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from vector_search_playground_spark.functions.multimodal import (
+        extract_features,
+        synthesize_real_media,
+    )
+    from vector_search_playground_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(60)
+    media = synthesize_real_media(docs)
+    gifs = media.where(
+        F.col("meta.format") == "gif"
+    )
+    n_gif = gifs.count()
+    assert n_gif > 0, "rotation must produce gif payloads"
+    feats = extract_features(media, fake=False).where(
+        F.col("kind") == "image"
+    )
+    rows = feats.select("payload_bytes", "features").collect()
+    assert rows and all(len(r["features"]) > 0 for r in rows)

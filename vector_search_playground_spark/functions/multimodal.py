@@ -386,11 +386,204 @@ def decode_png(payload: bytes):
     return px.reshape(h, w) if ch == 1 else px.reshape(h, w, 3)
 
 
+def encode_gif(pixels) -> bytes:
+    """Spec-conformant GIF87a from (h, w, 3) uint8 RGB with at most 256
+    distinct colors: global color table + LZW-compressed index stream
+    (variable code width 3..12 bits, LSB-first packing, clear-code dict
+    reset at 4096 entries, 255-byte sub-blocks). A real COMPRESSED
+    container like PNG's zlib path — LZW is the round-6 codec
+    graduation; >256-color inputs raise (quantization is a modeling
+    choice, not a codec concern)."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) RGB")
+    h, w = px.shape[:2]
+    flat = px.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise NotImplementedError(
+            "GIF needs a <=256-color palette; quantize upstream"
+        )
+    # palette size 2^(n+1); min code size >= 2 per spec
+    n = 0
+    while (2 << n) < max(len(colors), 2):
+        n += 1
+    table_size = 2 << n
+    mcs = max(2, n + 1)
+
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | ((mcs - 1) << 4) | n)  # GCT flag, color res, size
+    out += b"\x00\x00"  # bg color, aspect
+    gct = bytearray()
+    for c in colors:
+        gct += bytes(int(v) for v in c)
+    gct += b"\x00" * (3 * table_size - len(gct))
+    out += gct
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out.append(mcs)
+
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    codes: list[int] = [clear]
+    table: dict[tuple, int] = {}
+    next_code = eoi + 1
+    prefix: tuple = ()
+    for sym in idx.tolist():
+        cand = prefix + (sym,)
+        # root (single-symbol) codes are implicit; only multi-symbol
+        # sequences live in the dict
+        if len(cand) == 1 or cand in table:
+            prefix = cand
+            continue
+        codes.append(table[prefix] if len(prefix) > 1 else prefix[0])
+        if next_code <= 4095:
+            table[cand] = next_code
+            next_code += 1
+        else:
+            # 12-bit code space exhausted: clear and restart the dict
+            codes.append(clear)
+            table.clear()
+            next_code = eoi + 1
+        prefix = (sym,)
+    if prefix:
+        codes.append(table[prefix] if len(prefix) > 1 else prefix[0])
+    codes.append(eoi)
+
+    # re-walk the code stream to assign the width each code is WRITTEN
+    # at by simulating the DECODER's table: it grows one entry per code
+    # except the first after a clear, bumps width when it fills 2^width
+    # (capped at 12), and resets on clear — both sides derive the width
+    # schedule from the same code stream, so they cannot drift
+    bits = bytearray()
+    acc = cur = 0
+    width = mcs + 1
+    dec_size = eoi + 1
+    fresh = True
+    for code in codes:
+        acc |= code << cur
+        cur += width
+        while cur >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            cur -= 8
+        if code == clear:
+            width, dec_size, fresh = mcs + 1, eoi + 1, True
+        elif code != eoi:
+            if not fresh and dec_size < 4096:
+                dec_size += 1
+                if dec_size == (1 << width) and width < 12:
+                    width += 1
+            fresh = False
+    if cur:
+        bits.append(acc & 0xFF)
+    for i in range(0, len(bits), 255):
+        block = bits[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes):
+    """(h, w, 3) uint8 RGB from a GIF87a/89a with a global color table:
+    LZW decode (variable width, clear/EOI, deferred-clear tolerant) of
+    the first image descriptor. Extensions are skipped; local color
+    tables and interlace raise."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h = struct.unpack("<HH", payload[6:10])
+    flags = payload[10]
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        size = 2 << (flags & 0x07)
+        palette = np.frombuffer(
+            payload[pos : pos + 3 * size], np.uint8
+        ).reshape(size, 3)
+        pos += 3 * size
+    while True:
+        b0 = payload[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    _, _, iw, ih = struct.unpack("<HHHH", payload[pos + 1 : pos + 9])
+    iflags = payload[pos + 9]
+    if iflags & 0x80:
+        raise NotImplementedError("local color tables unsupported")
+    if iflags & 0x40:
+        raise NotImplementedError("interlaced GIF unsupported")
+    if palette is None:
+        raise ValueError("missing global color table")
+    pos += 10
+    mcs = payload[pos]
+    pos += 1
+    data = bytearray()
+    while payload[pos] != 0:
+        ln = payload[pos]
+        data += payload[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    out = bytearray()
+    acc = cur = 0
+    prev: bytes | None = None
+    bi = 0
+    while True:
+        while cur < width and bi < len(data):
+            acc |= data[bi] << cur
+            bi += 1
+            cur += 8
+        if cur < width:
+            break
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        cur -= width
+        if code == clear:
+            table = table[: (1 << mcs) + 2]
+            width, prev = mcs + 1, None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and prev is not None and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(out) != iw * ih:
+        raise ValueError("pixel count mismatch")
+    return palette[np.frombuffer(bytes(out), np.uint8)].reshape(ih, iw, 3)
+
+
 _REAL_DECODERS = {
     "wav": decode_wav,
     "ppm": decode_ppm,
     "y4m": decode_y4m,
     "png": decode_png,
+    "gif": decode_gif,
 }
 
 
@@ -404,9 +597,9 @@ def decode_media(kind: str, payload: bytes, meta: dict[str, Any], *,
     codecs for (wav/ppm/y4m — numpy objects out); compressed formats
     (jpeg/mp4/flac …) raise ``NotImplementedError`` here, the exact
     call site where Pillow / soundfile / pyav plug in without any schema
-    or call-site change. PNG graduated from this seam in round 5: an
-    8-bit gray/RGB non-interlaced decoder ships built-in (stdlib zlib +
-    numpy unfiltering, ``decode_png``).
+    or call-site change. PNG graduated from this seam in round 5 (stdlib zlib +
+    numpy unfiltering, ``decode_png``); GIF87a/LZW graduated in round 6
+    (variable-width LZW with clear-code resets, ``decode_gif``).
     """
     if fake:
         return hashlib.blake2b(payload, digest_size=32).digest()
@@ -465,6 +658,10 @@ def _image_payload(w: int, h: int, phase: int, fmt: str = "ppm") -> bytes:
         # Average/Paeth paths are covered by unit round-trip + golden
         # tests, not paid per-row in the hot pipeline
         return encode_png(px, filter_mode="fast")
+    if fmt == "gif":
+        # the gradient uses <=256 distinct colors by construction
+        # (each pixel's RGB is determined by (3x+5y+phase) mod 256)
+        return encode_gif(px)
     return encode_ppm(px)
 
 
@@ -514,9 +711,10 @@ def synthesize_real_media(docs: DataFrame) -> DataFrame:
                 kind = KINDS[mid % 3]
                 if kind == "image":
                     w, h = (mid % 8 + 1) * 16, (mid % 4 + 1) * 16
-                    # alternate raw/compressed container per id so both
-                    # image codecs run inside the registered pipeline
-                    fmt = "png" if (mid // 3) % 2 == 0 else "ppm"
+                    # rotate raw/compressed containers per id so all
+                    # three image codecs run inside the registered
+                    # pipeline (ppm raw, png zlib, gif LZW)
+                    fmt = ("png", "ppm", "gif")[(mid // 3) % 3]
                     rows.append(
                         (mid, kind,
                          _image_payload(w, h, (7 * mid) % 256, fmt),
