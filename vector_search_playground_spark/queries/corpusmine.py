@@ -301,9 +301,16 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .load(base)
     )
+    # the writer escapes partition values Hive-style (%XX for '/', ':',
+    # space, '%', ...); url_decode inverts that — EXCEPT it also maps a
+    # raw '+' to space (form-encoding rule the writer never uses), so
+    # protect literal '+' first. A literal '%' in the value arrives as
+    # %25 and decodes back exactly.
+    raw = F.regexp_extract("path", r"source=([^/]+)", 1)
+    decoded = F.url_decode(F.replace(raw, F.lit("+"), F.lit("%2B")))
     return (
         files.select(
-            F.regexp_extract("path", r"source=([^/]+)", 1).alias("source"),
+            decoded.alias("source"),
             "length",
         )
         .groupBy("source")

@@ -681,14 +681,14 @@ _TRI_MIN_QTY = 45
         FROM big l1 JOIN big l2
           ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
     )
-    , ne AS (SELECT count(*) AS n_edges FROM e)
-    SELECT CAST(ne.n_edges AS BIGINT) AS n_edges,
-           CAST(count(*) AS BIGINT) AS n_triangles
-    FROM e e1
-    JOIN e e2 ON e1.b = e2.a
-    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
-    CROSS JOIN ne
-    GROUP BY ne.n_edges
+    , tri AS (
+        SELECT count(*) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT n_triangles FROM tri) AS BIGINT) AS n_triangles
     """,
 )
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1535,9 +1535,21 @@ def lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
     try:
         tot = u.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("buyer").alias("nb")
+            F.count(F.lit(1)).alias("n"),
+            F.sum("buyer").alias("nb"),
+            F.max("score").alias("max_score"),
+            F.max("user_id").alias("max_uid"),
         ).first()
         n, nb = tot["n"], tot["nb"]
+        # the composite key is only order-faithful while BOTH components
+        # stay inside the keyspan: a score reaching _LIFT_KEYSPAN would
+        # wrap into the user_id digits and silently mis-order
+        if tot["max_score"] >= _LIFT_KEYSPAN or tot["max_uid"] >= _LIFT_KEYSPAN:
+            raise ValueError(
+                "lift_deciles: rank_key span exceeded "
+                f"(max score={tot['max_score']}, max user_id={tot['max_uid']},"
+                f" keyspan={_LIFT_KEYSPAN}); raise _LIFT_KEYSPAN"
+            )
         ranked = dense_ids(u, "rank_key")
         out = (
             ranked.withColumn(

@@ -655,7 +655,8 @@ _OUT_TOP = 3
         FROM embeddings
     ),
     c AS (
-        SELECT label, d, ROUND(avg(v), 9) AS cv FROM x GROUP BY label, d
+        SELECT label, d, floor(avg(v) * 1e9 + 0.5) / 1e9 AS cv
+        FROM x GROUP BY label, d
     ),
     dist AS (
         SELECT x.vec_id, x.label,
@@ -681,9 +682,11 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     L2 distance to the LABEL CENTROID — the vector-quality audit that
     surfaces mislabeled or corrupted embeddings before they poison
     retrieval (the per-vector sibling of ``embedding_drift``'s
-    slice-level monitor, same rounded-centroid discipline: means are
-    rounded at 9 dp on BOTH engines before the distance, so the
-    certified ranking has no summation-order knife edge).
+    slice-level monitor, same rounded-centroid discipline: means pass
+    through the module-wide half-up ``floor(avg*1e9+0.5)/1e9`` on BOTH
+    engines before the distance, which narrows — not eliminates — the
+    summation-order knife edge; a residual last-ulp avg difference that
+    straddles a 9-dp boundary would still diverge).
 
     Shape at 100 TB: centroids via posexplode → ONE (label, dim)
     hash-agg carrying partial sums (never vectors) — |labels|·d rows =
@@ -699,7 +702,11 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label", F.posexplode("embedding").alias("d", "v")
         )
         .groupBy("label", "d")
-        .agg(F.round(F.avg(F.col("v").cast("double")), 9).alias("cv"))
+        .agg(
+            (
+                F.floor(F.avg(F.col("v").cast("double")) * 1e9 + 0.5) / 1e9
+            ).alias("cv")
+        )
         .collect()
     )
     by_label: dict[int, dict[int, float]] = {}
