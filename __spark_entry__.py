@@ -85,6 +85,16 @@ RECERTIFY_IF_AT_OR_BEFORE = {
     # round-6: rounding discipline changed from Python round() to the
     # shared half-up floor(x*10^k+0.5) AFTER the round-5 green row
     "funnel_latency": 5,
+    # round-7: ADVICE fixes landed after the round-6 green rows —
+    # graph_triangles' oracle was rephrased as scalar subqueries (empty-
+    # graph row-shape fix) and embedding_outliers' centroid rounding moved
+    # from engine-native ROUND to the shared half-up floor on both engines
+    "graph_triangles": 6,
+    "embedding_outliers": 6,
+    # round-7: pagerank_topn gained a full value oracle (exact fixed-point
+    # BIGINT iteration, 12 unrolled DuckDB CTEs) — its r6 row was the weak
+    # rows-only check of the old float implementation
+    "pagerank_topn": 6,
 }
 
 

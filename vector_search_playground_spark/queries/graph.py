@@ -109,17 +109,78 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PR_DAMPING = 0.85
+PR_DAMPING_PCT = 85  # damping 0.85 expressed as an exact integer percent
 PR_ITERS = 12
 PR_TOP = 20
+PR_SCALE = 10**15  # rank unit: 1e-15 of total mass (fixed-point femto-units)
 
 
-@query("pagerank_topn")  # rows-only: fixed-point float iteration, not SQL
+def _pagerank_oracle_sql() -> str:
+    """12 unrolled iteration CTEs of the EXACT fixed-point recurrence.
+
+    All arithmetic is BIGINT (DuckDB promotes SUM to HUGEINT — lossless):
+    integer sums commute, so the per-node contribution aggregate has NO
+    floating summation-order sensitivity on either engine — the oracle
+    certifies the iteration value-for-value with zero rounding knife edge,
+    unlike a double-based power iteration whose grouped sums reorder
+    between DuckDB and distributed Spark."""
+    nb = f"({15 * PR_SCALE} // (100 * (SELECT n FROM c)))"
+    its = []
+    for i in range(1, PR_ITERS + 1):
+        its.append(f"""
+    pr{i} AS (
+        SELECT n.node,
+               CAST({nb} + (85 * COALESCE(s.contrib, 0)) // 100
+                    AS BIGINT) AS rank_fp
+        FROM nodes n
+        LEFT JOIN (
+            SELECT e.dst AS node,
+                   SUM(p.rank_fp // d.deg) AS contrib
+            FROM sym e
+            JOIN pr{i - 1} p ON e.src = p.node
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+        ) s ON n.node = s.node
+    )""")
+    return f"""
+    WITH edges AS ({_EDGES_SQL}),
+    sym AS (
+        SELECT a AS src, b AS dst FROM edges
+        UNION
+        SELECT b AS src, a AS dst FROM edges
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM sym),
+    c AS (SELECT count(*) AS n FROM nodes),
+    pr0 AS (
+        SELECT node,
+               CAST({PR_SCALE} // (SELECT n FROM c) AS BIGINT) AS rank_fp
+        FROM nodes
+    ),{",".join(its)}
+    SELECT CAST(node AS BIGINT) AS node,
+           rank_fp,
+           CAST(rank_fp AS DOUBLE) / 1e15 AS rank
+    FROM pr{PR_ITERS}
+    ORDER BY rank_fp DESC, node
+    LIMIT {PR_TOP}
+    """
+
+
+@query("pagerank_topn", oracle=_pagerank_oracle_sql())
 def pagerank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the same customer–supplier graph (symmetrized), the
     iterative-algorithm sibling of ``graph_components``: influence
     scores for entity-importance ranking. Power iteration with damping
-    0.85, PR_ITERS rounds.
+    0.85, PR_ITERS rounds, run ENTIRELY in fixed-point BIGINT femto-units
+    (PR_SCALE): per edge ``rank_fp div deg`` then an integer sum per
+    destination, ``rank' = (15·SCALE)//(100·n) + (85·Σ)//100``. Integer
+    addition commutes, so both engines — and both Spark paths — produce
+    bit-identical ranks regardless of partitioning/summation order; the
+    truncation the fixed point introduces is < deg·1e-15 per node per
+    round, ~1e-9 relative at the emitted 15-digit precision. The oracle
+    is the same recurrence as 12 unrolled DuckDB CTEs — a full value
+    certificate for an iterative algorithm, the ``graph_components``
+    discipline (recursive/iterated SQL lives oracle-side only).
 
     Size-adaptive like ``connected_components`` (operators/dedup.py:480):
     below the measured edge cutoff the EDGE LIST (never a corpus-scale
@@ -131,8 +192,8 @@ def pagerank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     source node — the exchange is planned once and reused) and one
     hash-agg on the destination; rank state stays distributed and
     localCheckpoint keeps plans constant-size. Both paths compute the
-    identical iteration; the distributed path is pinned by its own test
-    (tests/test_round5_ops.py) at a forced cutoff of 0."""
+    identical integer iteration; the distributed path is pinned by its
+    own test (tests/test_round5_ops.py) at a forced cutoff of 0."""
     return _pagerank(spark, sf_dir)
 
 
@@ -164,23 +225,31 @@ def _pagerank(spark: SparkSession, sf_dir: str,
         idx = {v: i for i, v in enumerate(node_ids)}
         n = len(node_ids)
         src = np.array(
-            [idx[a] for a, b in pairs] + [idx[b] for a, b in pairs]
+            [idx[a] for a, b in pairs] + [idx[b] for a, b in pairs],
+            dtype=np.int64,
         )
         dst = np.array(
-            [idx[b] for a, b in pairs] + [idx[a] for a, b in pairs]
+            [idx[b] for a, b in pairs] + [idx[a] for a, b in pairs],
+            dtype=np.int64,
         )
-        deg = np.bincount(src, minlength=n).astype(np.float64)
-        rank = np.full(n, 1.0 / n)
+        deg = np.bincount(src, minlength=n).astype(np.int64)
+        # exact fixed-point recurrence (see pagerank_topn docstring):
+        # int64 headroom — rank_fp ≤ SCALE=1e15, 85·Σcontrib ≤ 85·SCALE
+        # = 8.5e16 ≪ 2^63; np.add.at accumulates int64 exactly
+        base = (15 * PR_SCALE) // (100 * n)
+        rank = np.full(n, PR_SCALE // n, dtype=np.int64)
         for _ in range(PR_ITERS):
-            contrib = np.bincount(
-                dst, weights=rank[src] / deg[src], minlength=n
-            )
-            rank = (1.0 - PR_DAMPING) / n + PR_DAMPING * contrib
+            contrib = np.zeros(n, dtype=np.int64)
+            np.add.at(contrib, dst, rank[src] // deg[src])
+            rank = base + (85 * contrib) // 100
         order = np.lexsort((node_ids, -rank))[:PR_TOP]
         rows = [
-            (int(node_ids[i]), float(round(rank[i], 8))) for i in order
+            (int(node_ids[i]), int(rank[i]), float(rank[i]) / 1e15)
+            for i in order
         ]
-        return spark.createDataFrame(rows, "node long, rank double")
+        return spark.createDataFrame(
+            rows, "node long, rank_fp long, rank double"
+        )
     sym = (
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(
@@ -193,8 +262,13 @@ def _pagerank(spark: SparkSession, sf_dir: str,
     out_edges = sym.join(deg, "src").localCheckpoint(eager=True)
     nodes = sym.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()
+    # exact fixed-point recurrence (see pagerank_topn docstring); LONG
+    # arithmetic end to end, so the hash-agg's partial-sum order is
+    # irrelevant — the distributed answer is bit-identical to the numpy
+    # path and to the DuckDB oracle
+    base = (15 * PR_SCALE) // (100 * n_nodes)
     ranks = nodes.select(
-        "node", F.lit(1.0 / n_nodes).alias("rank")
+        "node", F.lit(PR_SCALE // n_nodes).alias("rank_fp")
     ).localCheckpoint(eager=True)
     for _ in range(PR_ITERS):
         contrib = (
@@ -203,7 +277,7 @@ def _pagerank(spark: SparkSession, sf_dir: str,
             )
             .select(
                 F.col("dst").alias("node"),
-                (F.col("rank") / F.col("deg")).alias("c"),
+                F.expr("rank_fp div deg").alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
@@ -214,14 +288,18 @@ def _pagerank(spark: SparkSession, sf_dir: str,
             .select(
                 "node",
                 (
-                    F.lit((1.0 - PR_DAMPING) / n_nodes)
-                    + PR_DAMPING * F.coalesce("c", F.lit(0.0))
-                ).alias("rank"),
+                    F.lit(base)
+                    + F.expr("(85 * coalesce(c, 0L)) div 100")
+                ).alias("rank_fp"),
             )
             .localCheckpoint(eager=True)
         )
     return (
-        ranks.orderBy(F.desc("rank"), F.asc("node"))
+        ranks.orderBy(F.desc("rank_fp"), F.asc("node"))
         .limit(PR_TOP)
-        .select("node", F.round("rank", 8).alias("rank"))
+        .select(
+            "node",
+            "rank_fp",
+            (F.col("rank_fp").cast("double") / F.lit(1e15)).alias("rank"),
+        )
     )
