@@ -95,6 +95,10 @@ RECERTIFY_IF_AT_OR_BEFORE = {
     # BIGINT iteration, 12 unrolled DuckDB CTEs) — its r6 row was the weak
     # rows-only check of the old float implementation
     "pagerank_topn": 6,
+    # round-7: in-row quality scorecards added after the r6 rows-only rows
+    # (leave-one-out hit/AUC + train-fit AUC; codebook balance/usage)
+    "als_recommend": 6,
+    "index_build_pq": 6,
 }
 
 

@@ -392,6 +392,29 @@ def test_als_recommend_structure(spark, sf_smoke):
         assert r["user_id"] % 50 == 0
     for u, ranks in by_user.items():
         assert sorted(ranks) == [1, 2, 3], u
+    # in-row quality scorecard: global scalars constant across rows;
+    # the leave-one-out AUC is honest (~0.5 ceiling on the random
+    # fixture) while the train-fit AUC proves the factorization fits
+    # the observed matrix — the broken-machinery detector
+    for col in ("hit_rate_at_k", "holdout_auc", "train_auc"):
+        vals = {r[col] for r in rows}
+        assert len(vals) == 1, (col, vals)
+        (v,) = vals
+        assert 0.0 <= v <= 1.0, (col, v)
+    assert next(iter({r["train_auc"] for r in rows})) > 0.6
+    for r in rows:
+        if r["holdout_part_id"] is not None:
+            assert r["holdout_hit"] in (0, 1)
+
+
+def test_index_build_pq_balance_columns(spark, sf_smoke):
+    r = Q["index_build_pq"](spark, sf_smoke).collect()[0]
+    assert 0.0 < r["code_balance"] <= 1.0
+    assert 0.0 < r["codes_used_frac"] <= 1.0
+    # a healthy k-means++ codebook on normalized embeddings uses nearly
+    # all 16 codes per subspace near-uniformly
+    assert r["code_balance"] > 0.8
+    assert r["codes_used_frac"] > 0.8
 
 
 def test_seasonality_profile_structure(spark, sf_smoke):

@@ -847,7 +847,15 @@ def als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     floats — the same 'model is metadata relative to the corpus'
     posture as the IVF centroids. Scores are float and seed-dependent,
     so the certified surface is structural (rows-only), like the other
-    approximate/iterative operators.
+    approximate/iterative operators — but QUALITY rides in-row: for
+    each sampled user with ≥2 purchased parts, their single
+    strongest-signal item (highest count, ties → lowest part id) is
+    HELD OUT of training, and the row carries whether the model
+    re-surfaced it in the top-{k} (``holdout_hit``) plus the global
+    ``hit_rate_at_k`` — the standard leave-one-out evaluation from the
+    implicit-ALS literature, so the driver's rows-only check pins
+    recommendation quality, not just shape (the ``eval_retrieval``
+    discipline applied to the recommender).
     """.format(k=_ALS_K, m=_ALS_USER_MOD, r=_ALS_RANK)
     from pyspark.ml.recommendation import ALS
 
@@ -861,6 +869,25 @@ def als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("float").alias("rating"))
     )
+    # leave-one-out holdout: sampled users' top item, only where the user
+    # keeps ≥1 training item (so cold-start drop cannot erase them)
+    w = Window.partitionBy("user").orderBy(
+        F.desc("rating"), F.asc("item")
+    )
+    sampled = ratings.where(F.col("user") % _ALS_USER_MOD == 0)
+    held = (
+        sampled.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_items", F.count(F.lit(1)).over(Window.partitionBy("user"))
+        )
+        .where((F.col("rn") == 1) & (F.col("n_items") >= 2))
+        .select("user", F.col("item").alias("held_item"))
+    )
+    train = ratings.join(
+        held,
+        (ratings.user == held.user) & (ratings.item == held.held_item),
+        "left_anti",
+    )
     als = ALS(
         rank=_ALS_RANK,
         maxIter=_ALS_ITER,
@@ -871,18 +898,125 @@ def als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratingCol="rating",
         coldStartStrategy="drop",
     )
-    model = als.fit(ratings)
+    model = als.fit(train)
     users = ratings.select("user").distinct().where(
         F.col("user") % _ALS_USER_MOD == 0
     )
     recs = model.recommendForUserSubset(users, _ALS_K)
-    return recs.select(
+    flat = recs.select(
         F.col("user").cast("long").alias("user_id"),
         F.posexplode("recommendations").alias("rk", "rec"),
     ).select(
         "user_id",
         (F.col("rk") + 1).cast("long").alias("rank"),
         F.col("rec.item").cast("long").alias("part_id"),
+    )
+    flat = flat.join(
+        F.broadcast(
+            held.select(
+                F.col("user").cast("long").alias("user_id"),
+                F.col("held_item").cast("long").alias("holdout_part_id"),
+            )
+        ),
+        "user_id",
+        "left",
+    ).withColumn(
+        "holdout_hit",
+        F.when(F.col("holdout_part_id").isNull(), F.lit(None)).otherwise(
+            F.max(
+                (F.col("part_id") == F.col("holdout_part_id")).cast("int")
+            ).over(Window.partitionBy("user_id"))
+        ).cast("int"),
+    )
+    rate = flat.where(F.col("rank") == 1).agg(
+        F.round(F.avg("holdout_hit"), 6).alias("hit_rate_at_k")
+    )
+    # leave-one-out AUC (Rendle's BPR eval): the held item's predicted
+    # score vs 50 deterministically-sampled shared negatives the user
+    # never bought — hit@3 over a 25k-part catalog is near-zero even for
+    # a good model, AUC separates working (≫0.5) from broken (≈0.5)
+    neg_items = (
+        ratings.select("item")
+        .distinct()
+        .orderBy(F.xxhash64("item"))
+        .limit(50)
+    )
+    pairs = (
+        held.crossJoin(F.broadcast(neg_items))
+        .join(
+            ratings.select("user", "item"), ["user", "item"], "left_anti"
+        )
+        .select("user", "item")
+        .unionByName(
+            held.select("user", F.col("held_item").alias("item"))
+        )
+    )
+    scored = (
+        model.transform(pairs)
+        .where(~F.isnan("prediction"))
+        .join(F.broadcast(held), "user")
+        .select(
+            "user",
+            F.col("prediction"),
+            (F.col("item") == F.col("held_item")).alias("is_pos"),
+        )
+    )
+    pos = scored.where("is_pos").select(
+        "user", F.col("prediction").alias("pos_score")
+    )
+    negs = scored.where(~F.col("is_pos")).select(
+        "user", F.col("prediction").alias("neg_score")
+    )
+
+    def _auc(pos_df, name):
+        return (
+            negs.join(F.broadcast(pos_df), "user")
+            .groupBy("user")
+            .agg(
+                F.avg(
+                    F.when(F.col("neg_score") < F.col("pos_score"), 1.0)
+                    .when(F.col("neg_score") == F.col("pos_score"), 0.5)
+                    .otherwise(0.0)
+                ).alias("user_auc")
+            )
+            .agg(F.round(F.avg("user_auc"), 6).alias(name))
+        )
+
+    auc = _auc(pos, "holdout_auc")
+    # train-fit AUC: the user's KEPT items vs the same negatives — the
+    # machinery check. The fixture's purchases are uniform-random, so
+    # holdout_auc ≈ 0.5 is the TRUE generalization ceiling here; a
+    # working factorization must still fit the observed matrix, so
+    # train_auc ≫ 0.5 separates 'no structure to learn' from 'broken'
+    pos_train = (
+        model.transform(
+            sampled.join(
+                held,
+                (sampled.user == held.user)
+                & (sampled.item == held.held_item),
+                "left_anti",
+            )
+            .join(held.select("user"), "user", "semi")
+            .select("user", "item")
+        )
+        .where(~F.isnan("prediction"))
+        .select("user", F.col("prediction").alias("pos_score"))
+    )
+    train_auc = _auc(pos_train, "train_auc")
+    return (
+        flat.crossJoin(F.broadcast(rate))
+        .crossJoin(F.broadcast(auc))
+        .crossJoin(F.broadcast(train_auc))
+        .select(
+            "user_id",
+            "rank",
+            "part_id",
+            "holdout_part_id",
+            "holdout_hit",
+            "hit_rate_at_k",
+            "holdout_auc",
+            "train_auc",
+        )
     )
 
 

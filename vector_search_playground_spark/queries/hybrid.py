@@ -697,19 +697,50 @@ def index_build_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirroring the index_build_ivf / ivf_search pair): fit the 8×16
     codebooks on the deterministic sample, persist them as a
     fingerprint-keyed sidecar, and emit the build scorecard — subspace
-    layout, sample size, and the mean squared reconstruction error over
-    the training sample, the number that predicts ADC ranking quality
-    before any query runs. The driver's rows-only check pins the build
-    contract (shape + error bound asserted in tests)."""
+    layout, sample size, the mean squared reconstruction error over the
+    training sample (the number that predicts ADC ranking quality before
+    any query runs), and two codebook-BALANCE stats over the same
+    sample's code assignments: ``code_balance`` (mean normalized usage
+    entropy across subspaces, 1.0 = all 16 codes equally used — a
+    collapsed codebook scores near 0 and would rank garbage) and
+    ``codes_used_frac`` (fraction of the m×k codewords with ≥1 training
+    assignment — dead-centroid detector). The driver's rows-only check
+    pins the build contract (shape + error/balance bounds asserted in
+    tests)."""
+    import math
+
+    import numpy as np
+
     from vector_search_playground_spark.plans.pq import (
         FIT_SAMPLE,
         K_CODES,
         M_SUB,
+        _normalize,
         load_or_fit_codebooks,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     books, mse, cached = load_or_fit_codebooks(emb, sf_dir)
+    # balance over the SAME deterministic sample the fit used; the
+    # assignment pass is FIT_SAMPLE×K distances per subspace — driver-side
+    # metadata math, never corpus-scale
+    rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(FIT_SAMPLE)
+        .collect()
+    )
+    x = _normalize(np.array([r["embedding"] for r in rows], dtype=np.float64))
+    d_sub = x.shape[1] // M_SUB
+    entropies = []
+    used = 0
+    for m in range(M_SUB):
+        sub = x[:, m * d_sub : (m + 1) * d_sub]
+        d2 = ((sub[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+        counts = np.bincount(d2.argmin(axis=1), minlength=K_CODES)
+        used += int((counts > 0).sum())
+        p = counts[counts > 0] / counts.sum()
+        entropies.append(float(-(p * np.log(p)).sum()) / math.log(K_CODES))
     return spark.createDataFrame(
         [
             (
@@ -718,11 +749,14 @@ def index_build_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 int(books.shape[2]),
                 FIT_SAMPLE,
                 round(float(mse), 6),
+                round(sum(entropies) / M_SUB, 6),
+                round(used / (M_SUB * K_CODES), 6),
                 bool(cached),
             )
         ],
         "m_sub int, k_codes int, d_sub int, fit_sample int, "
-        "mse double, served_from_cache boolean",
+        "mse double, code_balance double, codes_used_frac double, "
+        "served_from_cache boolean",
     )
 
 
