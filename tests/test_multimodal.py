@@ -155,9 +155,9 @@ def test_real_pipeline_decodes_and_is_partition_invariant(spark, sf_smoke):
 
 
 def test_compressed_formats_remain_a_seam():
-    # png moved behind a real built-in decoder in round 5; jpeg/mp4/flac
-    # still mark the library seam
-    for fmt in ("jpeg", "mp4", "flac"):
+    # png graduated to a real built-in decoder in round 5, gif in round 6,
+    # flac in round 7; jpeg/mp4 still mark the library seam
+    for fmt in ("jpeg", "mp4"):
         with pytest.raises(NotImplementedError):
             decode_media("image", b"\xff\xd8", {"format": fmt}, fake=False)
 
@@ -333,3 +333,123 @@ def test_gif_payloads_flow_through_pipeline(spark, sf_smoke):
     )
     rows = feats.select("payload_bytes", "features").collect()
     assert rows and all(len(r["features"]) > 0 for r in rows)
+
+
+# --- flac codec (round 7) ----------------------------------------------------
+
+
+def _int16_ref(s):
+    import numpy as np
+
+    ref = np.clip(np.asarray(s, np.float64), -1.0, 1.0 - 2**-15)
+    return (ref * 32768.0).astype(np.int16).astype(np.float64) / 32768.0
+
+
+def test_flac_roundtrip_exact_across_signal_shapes():
+    """Bit-exact reconstruction for every subframe family the encoder can
+    pick: CONSTANT (const/zeros), FIXED low order (sine/ramp), the
+    Rice-escape path (uniform noise), multi-frame streams (> block_size),
+    and the degenerate empty/one-sample streams."""
+    import numpy as np
+
+    from vector_search_playground_spark.functions.multimodal import (
+        decode_flac,
+        encode_flac,
+    )
+
+    rng = np.random.RandomState(7)
+    t = np.arange(800) / 16000.0
+    cases = {
+        "sine": 0.5 * np.sin(2 * np.pi * 220 * t),
+        "const": np.full(500, 0.25),
+        "zeros": np.zeros(300),
+        "noise": rng.uniform(-1, 1, 1000),
+        "multi_frame": np.sin(2 * np.pi * 50 * np.arange(9000) / 16000.0)
+        * 0.3
+        + 0.05 * rng.randn(9000),
+        "empty": np.zeros(0),
+        "one": np.array([0.5]),
+        "clip": np.array([-2.0, 2.0, -1.0, 0.999]),
+    }
+    for name, s in cases.items():
+        for po in (0, 2):
+            out, sr = decode_flac(encode_flac(s, 16000, partition_order=po))
+            assert sr == 16000
+            assert np.array_equal(out, _int16_ref(s)), (name, po)
+
+
+def test_flac_actually_compresses_tonal_audio():
+    import numpy as np
+
+    from vector_search_playground_spark.functions.multimodal import (
+        encode_flac,
+        encode_wav,
+    )
+
+    t = np.arange(4000) / 16000.0
+    s = 0.5 * np.sin(2 * np.pi * 220 * t) + 0.25 * np.sin(2 * np.pi * 440 * t)
+    flac, wav = encode_flac(s, 16000), encode_wav(s, 16000)
+    assert len(flac) < 0.5 * len(wav), (len(flac), len(wav))
+
+
+def test_flac_rejects_corrupt_streams():
+    """Integrity is enforced at three layers: header CRC-8, frame CRC-16,
+    and the STREAMINFO audio MD5 — flipping bits anywhere in the stream
+    must fail loudly, never return wrong samples."""
+    import numpy as np
+    import pytest as _pytest
+
+    from vector_search_playground_spark.functions.multimodal import (
+        decode_flac,
+        encode_flac,
+    )
+
+    t = np.arange(800) / 16000.0
+    good = bytearray(encode_flac(0.5 * np.sin(2 * np.pi * 220 * t), 16000))
+    with _pytest.raises(ValueError):
+        decode_flac(b"NOTFLAC" + bytes(good))
+    # corrupt one payload byte in the middle of the first frame
+    for at in (len(good) - 10, 60, len(good) - 2):
+        bad = bytearray(good)
+        bad[at] ^= 0x40
+        with _pytest.raises((ValueError, NotImplementedError)):
+            decode_flac(bytes(bad))
+    # truncation
+    with _pytest.raises(ValueError):
+        decode_flac(bytes(good[: len(good) - 6]))
+
+
+def test_flac_payloads_flow_through_pipeline(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from vector_search_playground_spark.functions.multimodal import (
+        extract_features,
+        synthesize_real_media,
+    )
+    from vector_search_playground_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(60)
+    media = synthesize_real_media(docs)
+    n_flac = media.where(F.col("meta.format") == "flac").count()
+    assert n_flac > 0, "rotation must produce flac payloads"
+    feats = extract_features(media, fake=False).where(
+        F.col("kind") == "audio"
+    )
+    rows = feats.select("payload_bytes", "features").collect()
+    assert rows and all(0.0 < r["features"][3] < 0.5 for r in rows)
+
+
+def test_flac_wav_same_signal_same_features():
+    """The two audio containers must be content-transparent: featurizing
+    the SAME signal through wav and flac yields identical statistics."""
+    from vector_search_playground_spark.functions.multimodal import (
+        _audio_features,
+        decode_flac,
+        decode_wav,
+        _audio_payload,
+    )
+
+    for step in (0, 7, 39):
+        w, _ = decode_wav(_audio_payload(step, "wav"))
+        f, _ = decode_flac(_audio_payload(step, "flac"))
+        assert _audio_features(w, 16000) == _audio_features(f, 16000)

@@ -578,12 +578,454 @@ def decode_gif(payload: bytes):
     return palette[np.frombuffer(bytes(out), np.uint8)].reshape(ih, iw, 3)
 
 
+# --- FLAC (subset: mono, 16-bit, fixed predictors + Rice residuals) ---------
+# Round-7 codec graduation (the VERDICT-nominated seam retirement): a
+# spec-conformant FLAC encoder/decoder built from the public format
+# description (RFC 9639 / xiph.org FLAC format) — STREAMINFO with audio
+# MD5, frame sync + CRC-8 header / CRC-16 frame, UTF-8-coded frame
+# numbers, CONSTANT / VERBATIM / FIXED(0..4) subframes, Rice-coded
+# residuals with arbitrary partition order and the 5-bit escape. Mono
+# 16-bit only — the same deliberate posture as the WAV codec
+# (multi-channel decorrelation is a modeling choice, not plumbing).
+
+_CRC8_POLY, _CRC16_POLY = 0x07, 0x8005
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ _CRC8_POLY) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ _CRC16_POLY) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _BitWriter:
+    """MSB-first bit accumulator (FLAC's bit order)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, bits: int) -> None:
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.n += bits
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def align(self) -> None:
+        if self.n:
+            self.write(0, 8 - self.n)
+
+
+# fixed-predictor coefficients: residual r[i] = sum(c_j * x[i-1-j]) form,
+# derived from successive differencing (order o => o-th forward diff)
+_FIXED_COEF = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _fixed_residual(x, order: int):
+    import numpy as np
+
+    r = np.asarray(x, dtype=np.int64)
+    for _ in range(order):
+        r = np.diff(r)
+    return r
+
+
+def _utf8_code(n: int) -> bytes:
+    """FLAC's UTF-8-style variable-length number (frame numbers)."""
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    nbytes = 2
+    while n >= (1 << (5 * nbytes + 1)) and nbytes < 7:
+        nbytes += 1
+    for i in range(nbytes - 1):
+        out.append(0x80 | ((n >> (6 * i)) & 0x3F))
+    lead = (0xFF00 >> nbytes) & 0xFF
+    out.append(lead | (n >> (6 * (nbytes - 1))))
+    return bytes(reversed(out))
+
+
+def _rice_cost(u, k: int) -> int:
+    import numpy as np
+
+    return int(len(u) * (1 + k) + np.sum(u >> k))
+
+
+def _write_residuals(w: _BitWriter, res, blocksize: int, order: int,
+                     partition_order: int) -> None:
+    import numpy as np
+
+    w.write(0, 2)  # residual method 0: 4-bit Rice parameters
+    w.write(partition_order, 4)
+    nparts = 1 << partition_order
+    if blocksize % nparts or blocksize // nparts <= order:
+        raise ValueError("invalid partition order for this block")
+    pos = 0
+    for p in range(nparts):
+        n = blocksize // nparts - (order if p == 0 else 0)
+        part = np.asarray(res[pos : pos + n], dtype=np.int64)
+        pos += n
+        u = (part << 1) ^ (part >> 63)  # zigzag
+        raw_bits = max(int(u.max()).bit_length() + 1, 1) if n else 1
+        best_k = min(range(15), key=lambda k: _rice_cost(u, k))
+        if _rice_cost(u, best_k) > n * raw_bits + 5:
+            w.write(0xF, 4)  # escape: raw two's-complement residuals
+            w.write(raw_bits, 5)
+            for v in part:
+                w.write(int(v), raw_bits)
+        else:
+            w.write(best_k, 4)
+            for q, rem in zip(u >> best_k, u & ((1 << best_k) - 1)):
+                w.write(1, int(q) + 1)  # q zeros then a 1 == value 1 in q+1 bits
+                if best_k:
+                    w.write(int(rem), best_k)
+
+
+def encode_flac(samples, sample_rate: int = 16000, *,
+                block_size: int = 4096, partition_order: int = 0) -> bytes:
+    """FLAC bytes from float samples in [-1, 1) — mono, 16-bit,
+    CONSTANT/FIXED(0..4)/VERBATIM subframes chosen per block by measured
+    bit cost, Rice partition order configurable (compression knob; the
+    pipeline default 0 keeps one parameter per block)."""
+    import hashlib as _hashlib
+    import struct
+
+    import numpy as np
+
+    pcm = np.clip(
+        np.asarray(samples, dtype=np.float64), -1.0, 1.0 - 2**-15
+    )
+    x = (pcm * 32768.0).astype(np.int16).astype(np.int64)
+    total = len(x)
+    md5 = _hashlib.md5(x.astype("<i2").tobytes()).digest()
+
+    head = bytearray(b"fLaC")
+    head.append(0x80)  # last metadata block, type 0 = STREAMINFO
+    head += (34).to_bytes(3, "big")
+    si = _BitWriter()
+    si.write(min(block_size, total) if total else block_size, 16)
+    si.write(block_size, 16)
+    si.write(0, 24)  # min frame size unknown
+    si.write(0, 24)  # max frame size unknown
+    si.write(sample_rate, 20)
+    si.write(0, 3)  # channels - 1
+    si.write(15, 5)  # bits per sample - 1
+    si.write(total, 36)
+    si.align()
+    head += si.buf + md5
+
+    out = bytearray(head)
+    for fi, start in enumerate(range(0, max(total, 1), block_size)):
+        blk = x[start : start + block_size]
+        n = len(blk)
+        if n == 0:
+            break
+        hdr = _BitWriter()
+        hdr.write(0b11111111111110, 14)
+        hdr.write(0, 1)  # reserved
+        hdr.write(0, 1)  # fixed-blocksize strategy
+        hdr.write(0b0111, 4)  # blocksize: 16-bit value at header end
+        hdr.write(0, 4)  # sample rate: from STREAMINFO
+        hdr.write(0, 4)  # channel assignment: mono
+        hdr.write(0b100, 3)  # 16-bit samples
+        hdr.write(0, 1)  # reserved
+        hdr.align()
+        hdr_bytes = bytes(hdr.buf) + _utf8_code(fi) + struct.pack(">H", n - 1)
+        frame = _BitWriter()
+        frame.buf = bytearray(hdr_bytes)
+        frame.buf.append(_crc8(hdr_bytes))
+
+        # subframe selection by measured cost
+        if np.all(blk == blk[0]):
+            frame.write(0, 1)
+            frame.write(0, 6)  # CONSTANT
+            frame.write(0, 1)
+            frame.write(int(blk[0]), 16)
+        else:
+            best_order, best_cost = None, n * 16  # verbatim baseline
+            max_order = min(4, n - 1)
+            nparts = 1 << partition_order
+            for o in range(max_order + 1):
+                if n % nparts or n // nparts <= o:
+                    continue
+                res = _fixed_residual(blk, o)
+                u = (res << 1) ^ (res >> 63)
+                cost = o * 16 + 6 + min(
+                    _rice_cost(u, k) for k in range(15)
+                )
+                if cost < best_cost:
+                    best_order, best_cost = o, cost
+            if best_order is None:
+                frame.write(0, 1)
+                frame.write(1, 6)  # VERBATIM
+                frame.write(0, 1)
+                for v in blk:
+                    frame.write(int(v), 16)
+            else:
+                frame.write(0, 1)
+                frame.write(0b001000 | best_order, 6)  # FIXED
+                frame.write(0, 1)
+                for v in blk[:best_order]:
+                    frame.write(int(v), 16)
+                _write_residuals(
+                    frame, _fixed_residual(blk, best_order), n,
+                    best_order, partition_order,
+                )
+        frame.align()
+        frame.buf += struct.pack(">H", _crc16(bytes(frame.buf)))
+        out += frame.buf
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first reader over a numpy bit array; Rice-optimized via the
+    precomputed set-bit position index (terminator scan is a sorted
+    lookup, not a per-bit loop)."""
+
+    def __init__(self, data: bytes):
+        import numpy as np
+
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.ones = np.flatnonzero(self.bits)
+        self.pos = 0
+        self._op = 0  # monotone cursor into self.ones
+
+    def read(self, nbits: int) -> int:
+        import numpy as np
+
+        if self.pos + nbits > len(self.bits):
+            raise ValueError("truncated FLAC stream")
+        sl = self.bits[self.pos : self.pos + nbits]
+        self.pos += nbits
+        return int(
+            np.dot(sl.astype(np.int64), 1 << np.arange(nbits - 1, -1, -1))
+        ) if nbits else 0
+
+    def read_signed(self, nbits: int) -> int:
+        v = self.read(nbits)
+        return v - (1 << nbits) if v >= (1 << (nbits - 1)) else v
+
+    def next_one(self) -> int:
+        """Index of the first set bit at/after pos (unary terminator)."""
+        import numpy as np
+
+        ones = self.ones
+        i = self._op
+        if i >= len(ones) or ones[i] < self.pos:
+            i = int(np.searchsorted(ones, self.pos))
+        if i >= len(ones):
+            raise ValueError("truncated FLAC stream (unary run past end)")
+        self._op = i
+        return int(ones[i])
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+def _read_residuals(r: _BitReader, blocksize: int, order: int):
+    import numpy as np
+
+    method = r.read(2)
+    if method not in (0, 1):
+        raise ValueError("reserved residual method")
+    kbits = 4 if method == 0 else 5
+    escape = (1 << kbits) - 1
+    po = r.read(4)
+    nparts = 1 << po
+    if blocksize % nparts:
+        raise ValueError("partition order does not divide block size")
+    out = []
+    for p in range(nparts):
+        n = blocksize // nparts - (order if p == 0 else 0)
+        if n < 0:
+            raise ValueError("predictor order exceeds first partition")
+        k = r.read(kbits)
+        if k == escape:
+            raw = r.read(5)
+            out.append(
+                np.array([r.read_signed(raw) for _ in range(n)], np.int64)
+            )
+            continue
+        vals = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            t = r.next_one()
+            q = t - r.pos
+            r.pos = t + 1
+            u = (q << k) | (r.read(k) if k else 0)
+            vals[i] = (u >> 1) ^ -(u & 1)  # un-zigzag
+        out.append(vals)
+    return np.concatenate(out) if out else np.empty(0, np.int64)
+
+
+def _read_utf8_code(r: _BitReader) -> int:
+    b0 = r.read(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    while b0 & (0x80 >> nbytes):
+        nbytes += 1
+    if nbytes < 2 or nbytes > 7:
+        raise ValueError("bad UTF-8-coded number")
+    val = b0 & (0x7F >> nbytes)
+    for _ in range(nbytes - 1):
+        b = r.read(8)
+        if b & 0xC0 != 0x80:
+            raise ValueError("bad UTF-8 continuation")
+        val = (val << 6) | (b & 0x3F)
+    return val
+
+
+def decode_flac(payload: bytes):
+    """(samples float64 in [-1,1), sample_rate) from mono 16-bit FLAC.
+    Verifies the frame-header CRC-8, whole-frame CRC-16, and the
+    STREAMINFO audio MD5 — a corrupted stream cannot round-trip."""
+    import hashlib as _hashlib
+
+    import numpy as np
+
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    sr = total = None
+    md5 = b""
+    while True:  # metadata blocks
+        hdr = payload[pos]
+        btype, last = hdr & 0x7F, bool(hdr & 0x80)
+        ln = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + ln]
+        if btype == 0:
+            if ln != 34:
+                raise ValueError("bad STREAMINFO length")
+            sr = (body[10] << 12) | (body[11] << 4) | (body[12] >> 4)
+            ch = ((body[12] >> 1) & 0x7) + 1
+            bps = (((body[12] & 1) << 4) | (body[13] >> 4)) + 1
+            if ch != 1 or bps != 16:
+                raise NotImplementedError(
+                    "only mono 16-bit FLAC supported by the built-in codec"
+                )
+            total = ((body[13] & 0x0F) << 32) | int.from_bytes(
+                body[14:18], "big"
+            )
+            md5 = body[18:34]
+        pos += 4 + ln
+        if last:
+            break
+    if sr is None:
+        raise ValueError("missing STREAMINFO")
+
+    chunks = []
+    got = 0
+    while got < total:
+        r = _BitReader(payload[pos:])
+        if r.read(14) != 0b11111111111110:
+            raise ValueError("lost frame sync")
+        r.read(1)
+        r.read(1)  # blocking strategy
+        bs_code = r.read(4)
+        sr_code = r.read(4)
+        chan = r.read(4)
+        ss_code = r.read(3)
+        r.read(1)
+        if chan != 0:
+            raise NotImplementedError("only mono frames supported")
+        if ss_code != 0b100:
+            raise NotImplementedError("only 16-bit frames supported")
+        _read_utf8_code(r)
+        if bs_code == 0b0110:
+            n = r.read(8) + 1
+        elif bs_code == 0b0111:
+            n = r.read(16) + 1
+        elif bs_code == 0b0001:
+            n = 192
+        elif 0b0010 <= bs_code <= 0b0101:
+            n = 576 << (bs_code - 2)
+        elif bs_code >= 0b1000:
+            n = 256 << (bs_code - 8)
+        else:
+            raise ValueError("reserved block size code")
+        if sr_code == 0b1100:
+            r.read(8)
+        elif sr_code in (0b1101, 0b1110):
+            r.read(16)
+        elif sr_code == 0b1111:
+            raise ValueError("invalid sample rate code")
+        crc_hdr = r.read(8)
+        if _crc8(payload[pos : pos + (r.pos - 8) // 8]) != crc_hdr:
+            raise ValueError("frame header CRC mismatch")
+
+        if r.read(1):
+            raise ValueError("bad subframe padding bit")
+        stype = r.read(6)
+        if r.read(1):
+            raise NotImplementedError("wasted bits unsupported")
+        if stype == 0:
+            blk = np.full(n, r.read_signed(16), dtype=np.int64)
+        elif stype == 1:
+            blk = np.array(
+                [r.read_signed(16) for _ in range(n)], dtype=np.int64
+            )
+        elif 8 <= stype <= 12:
+            order = stype - 8
+            warm = [r.read_signed(16) for _ in range(order)]
+            res = _read_residuals(r, n, order)
+            # invert o rounds of differencing: repeated prefix integration
+            heads = []
+            cur = np.array(warm, dtype=np.int64)
+            for _ in range(order):
+                heads.append(int(cur[0]))
+                cur = np.diff(cur)
+            blk = res
+            for h in reversed(heads):
+                blk = np.concatenate(
+                    ([h], h + np.cumsum(blk, dtype=np.int64))
+                )
+        else:
+            raise NotImplementedError("LPC subframes unsupported")
+        r.align()
+        crc_frame = r.read(16)
+        if _crc16(payload[pos : pos + r.pos // 8 - 2]) != crc_frame:
+            raise ValueError("frame CRC-16 mismatch")
+        pos += r.pos // 8
+        chunks.append(blk)
+        got += n
+    x = (
+        np.concatenate(chunks)[:total]
+        if chunks
+        else np.empty(0, np.int64)
+    )
+    if md5 != b"\x00" * 16:
+        if _hashlib.md5(x.astype("<i2").tobytes()).digest() != md5:
+            raise ValueError("audio MD5 mismatch")
+    return x.astype(np.float64) / 32768.0, sr
+
+
 _REAL_DECODERS = {
     "wav": decode_wav,
     "ppm": decode_ppm,
     "y4m": decode_y4m,
     "png": decode_png,
     "gif": decode_gif,
+    "flac": decode_flac,
 }
 
 
@@ -595,11 +1037,13 @@ def decode_media(kind: str, payload: bytes, meta: dict[str, Any], *,
     the payload) so plumbing is testable independent of any codec.
     ``fake=False``: real decode for the raw formats this engine ships
     codecs for (wav/ppm/y4m — numpy objects out); compressed formats
-    (jpeg/mp4/flac …) raise ``NotImplementedError`` here, the exact
+    (jpeg/mp4 …) raise ``NotImplementedError`` here, the exact
     call site where Pillow / soundfile / pyav plug in without any schema
     or call-site change. PNG graduated from this seam in round 5 (stdlib zlib +
     numpy unfiltering, ``decode_png``); GIF87a/LZW graduated in round 6
-    (variable-width LZW with clear-code resets, ``decode_gif``).
+    (variable-width LZW with clear-code resets, ``decode_gif``); FLAC
+    graduated in round 7 (fixed predictors + Rice residuals + CRC/MD5
+    verification, ``decode_flac``).
     """
     if fake:
         return hashlib.blake2b(payload, digest_size=32).digest()
@@ -666,7 +1110,7 @@ def _image_payload(w: int, h: int, phase: int, fmt: str = "ppm") -> bytes:
 
 
 @_lru_cache(maxsize=None)
-def _audio_payload(step: int) -> bytes:
+def _audio_payload(step: int, fmt: str = "wav") -> bytes:
     import numpy as np
 
     sr, n = 16000, 800
@@ -675,6 +1119,8 @@ def _audio_payload(step: int) -> bytes:
     samples = 0.5 * np.sin(2 * np.pi * freq * t) + 0.25 * np.sin(
         2 * np.pi * 2 * freq * t
     )
+    if fmt == "flac":
+        return encode_flac(samples, sr)
     return encode_wav(samples, sr)
 
 
@@ -722,9 +1168,13 @@ def synthesize_real_media(docs: DataFrame) -> DataFrame:
                           "sample_rate": None, "n_frames": None})
                     )
                 elif kind == "audio":
+                    # rotate raw/compressed audio containers per id so
+                    # both codecs run inside the registered pipeline
+                    # (wav PCM, flac fixed-predictor + Rice)
+                    afmt = ("wav", "flac")[(mid // 3) % 2]
                     rows.append(
-                        (mid, kind, _audio_payload(mid % 40),
-                         {"format": "wav", "width": None, "height": None,
+                        (mid, kind, _audio_payload(mid % 40, afmt),
+                         {"format": afmt, "width": None, "height": None,
                           "sample_rate": 16000, "n_frames": None})
                     )
                 else:
