@@ -63,13 +63,26 @@ def main() -> None:
     floor = statistics.median(floor_runs)
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # Round-6 verdict: 3-rep medians flap 2-3× between same-code runs on
+    # the multi-second queries (dedup_ngram 2.09 ↔ 4.31 s), putting
+    # round-over-round per-query deltas below the noise floor. Two
+    # mitigations: queries whose first-pass median is ≥ SLOW_CUTOFF get
+    # topped up to SLOW_REPS total reps, and the per-query MIN is recorded
+    # alongside the median (min is far more stable against scheduler /
+    # sandbox interference — spikes only ever inflate, never deflate).
+    slow_cutoff = float(os.environ.get("SPARK_GRAFT_BENCH_SLOW_CUTOFF", "2.0"))
+    slow_reps = max(reps, int(os.environ.get("SPARK_GRAFT_BENCH_SLOW_REPS", "5")))
     timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
+    spreads: list[float] = []
     categories: dict[str, str] = {}
     total = 0.0
     for qid in sorted(registry.QUERIES):
         fn = registry.QUERIES[qid]
         runs: list[float] = []
-        for _ in range(reps):
+        failed = False
+
+        def one_run() -> bool:
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
@@ -80,10 +93,20 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
             except Exception as exc:  # pragma: no cover - bench must never die
                 print(f"# {qid} FAILED: {exc}", file=sys.stderr)
-                runs = []
-                break
+                return False
             runs.append(time.perf_counter() - t0)
-        if not runs:
+            return True
+
+        for _ in range(reps):
+            if not one_run():
+                failed = True
+                break
+        if not failed and statistics.median(runs) >= slow_cutoff:
+            for _ in range(slow_reps - len(runs)):
+                if not one_run():
+                    failed = True
+                    break
+        if failed or not runs:
             continue
         # Drop cached relations between queries: persists are intra-query
         # (each query re-reads parquet), and letting block-manager state
@@ -95,11 +118,14 @@ def main() -> None:
             pass
         dt = statistics.median(runs)
         timings[qid] = round(dt, 4)
+        mins[qid] = round(min(runs), 4)
+        if dt > 0:
+            spreads.append((max(runs) - min(runs)) / dt)
         categories[qid] = "build" if qid in BUILD_IDS else "query"
         total += dt
         print(
-            f"# {qid}: median {dt:.3f}s over {len(runs)} "
-            f"({', '.join(f'{r:.3f}' for r in runs)})",
+            f"# {qid}: median {dt:.3f}s min {min(runs):.3f}s over "
+            f"{len(runs)} ({', '.join(f'{r:.3f}' for r in runs)})",
             file=sys.stderr,
         )
 
@@ -113,6 +139,7 @@ def main() -> None:
     #   3. the final line, printed last after spark.stop(), with the
     #      queries map trimmed fastest-first until the whole line fits the
     #      capture window — the slowest queries are the signal.
+    spreads.sort()
     full = {
         "metric": "total_query_wall_seconds",
         "value": round(total, 4),
@@ -120,10 +147,22 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "reps": reps,
+        "reps_slow": slow_reps,
+        "slow_cutoff_sec": slow_cutoff,
         "stat": "median",
         "n_queries": len(timings),
         "floor_per_query_sec": round(floor, 4),
         "floor_seconds": round(floor * len(timings), 2),
+        # run-to-run stability of THIS run: per-query (max-min)/median,
+        # summarized — compare totals only when the delta clears this
+        "rep_spread_median": round(
+            statistics.median(spreads), 4
+        ) if spreads else None,
+        "rep_spread_p90": round(
+            spreads[int(0.9 * (len(spreads) - 1))], 4
+        ) if spreads else None,
+        "total_min_seconds": round(sum(mins.values()), 4),
+        "queries_min": mins,
         "categories": categories,
     }
     try:
@@ -139,7 +178,11 @@ def main() -> None:
 
     spark.stop()
 
-    final = {k: v for k, v in full.items() if k != "categories"}
+    final = {
+        k: v
+        for k, v in full.items()
+        if k not in ("categories", "queries_min")
+    }
     budget = 1900  # capture window minus margin for a trailing newline
     by_time = sorted(timings, key=timings.get)  # fastest first
     while (
