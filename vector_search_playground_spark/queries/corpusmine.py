@@ -483,3 +483,410 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_rank long, a string, b string, freq long"
     )
+
+
+# --- zipf_fit ---------------------------------------------------------------
+
+_ZIPF_TOP = 100
+
+
+@query(
+    "zipf_fit",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    top AS (
+        SELECT tok, c,
+               row_number() OVER (ORDER BY c DESC, tok ASC) AS rk
+        FROM freq
+        ORDER BY c DESC, tok ASC LIMIT {_ZIPF_TOP}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           ROUND(regr_slope(ln(CAST(c AS DOUBLE)),
+                            ln(CAST(rk AS DOUBLE))), 6) AS slope,
+           ROUND(regr_intercept(ln(CAST(c AS DOUBLE)),
+                                ln(CAST(rk AS DOUBLE))), 6) AS intercept,
+           ROUND(regr_r2(ln(CAST(c AS DOUBLE)),
+                         ln(CAST(rk AS DOUBLE))), 6) AS r2
+    FROM top
+    """,
+)
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: log-log OLS of token
+    frequency against frequency rank for the top {k} tokens — the
+    classic corpus-health diagnostic (a natural corpus shows slope near
+    −1; template/boilerplate floods flatten it, OCR noise steepens the
+    tail). Regression formulas mirror DuckDB's regr_* (covar_pop /
+    var_pop), values rounded 6 dp — the ``trend_fit`` float discipline.
+
+    Shape at 100 TB: ONE token hash-agg (the tfidf/vocab shuffle) →
+    TakeOrderedAndProject to the top-{k} metadata relation; the rank
+    window and the regression run over {k} rows. Nothing corpus-sized
+    past the first agg.
+    """.format(k=_ZIPF_TOP)
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(_ZIPF_TOP)
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("tok"))  # 100-row metadata
+    pts = freq.withColumn("rk", F.row_number().over(w)).select(
+        F.log(F.col("rk").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+        F.avg(F.col("y") * F.col("y")).alias("myy"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            (F.col("mxy") - F.col("mx") * F.col("my"))
+            / (F.col("mxx") - F.col("mx") * F.col("mx")),
+            6,
+        ).alias("slope"),
+        F.round(
+            F.col("my")
+            - (F.col("mxy") - F.col("mx") * F.col("my"))
+            / (F.col("mxx") - F.col("mx") * F.col("mx"))
+            * F.col("mx"),
+            6,
+        ).alias("intercept"),
+        F.round(
+            F.pow(F.col("mxy") - F.col("mx") * F.col("my"), 2)
+            / (
+                (F.col("mxx") - F.col("mx") * F.col("mx"))
+                * (F.col("myy") - F.col("my") * F.col("my"))
+            ),
+            6,
+        ).alias("r2"),
+    )
+
+
+# --- vocab_growth -----------------------------------------------------------
+
+
+@query(
+    "vocab_growth",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    nd AS (SELECT count(*) AS n FROM documents),
+    first_seen AS (
+        SELECT tok, min(doc_id) AS first_doc FROM tok GROUP BY tok
+    ),
+    newt AS (
+        SELECT least(first_doc * 10 // (SELECT n FROM nd), 9) AS decile,
+               count(*) AS new_types
+        FROM first_seen GROUP BY 1
+    ),
+    toks AS (
+        SELECT least(doc_id * 10 // (SELECT n FROM nd), 9) AS decile,
+               count(*) AS n_tokens
+        FROM tok GROUP BY 1
+    )
+    SELECT CAST(d.decile AS BIGINT) AS decile,
+           CAST(coalesce(new_types, 0) AS BIGINT) AS new_types,
+           CAST(sum(coalesce(new_types, 0)) OVER (ORDER BY d.decile)
+                AS BIGINT) AS cum_types,
+           CAST(sum(coalesce(n_tokens, 0)) OVER (ORDER BY d.decile)
+                AS BIGINT) AS cum_tokens
+    FROM (SELECT unnest(range(10)) AS decile) d
+    LEFT JOIN newt USING (decile)
+    LEFT JOIN toks USING (decile)
+    """,
+)
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative distinct-token
+    count (and cumulative token count) after each tenth of the corpus in
+    doc_id order — the dataset-scaling diagnostic that tells you whether
+    more data still buys vocabulary (sublinear growth = healthy natural
+    text; linear growth = id/hash pollution).
+
+    Shape at 100 TB: 'first time a token appears' is min(doc_id) per
+    token — ONE hash-agg, the ``running_distinct`` first-seen discipline
+    (never a count-distinct-over-window whale). Decile bucketing is
+    row-local integer math on the dense doc_id space; the cumulative
+    window runs over the 10-row decile spine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok").isNotNull())
+    dec = F.least(
+        F.expr(f"doc_id * 10 div {n_docs}"), F.lit(9)
+    ).cast("long")
+    newt = (
+        tok.groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(
+            F.least(
+                F.expr(f"first_doc * 10 div {n_docs}"), F.lit(9)
+            ).cast("long").alias("decile")
+        )
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    toks = tok.groupBy(dec.alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    spine = spark.range(10).select(F.col("id").alias("decile"))
+    w = Window.orderBy("decile")  # 10-row spine
+    return (
+        spine.join(F.broadcast(newt), "decile", "left")
+        .join(F.broadcast(toks), "decile", "left")
+        .select(
+            "decile",
+            F.coalesce("new_types", F.lit(0)).alias("new_types"),
+            F.sum(F.coalesce("new_types", F.lit(0)))
+            .over(w)
+            .alias("cum_types"),
+            F.sum(F.coalesce("n_tokens", F.lit(0)))
+            .over(w)
+            .alias("cum_tokens"),
+        )
+    )
+
+
+# --- ngram_stats ------------------------------------------------------------
+
+_NGRAM_MAX_R = 5
+
+
+@query(
+    "ngram_stats",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    grams AS (
+        SELECT 1 AS n, tok AS g FROM tok
+        UNION ALL
+        SELECT 2, tok || ' ' || lead(tok) OVER w2
+        FROM tok WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(tok) OVER w2 IS NOT NULL
+        UNION ALL
+        SELECT 3, tok || ' ' || lead(tok) OVER w3 || ' '
+                  || lead(tok, 2) OVER w3
+        FROM tok WINDOW w3 AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(tok, 2) OVER w3 IS NOT NULL
+    ),
+    gc AS (SELECT n, g, count(*) AS c FROM grams GROUP BY n, g),
+    coc AS (
+        SELECT n, least(c, {_NGRAM_MAX_R + 1}) AS r, count(*) AS n_r
+        FROM gc GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT n, sum(c) AS total_ngrams, count(*) AS distinct_ngrams
+        FROM gc GROUP BY n
+    )
+    SELECT CAST(s.n AS BIGINT) AS n, CAST(s.r AS BIGINT) AS r,
+           CAST(coalesce(coc.n_r, 0) AS BIGINT) AS n_r,
+           CAST(tot.total_ngrams AS BIGINT) AS total_ngrams,
+           CAST(tot.distinct_ngrams AS BIGINT) AS distinct_ngrams
+    FROM (
+        SELECT nn.n, rr.r
+        FROM (SELECT unnest(range(1, 4)) AS n) nn
+        CROSS JOIN (SELECT unnest(range(1, {_NGRAM_MAX_R + 2})) AS r) rr
+    ) s
+    LEFT JOIN coc ON coc.n = s.n AND coc.r = s.r
+    JOIN tot ON tot.n = s.n
+    """,
+)
+def ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram frequency-of-frequency tables (n = 1..3): for each order,
+    the count N_r of distinct n-grams occurring exactly r times
+    (r capped at {rmax}+, the Good–Turing smoothing statistics every
+    count-based LM needs), plus total and distinct n-gram counts — all
+    exact integers on a generated (n, r) spine so absent cells are
+    deterministic zeros, never missing rows.
+
+    Shape at 100 TB: n-grams come from lead() windows partitioned by
+    doc_id (one corpus shuffle, shared by all three orders via the
+    union) → gram hash-agg → a second agg over the VOCAB-sized count
+    relation; the spine join is broadcast metadata.
+    """.format(rmax=_NGRAM_MAX_R)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    ).where(F.col("tok").isNotNull())
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    with_leads = tok.select(
+        "tok",
+        F.lead("tok", 1).over(w).alias("t1"),
+        F.lead("tok", 2).over(w).alias("t2"),
+    )
+    grams = (
+        with_leads.select(F.lit(1).alias("n"), F.col("tok").alias("g"))
+        .unionByName(
+            with_leads.where(F.col("t1").isNotNull()).select(
+                F.lit(2).alias("n"),
+                F.concat_ws(" ", "tok", "t1").alias("g"),
+            )
+        )
+        .unionByName(
+            with_leads.where(F.col("t2").isNotNull()).select(
+                F.lit(3).alias("n"),
+                F.concat_ws(" ", "tok", "t1", "t2").alias("g"),
+            )
+        )
+    )
+    gc = grams.groupBy("n", "g").agg(F.count(F.lit(1)).alias("c"))
+    coc = gc.groupBy(
+        "n",
+        F.least(F.col("c"), F.lit(_NGRAM_MAX_R + 1)).alias("r"),
+    ).agg(F.count(F.lit(1)).alias("n_r"))
+    tot = gc.groupBy("n").agg(
+        F.sum("c").alias("total_ngrams"),
+        F.count(F.lit(1)).alias("distinct_ngrams"),
+    )
+    spine = (
+        spark.range(1, 4)
+        .select(F.col("id").alias("n"))
+        .crossJoin(
+            spark.range(1, _NGRAM_MAX_R + 2).select(F.col("id").alias("r"))
+        )
+    )
+    return (
+        spine.join(F.broadcast(coc), ["n", "r"], "left")
+        .join(F.broadcast(tot), "n")
+        .select(
+            "n",
+            "r",
+            F.coalesce("n_r", F.lit(0)).alias("n_r"),
+            "total_ngrams",
+            "distinct_ngrams",
+        )
+    )
+
+
+# --- tokenizer_fertility ----------------------------------------------------
+
+
+@query(
+    "tokenizer_fertility",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           floor(CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+                 / count(*) * 1e6 + 0.5) / 1e6 AS tokens_per_doc,
+           floor(CAST(sum(length(text)) AS DOUBLE)
+                 / sum(len(string_split(text, ' '))) * 1e6 + 0.5) / 1e6
+               AS chars_per_token
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility profile per language: docs, tokens, chars,
+    tokens/doc and chars/token — the multilingual-budget numbers that
+    decide vocabulary allocation (a language whose chars/token runs hot
+    is being over-fragmented and pays more sequence length per content).
+    Counts are exact integers; the two ratios follow the shared half-up
+    floor(x·1e6 + 0.5)/1e6 on both engines.
+
+    Shape at 100 TB: ONE hash-agg to |langs| rows; token counts are
+    row-local size(split()) — no explode, the cheapest possible pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        F.sum(F.length("text")).alias("n_chars"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        (
+            F.floor(
+                F.col("n_tokens").cast("double")
+                / F.col("n_docs") * 1e6 + F.lit(0.5)
+            ) / 1e6
+        ).alias("tokens_per_doc"),
+        (
+            F.floor(
+                F.col("n_chars").cast("double")
+                / F.col("n_tokens") * 1e6 + F.lit(0.5)
+            ) / 1e6
+        ).alias("chars_per_token"),
+    )
+
+
+# --- readability_score ------------------------------------------------------
+
+_SYL_RE = "[aeiouyAEIOUY]+"
+
+
+@query(
+    "readability_score",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               greatest(len(string_split(text, ' ')), 1) AS n_words,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS n_sentences,
+               greatest(len(regexp_extract_all(text, '{_SYL_RE}')), 1)
+                   AS n_syllables
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           floor((0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                  + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+                  - 15.59) * 1e4 + 0.5) / 1e4 AS fk_grade,
+           floor((206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                  - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words))
+                 * 1e4 + 0.5) / 1e4 AS flesch_ease
+    FROM base
+    """,
+)
+def readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch–Kincaid grade level and Flesch reading-ease per document —
+    the readability member of the quality-scoring family (text_quality /
+    quality_gopher), using the standard vowel-group syllable heuristic.
+    A corpus-curation filter keys on these directly (C4 kept 3 ≤ grade;
+    textbook-style selection keys on ease bands).
+
+    Shape at 100 TB: entirely row-local (two regexp counts and a split
+    size per row — no explode, no shuffle at all); the floats are fixed
+    rational functions of three per-row integers under the shared
+    half-up floor at 4 dp, computed identically on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.greatest(F.size(F.split("text", " ")), F.lit(1)).alias("n_words"),
+        F.greatest(
+            F.regexp_count("text", F.lit("[.!?]+")), F.lit(1)
+        ).alias("n_sentences"),
+        F.greatest(
+            F.regexp_count("text", F.lit(_SYL_RE)), F.lit(1)
+        ).alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return base.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        F.col("n_syllables").cast("long").alias("n_syllables"),
+        (F.floor((0.39 * wps + 11.8 * spw - 15.59) * 1e4 + F.lit(0.5)) / 1e4)
+        .alias("fk_grade"),
+        (
+            F.floor(
+                (206.835 - 1.015 * wps - 84.6 * spw) * 1e4 + F.lit(0.5)
+            ) / 1e4
+        ).alias("flesch_ease"),
+    )

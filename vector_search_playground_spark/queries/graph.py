@@ -23,7 +23,7 @@ the linear-state Spark answer).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vector_search_playground_spark.operators.dedup import connected_components
@@ -40,6 +40,27 @@ _EDGES_SQL = f"""
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE l.l_quantity >= {MIN_QTY} AND l.l_extendedprice > {MIN_PRICE}
 """
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared high-value (customer, supplier+OFFSET) edge relation —
+    the Spark mirror of ``_EDGES_SQL`` (filter pushed to the fact scan,
+    one join, distinct)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_quantity") >= MIN_QTY)
+        & (F.col("l_extendedprice") > MIN_PRICE)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.lit(SUPP_OFFSET) + F.col("l_suppkey")).alias("b"),
+        )
+        .distinct()
+    )
 
 
 @query(
@@ -302,4 +323,154 @@ def _pagerank(spark: SparkSession, sf_dir: str,
             "rank_fp",
             (F.col("rank_fp").cast("double") / F.lit(1e15)).alias("rank"),
         )
+    )
+
+
+# --- graph_common_neighbors -------------------------------------------------
+
+_CN_TOP = 20
+
+
+@query(
+    "graph_common_neighbors",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    sym AS (
+        SELECT a AS src, b AS dst FROM edges
+        UNION
+        SELECT b AS src, a AS dst FROM edges
+    ),
+    deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY src),
+    cn AS (
+        SELECT e1.dst AS a, e2.dst AS b, count(*) AS common
+        FROM sym e1 JOIN sym e2
+          ON e1.src = e2.src AND e1.dst < e2.dst
+        GROUP BY e1.dst, e2.dst
+    )
+    SELECT CAST(cn.a AS BIGINT) AS a, CAST(cn.b AS BIGINT) AS b,
+           CAST(common AS BIGINT) AS common_neighbors,
+           floor(CAST(common AS DOUBLE)
+                 / (da.deg + db.deg - common) * 1e6 + 0.5) / 1e6
+               AS jaccard
+    FROM cn
+    JOIN deg da ON da.node = cn.a
+    JOIN deg db ON db.node = cn.b
+    ORDER BY common DESC, cn.a, cn.b LIMIT {_CN_TOP}
+    """,
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor similarity over the high-value customer–supplier
+    graph: the top-{t} node pairs by shared-neighbor count with their
+    neighborhood Jaccard — the link-prediction / lookalike verb next to
+    ``graph_components`` (who co-transacts with the same counterparties
+    without transacting directly). Counts exact int64; the single ratio
+    is half-up floored at 6 dp from exact integers.
+
+    Shape at 100 TB: the wedge enumeration joins the symmetrized edge
+    relation with itself ON THE SHARED ENDPOINT — pair space is
+    Σ_v C(deg(v), 2), bounded by the business-selective edge filter
+    (pushed to the fact scan), never nodes²; a power-law hub would cap
+    via the same per-key salting the dedup family uses. One hash-agg to
+    pair counts, degree joins on the |nodes| relation, TakeOrdered {t}.
+    """.format(t=_CN_TOP)
+    edges = _edges(spark, sf_dir)
+    sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    e1 = sym.select(F.col("src").alias("m"), F.col("dst").alias("a"))
+    e2 = sym.select(F.col("src").alias("m"), F.col("dst").alias("b"))
+    cn = (
+        e1.join(e2, "m")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    return (
+        cn.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            "a",
+            "b",
+            F.col("common").cast("long").alias("common_neighbors"),
+            (
+                F.floor(
+                    F.col("common").cast("double")
+                    / (F.col("da") + F.col("db") - F.col("common"))
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("common_neighbors"), "a", "b")
+        .limit(_CN_TOP)
+    )
+
+
+# --- degree_distribution ----------------------------------------------------
+
+
+@query(
+    "degree_distribution",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    sym AS (
+        SELECT a AS src, b AS dst FROM edges
+        UNION
+        SELECT b AS src, a AS dst FROM edges
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+    hist AS (SELECT deg, count(*) AS n_nodes FROM deg GROUP BY deg),
+    t AS (SELECT sum(n_nodes) AS total FROM hist)
+    SELECT CAST(deg AS BIGINT) AS degree,
+           CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(sum(n_nodes) OVER (ORDER BY deg DESC) AS BIGINT)
+               AS n_nodes_ge,
+           floor(CAST(sum(n_nodes) OVER (ORDER BY deg DESC) AS DOUBLE)
+                 / t.total * 1e6 + 0.5) / 1e6 AS ccdf
+    FROM hist CROSS JOIN t
+    ORDER BY degree
+    """,
+)
+def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram + complementary CDF of the high-value
+    customer–supplier graph — the first thing anyone asks of a derived
+    graph (is it power-law? where do the hubs start?), and the planning
+    input for every wedge/triangle bound above. Counts exact; the ccdf
+    share is half-up floored at 6 dp from exact integers.
+
+    Shape at 100 TB: degrees are one hash-agg on the edge relation; the
+    histogram is a second agg over |nodes| rows; the cumulative window
+    runs over the |distinct degrees| spine — metadata all the way down.
+    """
+    edges = _edges(spark, sf_dir)
+    sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    hist = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("n_nodes"))
+    total = hist.agg(F.sum("n_nodes").alias("total"))
+    w = Window.orderBy(F.desc("deg"))  # |distinct degrees| spine
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .select(
+            F.col("deg").cast("long").alias("degree"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.sum("n_nodes").over(w).alias("n_nodes_ge"),
+            (
+                F.floor(
+                    F.sum("n_nodes").over(w).cast("double")
+                    / F.col("total")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("ccdf"),
+        )
+        .orderBy("degree")
     )

@@ -1001,3 +1001,320 @@ def dedup_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- gini_index -------------------------------------------------------------
+
+
+@query(
+    "gini_index",
+    oracle="""
+    WITH cust AS (
+        SELECT c.c_mktsegment AS segment, o.o_custkey,
+               CAST(floor(sum(o.o_totalprice) * 100 + 0.5) AS BIGINT)
+                   AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT segment, cents,
+               row_number() OVER (
+                   PARTITION BY segment ORDER BY cents, o_custkey
+               ) AS rk
+        FROM cust
+    ),
+    agg AS (
+        SELECT segment,
+               count(*) AS n,
+               sum(cents) AS s,
+               sum(rk * cents) AS s1
+        FROM ranked GROUP BY segment
+    )
+    SELECT segment,
+           CAST(n AS BIGINT) AS n_customers,
+           CAST(s AS BIGINT) AS total_cents,
+           floor((2.0 * s1 - (n + 1.0) * s) / (CAST(n AS DOUBLE) * s)
+                 * 1e6 + 0.5) / 1e6 AS gini
+    FROM agg
+    """,
+)
+def gini_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue per market segment — the
+    inequality member of the concentration family (the distributional
+    summary next to ``revenue_concentration``'s 80/20 crossing):
+    G = (2·Σᵢ i·xᵢ − (n+1)·Σx)/(n·Σx) over per-customer revenue sorted
+    ascending. Both moments are EXACT int64 (revenue in half-up floored
+    cents, ranks dense integers), so the only float work is one fixed
+    expression over three exact integers — identical on both engines,
+    half-up floored at 6 dp.
+
+    Shape at 100 TB: one fact hash-agg to per-customer cents (broadcast
+    dim join), then rank windows PARTITIONED BY SEGMENT — bounded
+    partitions (customers spread over segments), not a global sort; a
+    skewed segment would swap in the bucketed prefix-sum operator the
+    revenue_concentration path uses. Driver sees |segments| rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust_dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    cust = (
+        orders.join(F.broadcast(cust_dim), orders.o_custkey == cust_dim.c_custkey)
+        .groupBy("segment", "o_custkey")
+        .agg(
+            F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("segment").orderBy("cents", "o_custkey")
+    agg = (
+        cust.withColumn("rk", F.row_number().over(w))
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("s"),
+            F.sum(F.col("rk") * F.col("cents")).alias("s1"),
+        )
+    )
+    return agg.select(
+        "segment",
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("s").cast("long").alias("total_cents"),
+        (
+            F.floor(
+                (2.0 * F.col("s1") - (F.col("n") + 1.0) * F.col("s"))
+                / (F.col("n").cast("double") * F.col("s"))
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("gini"),
+    )
+
+
+# --- bootstrap_ci -----------------------------------------------------------
+
+_BOOT_B = 200  # resamples
+_BOOT_A = 1103515245  # LCG multiplier (glibc)
+_BOOT_C = 12345
+_BOOT_M = 2147483648  # 2^31
+
+
+@query(
+    "bootstrap_ci",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(floor(sum(l_extendedprice) * 100 + 0.5) AS BIGINT)
+                   AS cents,
+               row_number() OVER (ORDER BY l_shipdate) - 1 AS day_idx
+        FROM lineitem GROUP BY l_shipdate
+    ),
+    nd AS (SELECT count(*) AS d FROM daily),
+    draws AS (
+        SELECT b.b, i.i,
+               ({_BOOT_A} * (b.b * 1000 + i.i) + {_BOOT_C})
+                   % {_BOOT_M} % (SELECT d FROM nd) AS idx
+        FROM (SELECT unnest(range({_BOOT_B})) AS b) b
+        CROSS JOIN (
+            SELECT unnest(range((SELECT d FROM nd))) AS i
+        ) i
+    ),
+    sums AS (
+        SELECT d.b, sum(daily.cents) AS boot_cents
+        FROM draws d JOIN daily ON daily.day_idx = d.idx
+        GROUP BY d.b
+    ),
+    ordered AS (
+        SELECT boot_cents,
+               row_number() OVER (ORDER BY boot_cents, b) AS rk
+        FROM sums
+    )
+    SELECT CAST((SELECT d FROM nd) AS BIGINT) AS n_days,
+           CAST((SELECT sum(cents) FROM daily) AS BIGINT) AS total_cents,
+           CAST(max(CASE WHEN rk = {int(0.025 * _BOOT_B)} THEN boot_cents
+                    END) AS BIGINT) AS ci_lo_cents,
+           CAST(max(CASE WHEN rk = {int(0.975 * _BOOT_B)} THEN boot_cents
+                    END) AS BIGINT) AS ci_hi_cents
+    FROM ordered
+    """,
+)
+def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for total daily revenue — the
+    'error bars without distributional assumptions' verb every
+    experiment readout wants: {b} deterministic resamples of the daily
+    revenue series (with replacement), 95% CI from the order statistics
+    of the resampled sums. The resampling indices come from an explicit
+    LCG (glibc constants) evaluated identically in both engines, and
+    every statistic is EXACT int64 cents — the entire bootstrap is
+    hash-certifiable, no RNG seeds or float accumulation anywhere.
+
+    Shape at 100 TB: the corpus collapses to the |days|-row daily
+    relation in ONE hash-agg; the B×|days| draw grid is generated
+    metadata (never touches the fact table) and joins the daily
+    relation broadcast. The order-statistic window runs over B rows.
+    """.format(b=_BOOT_B)
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.groupBy("l_shipdate")
+        .agg(
+            F.floor(F.sum("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents")
+        )
+        .withColumn(
+            "day_idx",
+            F.row_number().over(Window.orderBy("l_shipdate")) - 1,
+        )
+        .cache()
+    )
+    try:
+        d = daily.count()
+        total = daily.agg(F.sum("cents")).first()[0]
+        draws = (
+            spark.range(_BOOT_B)
+            .select(F.col("id").alias("b"))
+            .crossJoin(spark.range(d).select(F.col("id").alias("i")))
+            .select(
+                "b",
+                (
+                    (_BOOT_A * (F.col("b") * 1000 + F.col("i")) + _BOOT_C)
+                    % _BOOT_M
+                    % d
+                ).alias("idx"),
+            )
+        )
+        sums = (
+            draws.join(
+                F.broadcast(daily.select("day_idx", "cents")),
+                draws.idx == F.col("day_idx"),
+            )
+            .groupBy("b")
+            .agg(F.sum("cents").alias("boot_cents"))
+        )
+        ordered = sums.withColumn(
+            "rk", F.row_number().over(Window.orderBy("boot_cents", "b"))
+        )
+        lo_rk, hi_rk = int(0.025 * _BOOT_B), int(0.975 * _BOOT_B)
+        return ordered.agg(
+            F.lit(d).cast("long").alias("n_days"),
+            F.lit(total).cast("long").alias("total_cents"),
+            F.max(
+                F.when(F.col("rk") == lo_rk, F.col("boot_cents"))
+            ).alias("ci_lo_cents"),
+            F.max(
+                F.when(F.col("rk") == hi_rk, F.col("boot_cents"))
+            ).alias("ci_hi_cents"),
+        )
+    finally:
+        daily.unpersist()
+
+
+# --- cross_correlation ------------------------------------------------------
+
+_XCORR_A, _XCORR_B = "click", "purchase"
+_XCORR_MAX_LAG = 7
+
+
+@query(
+    "cross_correlation",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               count(*) FILTER (WHERE event_type = '{_XCORR_A}') AS xa,
+               count(*) FILTER (WHERE event_type = '{_XCORR_B}') AS xb
+        FROM events GROUP BY 1
+    ),
+    lags AS (
+        SELECT unnest(range(-{_XCORR_MAX_LAG}, {_XCORR_MAX_LAG + 1}))
+            AS lag
+    ),
+    pairs AS (
+        SELECT l.lag, a.xa, b.xb
+        FROM lags l
+        JOIN daily a ON true
+        JOIN daily b ON b.day = a.day + to_days(CAST(l.lag AS INT))
+    ),
+    m AS (
+        SELECT lag, count(*) AS n,
+               sum(xa) AS sa, sum(xb) AS sb,
+               sum(xa * xb) AS sab,
+               sum(xa * xa) AS saa, sum(xb * xb) AS sbb
+        FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_days,
+           floor((n * sab - sa * sb)
+                 / sqrt((n * saa - sa * sa) * 1.0 * (n * sbb - sb * sb))
+                 * 1e6 + 0.5) / 1e6 AS r
+    FROM m
+    ORDER BY lag
+    """,
+)
+def cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the daily '{a}' and '{b}' event
+    series (lags −{k}..+{k} days): does activity in one series lead the
+    other — the attribution/leading-indicator diagnostic next to
+    ``autocorrelation``. Every accumulator (n, Σx, Σy, Σxy, Σx², Σy²)
+    is an EXACT int64 over integer daily counts; r is one fixed float
+    expression over them, half-up floored at 6 dp on both engines.
+
+    Shape at 100 TB: the event stream collapses to |days| rows in ONE
+    conditional hash-agg; the lag alignment is a |lags|×|days| join of
+    that metadata relation with itself (broadcast), and the moment agg
+    yields |lags| rows. Nothing past the first agg scales with events.
+    """.format(a=_XCORR_A, b=_XCORR_B, k=_XCORR_MAX_LAG)
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                (F.col("event_type") == _XCORR_A).cast("long")
+            ).alias("xa"),
+            F.sum(
+                (F.col("event_type") == _XCORR_B).cast("long")
+            ).alias("xb"),
+        )
+        .cache()
+    )
+    try:
+        lags = spark.range(-_XCORR_MAX_LAG, _XCORR_MAX_LAG + 1).select(
+            F.col("id").cast("int").alias("lag")
+        )
+        a = daily.select(F.col("day").alias("day_a"), "xa")
+        b = daily.select(F.col("day").alias("day_b"), "xb")
+        pairs = (
+            lags.crossJoin(F.broadcast(a))
+            .join(
+                F.broadcast(b),
+                F.col("day_b") == F.date_add(F.col("day_a"), F.col("lag")),
+            )
+        )
+        m = pairs.groupBy("lag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xa").alias("sa"),
+            F.sum("xb").alias("sb"),
+            F.sum(F.col("xa") * F.col("xb")).alias("sab"),
+            F.sum(F.col("xa") * F.col("xa")).alias("saa"),
+            F.sum(F.col("xb") * F.col("xb")).alias("sbb"),
+        )
+        out = m.select(
+            F.col("lag").cast("long").alias("lag"),
+            F.col("n").cast("long").alias("n_days"),
+            (
+                F.floor(
+                    (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb"))
+                    / F.sqrt(
+                        (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa"))
+                        * 1.0
+                        * (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb"))
+                    )
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("r"),
+        ).orderBy("lag")
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        daily.unpersist()

@@ -743,3 +743,97 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _OUT_TOP)
         .select("vec_id", F.col("label").cast("int").alias("label"), "dist", "rank")
     )
+
+
+# --- knn_mips ---------------------------------------------------------------
+
+_MIPS_SHORTLIST = 3 * K  # L2 shortlist margin before the exact dot rerank
+_MIPS_Q1 = (
+    "(SELECT CAST(embedding AS DOUBLE[]) AS query_embedding "
+    "FROM embeddings WHERE vec_id = 1) q"
+)
+
+
+@query(
+    "knn_mips",
+    oracle=f"""
+    SELECT e.vec_id,
+           ROUND(list_inner_product({_EMB}, q.query_embedding),
+                 {ROUND_DIST}) AS dot
+    FROM embeddings e, {_MIPS_Q1}
+    ORDER BY dot DESC, e.vec_id ASC LIMIT {K}
+    """,
+)
+def knn_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search via the asymmetric L2 reduction
+    (Bachrach 2014 / Neyshabur-Srebro 2015, the trick behind every
+    'L2 index serving a dot-product model' deployment): corpus vectors
+    augment to [x, √(M²−‖x‖²)] (constant norm M), the query to [q, 0] —
+    then L2 order on the augmented space IS inner-product order, so any
+    Euclidean index (the IVF/PQ family here) can serve MIPS unchanged.
+    This query runs the reduction end-to-end: augmented-L2 shortlist of
+    {s} via the same HOF kernel knn_l2 uses, then an EXACT rerank by
+    rounded dot + vec_id tiebreak to the final top-{k} — certified
+    against the direct inner-product oracle, proving the reduction
+    returns the true MIPS answer (the shortlist margin swamps any
+    last-ulp L2 reordering; the rerank makes the emitted order
+    engine-independent — the ivf_search rerank discipline).
+
+    Shape at 100 TB: M² is one corpus agg (a scalar broadcast); the
+    augmented scan is the same single codegen stage as knn_l2
+    (Scan → 1-row broadcast join → Project) feeding
+    TakeOrderedAndProject({s}); the rerank touches {s} rows.
+    """.format(s=_MIPS_SHORTLIST, k=K)
+    embs = load_table(spark, sf_dir, "embeddings")
+    m2 = embs.agg(
+        F.max(
+            V.dot_product(F.col("embedding"), F.col("embedding"))
+        ).alias("m2")
+    ).first()["m2"]
+    q1 = embs.where(F.col("vec_id") == 1).select(
+        F.col("embedding").alias("query_embedding")
+    )
+    aug = embs.crossJoin(F.broadcast(q1)).select(
+        "vec_id",
+        "embedding",
+        "query_embedding",
+        F.concat(
+            F.col("embedding").cast("array<double>"),
+            F.array(
+                F.sqrt(
+                    F.greatest(
+                        F.lit(m2)
+                        - V.dot_product(
+                            F.col("embedding"), F.col("embedding")
+                        ),
+                        F.lit(0.0),
+                    )
+                )
+            ),
+        ).alias("x_aug"),
+        F.concat(
+            F.col("query_embedding").cast("array<double>"),
+            F.array(F.lit(0.0)),
+        ).alias("q_aug"),
+    )
+    shortlist = (
+        aug.select(
+            "vec_id",
+            "embedding",
+            "query_embedding",
+            V.l2_distance(F.col("x_aug"), F.col("q_aug")).alias("l2_aug"),
+        )
+        .orderBy(F.asc("l2_aug"), F.asc("vec_id"))
+        .limit(_MIPS_SHORTLIST)
+    )
+    return (
+        shortlist.select(
+            "vec_id",
+            F.round(
+                V.dot_product(F.col("embedding"), F.col("query_embedding")),
+                ROUND_DIST,
+            ).alias("dot"),
+        )
+        .orderBy(F.desc("dot"), F.asc("vec_id"))
+        .limit(K)
+    )
