@@ -205,3 +205,75 @@ def test_knn_mips_plan_is_single_scan_takeordered(spark, sf_smoke):
     plan = _plan(Q["knn_mips"](spark, sf_smoke))
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+
+
+# --- round-7 second batch ---------------------------------------------------
+
+
+def test_span_corruption_plan_bounds(spark, sf_smoke):
+    df = Q["span_corruption"](spark, sf_smoke)
+    assert "Exchange" not in _plan(df), "span planning must not shuffle"
+    rows = df.collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        assert 0 <= r["start_tok"] < r["n_tok"]
+        assert 1 <= r["span_len"] <= 2 * 3 - 1
+        assert r["start_tok"] + r["span_len"] <= r["n_tok"]
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, spans in by_doc.items():
+        n_tok = spans[0]["n_tok"]
+        assert len(spans) == max(n_tok * 15 // 100 // 3, 1), doc
+
+
+def test_kfold_split_partitions_everything(spark, sf_smoke):
+    rows = Q["kfold_split"](spark, sf_smoke).collect()
+    assert {r["fold"] for r in rows} <= set(range(5))
+    assert sum(r["n_docs"] for r in rows) == 500
+    # per-language shares partition to 1 and no fold hogs a language
+    # (smoke-SF cells hold ~15 docs, so binomial spread is wide — the
+    # scorecard EXISTS to surface that, the bound only catches collapse)
+    by_lang = {}
+    for r in rows:
+        assert 0.0 < r["fold_share"] < 0.5
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, grp in by_lang.items():
+        assert sum(r["n_docs"] for r in grp) == grp[0]["lang_total"], lang
+
+
+def test_label_weights_balanced_formula(spark, sf_smoke):
+    rows = Q["label_weights"](spark, sf_smoke).collect()
+    total = sum(r["n"] for r in rows)
+    k = len(rows)
+    import math
+
+    for r in rows:
+        assert r["weight"] == pytest.approx(
+            math.floor(total / (k * r["n"]) * 1e6 + 0.5) / 1e6
+        )
+    # weighted sample mass is uniform across labels by construction
+    masses = [r["n"] * r["weight"] for r in rows]
+    assert max(masses) / min(masses) < 1.01
+
+
+def test_sql_tpch_q1_six_groups_exact_cents(spark, sf_smoke):
+    rows = Q["sql_tpch_q1"](spark, sf_smoke).collect()
+    assert 1 <= len(rows) <= 6  # |returnflag| x |linestatus|
+    for r in rows:
+        assert r["sum_charge_c"] >= r["sum_disc_c"]  # tax only adds
+        assert r["count_order"] > 0
+
+
+def test_eval_classification_consistency(spark, sf_smoke):
+    rows = Q["eval_classification"](spark, sf_smoke).collect()
+    # every label present exactly once; micro-counts reconcile with the
+    # underlying predictions
+    preds = Q["knn_classify"](spark, sf_smoke).collect()
+    n_preds = len(preds)
+    n_correct = sum(1 for p in preds if p["correct"])
+    assert sum(r["tp"] for r in rows) == n_correct
+    assert sum(r["tp"] + r["fn"] for r in rows) == n_preds
+    assert sum(r["tp"] + r["fp"] for r in rows) == n_preds
+    for r in rows:
+        for c in ("precision", "recall", "f1"):
+            assert r[c] is None or 0.0 <= r[c] <= 1.0

@@ -1840,3 +1840,59 @@ def rollup_merge_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mx", 2).alias("max_value"),
         F.round(F.round(F.col("s"), 2) / F.col("n_events"), 6).alias("avg_value"),
     )
+
+
+# --- sql_tpch_q1 ------------------------------------------------------------
+
+# ONE SQL text, executed verbatim by BOTH engines: the Spark side runs it
+# through spark.sql() over the registered views, the oracle hands the
+# identical string to DuckDB. TPC-H Q1's money aggregates ride the
+# module-wide exact-cents discipline (per-row floor(x*100+0.5) BEFORE the
+# sum, so every accumulator is int64 on both engines); averages divide two
+# exact integers inside the shared half-up floor.
+_TPCH_Q1_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_qty_c,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_base_c,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS sum_disc_c,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_charge_c,
+       floor(CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4 AS avg_qty_c,
+       floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4 AS avg_price_c,
+       floor(CAST(sum(CAST(floor(l_discount * 1000000 + 0.5) AS BIGINT))
+                  AS DOUBLE) / count(*) + 0.5) / 1e6 AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("sql_tpch_q1", oracle=_TPCH_Q1_SQL)
+def sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) as ONE SQL string executed
+    verbatim by both engines — the SQL-TEXT parity certificate: a user
+    can hand this engine the same ANSI SQL they run elsewhere and get
+    hash-identical results (the fn_* family certifies functions
+    individually; this certifies a whole multi-aggregate statement
+    including date literals, expression aggregates, and multi-key
+    ORDER BY). The reference's stack exposes raw SQL through sea-orm's
+    Statement escape hatch (src/main.rs:5); this is that surface,
+    certified.
+
+    Shape at 100 TB: the canonical map-side-combine aggregate — the
+    shipdate filter is pushed to the parquet scan, ONE hash-agg over 6
+    groups, partial aggregation upstream of the single exchange; the
+    plan is what every SQL engine turns Q1 into, here arrived at by
+    Catalyst from the raw string.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q1_SQL)

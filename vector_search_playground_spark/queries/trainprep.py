@@ -589,3 +589,220 @@ def impute_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         ev.unpersist()
+
+
+# --- span_corruption --------------------------------------------------------
+
+_SPAN_A = 1103515245  # glibc LCG (the bootstrap_ci constants — shared
+_SPAN_C = 12345       # deterministic-randomness discipline)
+_SPAN_M = 2147483648
+_SPAN_MEAN_LEN = 3          # T5 mean span length
+_SPAN_CORRUPT_PCT = 15      # target corruption rate, percent
+
+
+@query(
+    "span_corruption",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, n_tok,
+               greatest(n_tok * {_SPAN_CORRUPT_PCT} // 100
+                        // {_SPAN_MEAN_LEN}, 1) AS n_spans
+        FROM base WHERE n_tok >= {_SPAN_MEAN_LEN}
+    ),
+    drawn AS (
+        SELECT s.doc_id, s.n_tok, s.n_spans, k.k,
+               ({_SPAN_A} * (s.doc_id * 100 + k.k) + {_SPAN_C})
+                   % {_SPAN_M} % s.n_tok AS start_tok,
+               1 + ({_SPAN_A} * (s.doc_id * 100 + k.k + 50) + {_SPAN_C})
+                   % {_SPAN_M} % (2 * {_SPAN_MEAN_LEN} - 1) AS span_len
+        FROM spans s,
+             LATERAL (SELECT unnest(range(s.n_spans)) AS k) k
+    )
+    SELECT doc_id, CAST(k AS BIGINT) AS span_id,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(least(span_len, n_tok - start_tok) AS BIGINT) AS span_len,
+           CAST(n_tok AS BIGINT) AS n_tok
+    FROM drawn
+    """,
+)
+def span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption PLAN (Raffel 2020 §3.1.4): for every doc
+    long enough, draw ~{p}% worth of mask spans (mean length {m}) whose
+    starts and lengths come from the shared explicit-LCG discipline
+    (bootstrap_ci's constants) — deterministic, seedless, and therefore
+    fully hash-certifiable, unlike rand()-based masking. Emits the
+    (doc, span) plan a masking executor applies downstream; spans are
+    clipped at the doc end (overlaps are the applier's concern — T5's
+    own sampler draws i.i.d. too).
+
+    Shape at 100 TB: one row-local projection computes n_spans per doc;
+    the span fan-out is an explode of a generated range — work and
+    output are Θ(corpus · corruption-rate), no shuffle at all.
+    """.format(p=_SPAN_CORRUPT_PCT, m=_SPAN_MEAN_LEN)
+    docs = load_table(spark, sf_dir, "documents")
+    spans = (
+        docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+        )
+        .where(F.col("n_tok") >= _SPAN_MEAN_LEN)
+        .select(
+            "doc_id",
+            "n_tok",
+            F.greatest(
+                F.expr(
+                    f"n_tok * {_SPAN_CORRUPT_PCT} div 100"
+                    f" div {_SPAN_MEAN_LEN}"
+                ),
+                F.lit(1),
+            ).alias("n_spans"),
+        )
+    )
+    drawn = spans.select(
+        "doc_id",
+        "n_tok",
+        F.explode(F.expr("sequence(0, n_spans - 1)")).alias("k"),
+    ).select(
+        "doc_id",
+        F.col("k").cast("long").alias("span_id"),
+        (
+            (_SPAN_A * (F.col("doc_id") * 100 + F.col("k")) + _SPAN_C)
+            % _SPAN_M
+            % F.col("n_tok")
+        ).alias("start_tok"),
+        (
+            1
+            + (
+                _SPAN_A * (F.col("doc_id") * 100 + F.col("k") + 50)
+                + _SPAN_C
+            )
+            % _SPAN_M
+            % (2 * _SPAN_MEAN_LEN - 1)
+        ).alias("span_len_raw"),
+        "n_tok",
+    )
+    return drawn.select(
+        "doc_id",
+        "span_id",
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.least(
+            F.col("span_len_raw"), F.col("n_tok") - F.col("start_tok")
+        ).cast("long").alias("span_len"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+    )
+
+
+# --- kfold_split ------------------------------------------------------------
+
+_KFOLD_K = 5
+
+
+@query(
+    "kfold_split",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id, lang,
+               CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) % {_KFOLD_K} AS BIGINT) AS fold
+        FROM documents
+    )
+    SELECT fold, lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(count(*)) OVER (PARTITION BY lang) AS BIGINT)
+               AS lang_total,
+           floor(CAST(count(*) AS DOUBLE)
+                 / sum(count(*)) OVER (PARTITION BY lang)
+                 * 1e6 + 0.5) / 1e6 AS fold_share
+    FROM f GROUP BY fold, lang
+    """,
+)
+def kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment audit (k={k}): every doc lands in
+    exactly one fold via md5(doc_id) — the content-independent,
+    order-independent split a cross-validation harness needs (the
+    split_train_val discipline generalized to k folds) — and the output
+    is the per-(fold, lang) stratification scorecard: a fold whose
+    fold_share strays far from 1/k for some language signals a skewed
+    split before any training run pays for it.
+
+    Shape at 100 TB: fold id is row-local hash math; ONE hash-agg to the
+    k·|langs| grid; the lang-total window runs over that grid. The hash
+    (first 8 md5 hex chars mod k) is evaluated identically by both
+    engines — the feature_hashing discipline.
+    """.format(k=_KFOLD_K)
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "lang",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % _KFOLD_K
+        ).alias("fold"),
+    )
+    g = f.groupBy("fold", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("lang")
+    return g.select(
+        "fold",
+        "lang",
+        "n_docs",
+        F.sum("n_docs").over(w).alias("lang_total"),
+        (
+            F.floor(
+                F.col("n_docs").cast("double")
+                / F.sum("n_docs").over(w)
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("fold_share"),
+    )
+
+
+# --- label_weights ----------------------------------------------------------
+
+
+@query(
+    "label_weights",
+    oracle="""
+    WITH c AS (
+        SELECT label, count(*) AS n FROM embeddings GROUP BY label
+    ),
+    t AS (SELECT sum(n) AS total, count(*) AS k FROM c)
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(n AS BIGINT) AS n,
+           floor(CAST(t.total AS DOUBLE) / (t.k * c.n) * 1e6 + 0.5) / 1e6
+               AS weight
+    FROM c CROSS JOIN t
+    """,
+)
+def label_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency class weights (sklearn's 'balanced' formula
+    w_c = N/(k·n_c)) over the embedding labels — the one-line relation
+    every imbalanced-classification loss needs, emitted as a certified
+    query so the weights a trainer consumes are auditable.
+
+    Shape at 100 TB: ONE hash-agg to |labels| rows; totals broadcast.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("k")
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        F.col("label").cast("long").alias("label"),
+        "n",
+        (
+            F.floor(
+                F.col("total").cast("double")
+                / (F.col("k") * F.col("n"))
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("weight"),
+    )

@@ -837,3 +837,115 @@ def knn_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dot"), F.asc("vec_id"))
         .limit(K)
     )
+
+
+# --- eval_classification ----------------------------------------------------
+
+from vector_search_playground_spark.registry import ORACLES as _ORACLES
+
+
+@query(
+    "eval_classification",
+    oracle=f"""
+    WITH preds AS ({_ORACLES["knn_classify"]}),
+    labels AS (SELECT DISTINCT CAST(label AS BIGINT) AS label
+               FROM embeddings),
+    m AS (
+        SELECT l.label,
+               (SELECT count(*) FROM preds p
+                WHERE p.true_label = l.label
+                  AND p.pred_label = l.label) AS tp,
+               (SELECT count(*) FROM preds p
+                WHERE p.pred_label = l.label
+                  AND p.true_label <> l.label) AS fp,
+               (SELECT count(*) FROM preds p
+                WHERE p.true_label = l.label
+                  AND p.pred_label <> l.label) AS fn
+        FROM labels l
+    )
+    SELECT label,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           CAST(tp + fn AS BIGINT) AS support,
+           CASE WHEN tp + fp = 0 THEN NULL
+                ELSE floor(CAST(tp AS DOUBLE) / (tp + fp) * 1e6 + 0.5)
+                     / 1e6 END AS precision,
+           CASE WHEN tp + fn = 0 THEN NULL
+                ELSE floor(CAST(tp AS DOUBLE) / (tp + fn) * 1e6 + 0.5)
+                     / 1e6 END AS recall,
+           CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                ELSE floor(2.0 * tp / (2 * tp + fp + fn) * 1e6 + 0.5)
+                     / 1e6 END AS f1
+    FROM m
+    """,
+)
+def eval_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label precision / recall / F1 scorecard over the
+    ``knn_classify`` held-out predictions — the evaluation verb that
+    turns the classifier into a monitorable metric (the eval_retrieval /
+    eval_minhash discipline applied to classification). Every label in
+    the table appears (absent-from-predictions labels emit zero rows
+    with NULL metrics, deterministically, not missing rows); counts are
+    exact integers, ratios half-up floored at 6 dp.
+
+    Shape at 100 TB: the prediction relation is |held-out| rows (already
+    bounded by knn_classify's scan-once design); the confusion collapse
+    is ONE hash-agg on (true, pred) — a |labels|² relation — joined to
+    the |labels| spine broadcast. The oracle replays knn_classify's own
+    certified SQL as a CTE, so both layers stay in lockstep by
+    construction.
+    """
+    preds = knn_classify(spark, sf_dir).select("true_label", "pred_label")
+    cells = preds.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    labels = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.col("label").cast("long").alias("label"))
+        .distinct()
+    )
+    tp = cells.where(F.col("true_label") == F.col("pred_label")).select(
+        F.col("true_label").cast("long").alias("label"),
+        F.col("n").alias("tp"),
+    )
+    fp = (
+        cells.where(F.col("true_label") != F.col("pred_label"))
+        .groupBy(F.col("pred_label").cast("long").alias("label"))
+        .agg(F.sum("n").alias("fp"))
+    )
+    fn = (
+        cells.where(F.col("true_label") != F.col("pred_label"))
+        .groupBy(F.col("true_label").cast("long").alias("label"))
+        .agg(F.sum("n").alias("fn"))
+    )
+    m = (
+        labels.join(F.broadcast(tp), "label", "left")
+        .join(F.broadcast(fp), "label", "left")
+        .join(F.broadcast(fn), "label", "left")
+        .select(
+            "label",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            F.coalesce("fp", F.lit(0)).alias("fp"),
+            F.coalesce("fn", F.lit(0)).alias("fn"),
+        )
+    )
+    ratio = lambda num, den: F.when(  # noqa: E731
+        den == 0, F.lit(None)
+    ).otherwise(F.floor(num / den * 1e6 + F.lit(0.5)) / 1e6)
+    return m.select(
+        "label",
+        "tp",
+        "fp",
+        "fn",
+        (F.col("tp") + F.col("fn")).alias("support"),
+        ratio(
+            F.col("tp").cast("double"), F.col("tp") + F.col("fp")
+        ).alias("precision"),
+        ratio(
+            F.col("tp").cast("double"), F.col("tp") + F.col("fn")
+        ).alias("recall"),
+        ratio(
+            2.0 * F.col("tp"), 2 * F.col("tp") + F.col("fp") + F.col("fn")
+        ).alias("f1"),
+    )
