@@ -722,22 +722,45 @@ def ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("tok", 1).over(w).alias("t1"),
         F.lead("tok", 2).over(w).alias("t2"),
     )
-    grams = (
-        with_leads.select(F.lit(1).alias("n"), F.col("tok").alias("g"))
-        .unionByName(
-            with_leads.where(F.col("t1").isNotNull()).select(
-                F.lit(2).alias("n"),
-                F.concat_ws(" ", "tok", "t1").alias("g"),
+    # all three orders fan out of ONE window pass (a union of three
+    # branches would re-shuffle the corpus per branch): each row emits
+    # its unigram plus conditional bi/trigram structs, then one explode
+    grams = with_leads.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.lit(1).alias("n"), F.col("tok").alias("g")
+                    )
+                ),
+                F.when(
+                    F.col("t1").isNotNull(),
+                    F.array(
+                        F.struct(
+                            F.lit(2).alias("n"),
+                            F.concat_ws(" ", "tok", "t1").alias("g"),
+                        )
+                    ),
+                ).otherwise(F.expr("array()").cast("array<struct<n:int,g:string>>")),
+                F.when(
+                    F.col("t2").isNotNull(),
+                    F.array(
+                        F.struct(
+                            F.lit(3).alias("n"),
+                            F.concat_ws(" ", "tok", "t1", "t2").alias("g"),
+                        )
+                    ),
+                ).otherwise(F.expr("array()").cast("array<struct<n:int,g:string>>")),
             )
-        )
-        .unionByName(
-            with_leads.where(F.col("t2").isNotNull()).select(
-                F.lit(3).alias("n"),
-                F.concat_ws(" ", "tok", "t1", "t2").alias("g"),
-            )
-        )
+        ).alias("x")
+    ).select(F.col("x.n").alias("n"), F.col("x.g").alias("g"))
+    # coc and tot both consume gc: materialize the vocab-sized count
+    # relation once so the corpus window/explode never runs twice
+    gc = (
+        grams.groupBy("n", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
-    gc = grams.groupBy("n", "g").agg(F.count(F.lit(1)).alias("c"))
     coc = gc.groupBy(
         "n",
         F.least(F.col("c"), F.lit(_NGRAM_MAX_R + 1)).alias("r"),

@@ -373,10 +373,12 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the same per-key salting the dedup family uses. One hash-agg to
     pair counts, degree joins on the |nodes| relation, TakeOrdered {t}.
     """.format(t=_CN_TOP)
-    edges = _edges(spark, sf_dir)
+    # the filtered edge relation is reused ~6x (sym twice, deg, both
+    # wedge sides); materialize it once so the fact join never re-runs
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
     sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)
     deg = sym.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
@@ -448,7 +450,7 @@ def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram is a second agg over |nodes| rows; the cumulative window
     runs over the |distinct degrees| spine — metadata all the way down.
     """
-    edges = _edges(spark, sf_dir)
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
     sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
