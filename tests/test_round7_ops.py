@@ -277,3 +277,26 @@ def test_eval_classification_consistency(spark, sf_smoke):
     for r in rows:
         for c in ("precision", "recall", "f1"):
             assert r[c] is None or 0.0 <= r[c] <= 1.0
+
+
+def test_scan_xml_roundtrip_and_caching(spark, sf_smoke):
+    import glob
+    import os
+
+    df = Q["scan_xml"](spark, sf_smoke)
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert len(rows) == 500
+    # spot-check content fidelity against parquet
+    src = {
+        rec["doc_id"]: rec
+        for rec in duckdb.sql(
+            f"SELECT doc_id, lang, text FROM '{sf_smoke}/documents.parquet'"
+        ).df().to_dict("records")
+    }
+    for did in (0, 123, 499):
+        assert rows[did]["text"] == src[did]["text"]
+        assert rows[did]["lang"] == src[did]["lang"]
+    # second invocation serves the fingerprint-cached materialization
+    from vector_search_playground_spark.queries.llm_pipeline import SCRATCH
+
+    assert glob.glob(os.path.join(SCRATCH, "documents_xml_sf0.001_*"))

@@ -913,3 +913,55 @@ def readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) / 1e4
         ).alias("flesch_ease"),
     )
+
+
+# --- scan_xml ---------------------------------------------------------------
+
+
+@query(
+    "scan_xml",
+    oracle="SELECT doc_id, lang, text FROM documents",
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest through Spark 4's built-in ``xml`` source (the
+    spark-xml package merged into core) — the enterprise-interchange
+    front door next to scan_csv/scan_jsonl/scan_orc: the documents
+    table is written ONCE per fixture fingerprint as row-tagged XML by
+    the same source's writer, then read back with an explicit schema.
+    The oracle is the original relation, so the certificate covers the
+    full write→escape→parse→read round trip (entity escaping, row
+    tagging, type restoration) value-for-value.
+
+    Shape at 100 TB: the XML reader splits by row tag across files and
+    streams records — the plan is a plain FileScan feeding the hash
+    compare; explicit schema avoids the inference pass a 100 TB corpus
+    could not afford (schema inference reads everything twice).
+    """
+    import os
+
+    from vector_search_playground_spark.queries.llm_pipeline import (
+        SCRATCH,
+        _fixture_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    fp = _fixture_fingerprint(sf_dir, "documents")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(SCRATCH, f"documents_xml_{tag}_{fp}")
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        (
+            docs.repartition(4)
+            .write.mode("overwrite")
+            .format("xml")
+            .option("rowTag", "doc")
+            .option("rootTag", "docs")
+            .save(base)
+        )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema("doc_id long, lang string, text string")
+        .load(base)
+    )
