@@ -30,3 +30,4 @@ from vector_search_playground_spark.queries import reliability  # noqa: F401
 from vector_search_playground_spark.queries import statistics  # noqa: F401
 from vector_search_playground_spark.queries import experiments  # noqa: F401
 from vector_search_playground_spark.queries import corpusmine  # noqa: F401
+from vector_search_playground_spark.queries import sqlparity  # noqa: F401

@@ -1,0 +1,400 @@
+"""SQL-surface parity certificates (round-7 third batch).
+
+The reference exposes raw SQL through sea-orm's ``Statement`` escape hatch
+(``/root/reference/src/main.rs:5`` imports the connection machinery every
+sea-orm app uses for verbatim SQL); a user migrating from the reference's
+Postgres backend brings their SQL text with them. ``sql_tpch_q1``
+(queries/relational.py) certified one statement; this module widens the
+certificate to the SQL surface a real analytics user exercises:
+
+- multi-table joins + LIMIT (``sql_tpch_q3``, ``sql_tpch_q5``),
+- selective scans (``sql_tpch_q6``),
+- ``FILTER (WHERE ...)`` aggregate clauses (``sql_filtered_agg``),
+- ``WITH RECURSIVE`` (``sql_recursive_cte`` — Spark 4 finally has it),
+- ``LATERAL`` correlated subqueries with per-row LIMIT
+  (``sql_lateral_topk``),
+- tri-valued NULL logic (``sql_null_semantics``),
+- Spark 4 pipe syntax (``sql_pipe_syntax`` — Spark-only dialect, so the
+  oracle is the classic phrasing of the same plan),
+- the Spark 4 VARIANT type over JSON event payloads (``variant_json``).
+
+Every query here except the last two is ONE SQL string executed verbatim
+by BOTH engines (spark.sql over the registered views; the identical text
+handed to DuckDB) — the strongest possible parity claim: not "the same
+semantics re-expressed twice" but "the same bytes".
+
+Hash discipline (SURVEY.md §5): money rides the module-wide exact-cents
+pattern — per-row ``floor(x * 100 + 0.5)`` into BIGINT *before* the sum,
+so every accumulator is an integer and summation order cannot matter;
+every LIMIT carries a deterministic tiebreak; timestamps are emitted as
+VARCHAR dates, never raw.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from vector_search_playground_spark.registry import query
+from vector_search_playground_spark.sources import register_views
+
+# --- sql_tpch_q3 ------------------------------------------------------------
+
+_TPCH_Q3_SQL = """
+SELECT l_orderkey,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_c,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR(10)) AS order_date
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1996-03-15'
+  AND l_shipdate > DATE '1996-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_c DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("sql_tpch_q3", oracle=_TPCH_Q3_SQL)
+def sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping-priority: top-10 unshipped BUILDING orders by
+    pending revenue), adapted to the fixture's columns and 1995-2001 date
+    range, as ONE verbatim SQL string for both engines. Extends the Q1
+    certificate to the join surface: a 3-table join, a date-literal
+    band on two tables, aliased ORDER BY + LIMIT with an explicit
+    l_orderkey tiebreak (TPC-H's own tiebreak — revenue ties are real).
+
+    Shape at 100 TB: both date filters push to their parquet scans
+    (orders AND lineitem pruned before the join); customer⋈orders
+    shuffles on custkey, then orders⋈lineitem on orderkey; the final
+    TakeOrdered(10) never materializes a global sort. AQE picks
+    broadcast for the filtered customer side when it fits.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q3_SQL)
+
+
+# --- sql_tpch_q5 ------------------------------------------------------------
+
+_TPCH_Q5_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_c
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue_c DESC, n_name
+"""
+
+
+@query("sql_tpch_q5", oracle=_TPCH_Q5_SQL)
+def sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier volume: per-nation revenue where customer
+    and supplier share a nation inside one region), verbatim on both
+    engines — the 6-table star-with-a-twist join: the c_nationkey =
+    s_nationkey equality rides the supplier join, which is what makes
+    Q5 a join-ORDER test rather than a pure star.
+
+    Shape at 100 TB: region→nation→supplier is a broadcast chain (25
+    nations, 5 regions — dimension tables); the fact-side shuffles are
+    customer⋈orders (custkey) then ⋈lineitem (orderkey); Catalyst
+    reorders the dimension probes behind the fact joins and AQE
+    broadcasts every sub-threshold side. One 5-group hash-agg at the
+    end — partial map-side, single exchange.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q5_SQL)
+
+
+# --- sql_tpch_q6 ------------------------------------------------------------
+
+_TPCH_Q6_SQL = """
+SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_c,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01'
+  AND l_shipdate < DATE '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("sql_tpch_q6", oracle=_TPCH_Q6_SQL)
+def sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting-revenue-change: one scalar over a
+    triple-banded scan), verbatim on both engines. The pure
+    predicate-pushdown certificate: no join, no group key — the entire
+    query is "how much of the scan did the filters kill". The double
+    literals (0.05/0.07) parse to identical IEEE values in both
+    engines, and the fixture's discounts are the same parquet doubles,
+    so the band is engine-independent without any epsilon.
+
+    Shape at 100 TB: all four predicates reach the parquet reader
+    (min/max row-group pruning on shipdate does most of the work);
+    map-side partial sums into ONE exchange of one row per task.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q6_SQL)
+
+
+# --- sql_filtered_agg -------------------------------------------------------
+
+_FILTERED_AGG_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (WHERE value >= 50) AS BIGINT) AS n_high,
+       CAST(count(DISTINCT user_id) FILTER (WHERE value >= 50) AS BIGINT)
+           AS n_high_users,
+       CAST(coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                     FILTER (WHERE value >= 50), 0) AS BIGINT)
+           AS high_value_c
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("sql_filtered_agg", oracle=_FILTERED_AGG_SQL)
+def sql_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ``FILTER (WHERE ...)`` aggregate clauses, verbatim on both
+    engines — the standard way to compute conditional aggregates
+    without CASE-wrapping every argument, including the harder
+    ``count(DISTINCT x) FILTER`` form (a per-group filtered distinct).
+    The filtered sum wears COALESCE because a group where no row
+    passes the filter yields NULL, and the certificate pins that NULL
+    (not 0) is what both engines produce before the coalesce.
+
+    Shape at 100 TB: one hash-agg over 5 groups; the distinct-count
+    expands to Spark's standard two-phase partial-distinct plan —
+    nothing here changes shape with scale.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_FILTERED_AGG_SQL)
+
+
+# --- sql_recursive_cte ------------------------------------------------------
+
+_RECURSIVE_CTE_SQL = """
+WITH RECURSIVE rev AS (
+    SELECT CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mon,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS rev_c
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1997-01-01'
+    GROUP BY EXTRACT(MONTH FROM o_orderdate)
+), walk(mon, cum_c) AS (
+    SELECT CAST(1 AS INT) AS mon,
+           CAST(coalesce((SELECT rev_c FROM rev WHERE mon = 1), 0)
+                AS BIGINT) AS cum_c
+    UNION ALL
+    SELECT CAST(w.mon + 1 AS INT) AS mon,
+           CAST(w.cum_c + coalesce(r.rev_c, 0) AS BIGINT) AS cum_c
+    FROM walk w LEFT JOIN rev r ON r.mon = w.mon + 1
+    WHERE w.mon < 12
+)
+SELECT mon, CAST(cum_c AS BIGINT) AS cum_revenue_c FROM walk ORDER BY mon
+"""
+
+
+@query("sql_recursive_cte", oracle=_RECURSIVE_CTE_SQL)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WITH RECURSIVE`` (SPARK-24497, finally shipped in Spark 4.0),
+    verbatim on both engines: a 12-step recursion walks the months of
+    1996 carrying a cumulative-revenue accumulator, LEFT-joining each
+    step against a non-recursive monthly-revenue CTE so months with no
+    orders still advance the walk (the COALESCE pins that). Every
+    accumulator is exact integer cents — the recursion is
+    order-deterministic by construction, so the two engines' iteration
+    schedules cannot diverge the values.
+
+    Shape at 100 TB: the recursion itself is 12 rows — the data-scale
+    work is the non-recursive ``rev`` aggregate (map-side partial into
+    a 12-group exchange); each recursive step then joins 1 row against
+    12. Recursive CTEs whose per-step relation is data-scale (graph
+    closure) are served by the dedicated operators
+    (queries/graph.py pointer-jumping) instead — this certifies the
+    SQL surface, not a new scale path.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_CTE_SQL)
+
+
+# --- sql_lateral_topk -------------------------------------------------------
+
+_LATERAL_TOPK_SQL = """
+SELECT n_name, s_name, bal_c
+FROM nation, LATERAL (
+    SELECT s_name,
+           CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+    FROM supplier
+    WHERE s_nationkey = n_nationkey
+    ORDER BY s_acctbal DESC, s_name
+    LIMIT 2
+) top2
+ORDER BY n_name, bal_c DESC, s_name
+"""
+
+
+@query("sql_lateral_topk", oracle=_LATERAL_TOPK_SQL)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``LATERAL`` correlated subquery with a per-row ORDER BY + LIMIT
+    (top-2 suppliers by account balance per nation), verbatim on both
+    engines — the SQL-standard spelling of top-k-per-group that sea-orm
+    users write against Postgres. The inner ORDER BY carries the s_name
+    tiebreak (balance ties are real money values); floor(x*100+0.5) is
+    the shared half-up even for negative balances, identical on both
+    engines. ``topk_per_group`` (queries/relational.py) certifies the
+    window-function phrasing of the same semantics; this certifies the
+    lateral phrasing.
+
+    Shape at 100 TB: Catalyst decorrelates the lateral into a
+    rank-over-partition plan — per-group ordering shuffles on the
+    correlation key once, no per-outer-row re-execution survives
+    optimization (the naive nested-loop reading is the *semantic*
+    model, not the physical plan).
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_TOPK_SQL)
+
+
+# --- sql_null_semantics -----------------------------------------------------
+
+_NULL_SEMANTICS_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(et) AS BIGINT) AS n_nonnull,
+       CAST(count(*) FILTER (WHERE et IS NULL) AS BIGINT) AS n_null,
+       CAST(count(*) FILTER (WHERE et IS DISTINCT FROM 'click') AS BIGINT)
+           AS n_not_click_3vl,
+       CAST(count(*) FILTER (WHERE (et = 'click') IS NULL) AS BIGINT)
+           AS n_unknown_cmp,
+       CAST(count(*) FILTER (WHERE et NOT IN ('click', 'purchase'))
+            AS BIGINT) AS n_notin,
+       CAST(count(DISTINCT et) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN et IS NULL THEN user_id END) AS BIGINT)
+           AS null_user_sum,
+       coalesce(max(et), 'none') AS max_nonnull
+FROM (SELECT NULLIF(event_type, 'view') AS et, user_id FROM events) t
+"""
+
+
+@query("sql_null_semantics", oracle=_NULL_SEMANTICS_SQL)
+def sql_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tri-valued-logic certificate, verbatim on both engines: NULLIF
+    manufactures NULLs from real data ('view' events), then one
+    aggregate row pins every NULL behavior that silently differs
+    across engines when got wrong — count(*) vs count(col), IS NULL
+    vs ``= NULL``-is-UNKNOWN (the ``(et = 'click') IS NULL`` column),
+    ``IS DISTINCT FROM`` treating NULL as a comparable value, NOT IN's
+    UNKNOWN-excludes-row trap, NULL-skipping count(DISTINCT), sum over
+    an ELSE-less CASE, and max() ignoring NULLs. One disagreement in
+    any of these and the hash breaks — this is the certificate the
+    rounding-tie ledger (tests/test_canonicalizer.py) wants for NULL
+    handling specifically.
+
+    Shape at 100 TB: a single full-scan hash-agg with map-side
+    partials; nothing shape-changes with scale.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_NULL_SEMANTICS_SQL)
+
+
+# --- sql_pipe_syntax --------------------------------------------------------
+
+_PIPE_SPARK_SQL = """
+FROM lineitem
+|> WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+|> EXTEND CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+               AS BIGINT) AS net_c
+|> AGGREGATE CAST(sum(net_c) AS BIGINT) AS revenue_c,
+             CAST(count(*) AS BIGINT) AS n_rows
+   GROUP BY l_returnflag
+|> ORDER BY l_returnflag
+"""
+
+_PIPE_ORACLE_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_c,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("sql_pipe_syntax", oracle=_PIPE_ORACLE_SQL)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (SPARK-49555: ``FROM t |> WHERE … |>
+    AGGREGATE … GROUP BY …``) certified against the classic phrasing of
+    the identical plan as the DuckDB oracle — the one query in this
+    module whose two texts differ, because the pipe dialect is
+    Spark-side only. The certificate: the pipe front-end lowers to
+    exactly the same logical plan (filter → project → hash-agg → sort)
+    as the classic text, proven by value-hash equality.
+
+    Shape at 100 TB: identical to the classic phrasing — the shipdate
+    band pushes to the scan, EXTEND is a codegen'd projection, one
+    3-group hash-agg with map-side partials.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_PIPE_SPARK_SQL)
+
+
+# --- variant_json -----------------------------------------------------------
+
+_VARIANT_SPARK_SQL = """
+SELECT CAST(floor(CAST(variant_get(parse_json(props), '$.k') AS BIGINT)
+                  / 10) AS BIGINT) AS k_decile,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS value_c
+FROM events
+GROUP BY CAST(floor(CAST(variant_get(parse_json(props), '$.k') AS BIGINT)
+                    / 10) AS BIGINT)
+ORDER BY k_decile
+"""
+
+_VARIANT_ORACLE_SQL = """
+SELECT CAST(floor(CAST(props->>'k' AS BIGINT) / 10) AS BIGINT) AS k_decile,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS value_c
+FROM events
+GROUP BY CAST(floor(CAST(props->>'k' AS BIGINT) / 10) AS BIGINT)
+ORDER BY k_decile
+"""
+
+
+@query("variant_json", oracle=_VARIANT_ORACLE_SQL)
+def variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type (SPARK-45827) over the events JSON payload:
+    ``parse_json`` shreds ``props`` into the binary VARIANT encoding,
+    ``variant_get`` path-extracts ``$.k``, and the pipeline aggregates
+    per k-decile. The oracle replays the extraction with DuckDB's JSON
+    operators (``->>``), so the certificate is cross-REPRESENTATION:
+    Spark's shredded binary variant and DuckDB's textual JSON must
+    agree on every extracted value. fn_map_json (queries/relational.py)
+    certifies get_json_object/from_json; this certifies the Spark-4
+    semi-structured path a 100 TB event-log user should actually be on
+    — VARIANT decode is columnar and ~an order of magnitude faster
+    than repeated string JSON parsing, and the extraction prunes to
+    the single accessed field.
+
+    Shape at 100 TB: scan → per-row variant decode (JVM, codegen) →
+    10-group hash-agg with map-side partials; the VARIANT column in a
+    real table would be written shredded at ingest so ``parse_json``
+    happens once, not per query.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_VARIANT_SPARK_SQL)

@@ -806,3 +806,164 @@ def label_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("weight"),
     )
+
+
+# --- contrastive_pairs ------------------------------------------------------
+
+_CP_MOD = 10  # every 10th vector anchors a triplet
+_CP_HA, _CP_HB, _CP_HP = 1000003, 7919, 999983  # negative-pick hash
+
+
+@query(
+    "contrastive_pairs",
+    oracle=f"""
+    WITH a AS (
+        SELECT vec_id AS anchor_id, label AS anchor_label,
+               embedding AS aemb
+        FROM embeddings WHERE vec_id % {_CP_MOD} = 0
+    ),
+    pos AS (
+        SELECT anchor_id, cand AS pos_id, dist AS pos_dist FROM (
+            SELECT a.anchor_id, e.vec_id AS cand,
+                   ROUND(1 - list_cosine_similarity(
+                             CAST(e.embedding AS DOUBLE[]),
+                             CAST(a.aemb AS DOUBLE[])), {ROUND_DIST})
+                       AS dist,
+                   row_number() OVER (
+                       PARTITION BY a.anchor_id
+                       ORDER BY ROUND(1 - list_cosine_similarity(
+                                    CAST(e.embedding AS DOUBLE[]),
+                                    CAST(a.aemb AS DOUBLE[])),
+                                {ROUND_DIST}), e.vec_id) AS rn
+            FROM a JOIN embeddings e
+              ON e.label = a.anchor_label AND e.vec_id <> a.anchor_id
+        ) WHERE rn = 1
+    ),
+    neg AS (
+        SELECT anchor_id, cand AS neg_id, cand_label AS neg_label FROM (
+            SELECT a.anchor_id, e.vec_id AS cand, e.label AS cand_label,
+                   row_number() OVER (
+                       PARTITION BY a.anchor_id
+                       ORDER BY (a.anchor_id * {_CP_HA}
+                                 + e.vec_id * {_CP_HB}) % {_CP_HP},
+                                e.vec_id) AS rn
+            FROM a JOIN embeddings e ON e.label <> a.anchor_label
+        ) WHERE rn = 1
+    )
+    SELECT a.anchor_id,
+           CAST(a.anchor_label AS INT) AS anchor_label,
+           p.pos_id, p.pos_dist,
+           n.neg_id, CAST(n.neg_label AS INT) AS neg_label
+    FROM a
+    JOIN pos p ON p.anchor_id = a.anchor_id
+    JOIN neg n ON n.anchor_id = a.anchor_id
+    ORDER BY a.anchor_id
+    """,
+)
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-triplet mining (anchor, positive, negative) — the
+    batch-assembly step for embedding-model training (SimCLR/InfoNCE
+    style): every {m}-th vector anchors a triplet whose positive is its
+    nearest same-label neighbor (cosine, rounded-distance + id ranking
+    so the pick is engine-independent) and whose negative is a
+    deterministic hash-pick over the different-label corpus — RNG-free,
+    so the same triplet set falls out on every engine and every rerun
+    (the `sample_negatives`/`split_train_val` discipline applied to
+    triplets). The pos_dist column rides along so a margin audit
+    (pos_dist vs the implied negative distance) is a one-agg follow-up.
+
+    The oracle replays both picks as row_number() windows over the pair
+    fan-out (the knn_classify oracle discipline) while the Spark side
+    phrases them as min_by-over-struct hash-agg argmins — both reduce
+    to "argmin under (key, id) lexicographic order", certified equal by
+    the value hash. The oracle's dist ORDER key is rounded exactly like
+    the engine side, so a float knife-edge cannot flip the argmin.
+
+    Shape at 100 TB: positives are LABEL-BLOCKED (pair space Σ|label|²,
+    the semdedup bound — never corpus²) and shuffle once on label;
+    negatives broadcast the bounded anchor sample and stream the corpus
+    map-side in ONE pass, reduced by a hash-agg argmin (no window, no
+    sort, no second corpus scan). At training scale anchors are the
+    batch sample, so the broadcast side stays small by construction;
+    a billion-anchor variant would bucket the hash-pick instead
+    (operators/setjoin.py discipline).
+    """.format(m=_CP_MOD)
+    from vector_search_playground_spark.functions.vector import (
+        cosine_distance,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") % _CP_MOD == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("aemb"),
+    )
+
+    # positives: label-blocked self-join, argmin (rounded dist, cand id)
+    cands = emb.select(
+        F.col("vec_id").alias("cand"),
+        F.col("label").alias("cand_label"),
+        F.col("embedding").alias("cemb"),
+    )
+    pos_pairs = anchors.join(
+        cands,
+        (F.col("cand_label") == F.col("anchor_label"))
+        & (F.col("cand") != F.col("anchor_id")),
+    ).withColumn(
+        "dist",
+        F.round(
+            cosine_distance(F.col("cemb"), F.col("aemb")), ROUND_DIST
+        ),
+    )
+    pos = pos_pairs.groupBy("anchor_id").agg(
+        F.min_by(
+            F.col("cand"),
+            F.struct(F.col("dist"), F.col("cand").cast("double")),
+        ).alias("pos_id"),
+        F.min("dist").alias("pos_dist"),
+    )
+
+    # negatives: broadcast anchors, one corpus pass, hash-argmin
+    neg_pairs = (
+        F.broadcast(
+            anchors.select("anchor_id", "anchor_label")
+        )
+        .join(
+            cands.select("cand", "cand_label"),
+            F.col("cand_label") != F.col("anchor_label"),
+        )
+        .withColumn(
+            "hkey",
+            (
+                F.col("anchor_id") * _CP_HA + F.col("cand") * _CP_HB
+            )
+            % _CP_HP,
+        )
+    )
+    neg = neg_pairs.groupBy("anchor_id").agg(
+        F.min_by(
+            F.col("cand"), F.struct(F.col("hkey"), F.col("cand"))
+        ).alias("neg_id"),
+        F.min_by(
+            F.col("cand_label"),
+            F.struct(F.col("hkey"), F.col("cand")),
+        )
+        .cast("int")
+        .alias("neg_label"),
+    )
+
+    return (
+        anchors.select(
+            "anchor_id", F.col("anchor_label").cast("int").alias("anchor_label")
+        )
+        .join(pos, "anchor_id")
+        .join(neg, "anchor_id")
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "pos_id",
+            "pos_dist",
+            "neg_id",
+            "neg_label",
+        )
+    )
