@@ -99,6 +99,10 @@ RECERTIFY_IF_AT_OR_BEFORE = {
     # (leave-one-out hit/AUC + train-fit AUC; codebook balance/usage)
     "als_recommend": 6,
     "index_build_pq": 6,
+    # round-7: topk_diverse graduated from rows-only (its r5 row) to a
+    # full value oracle — MMR re-based on the certified int8-quantized
+    # similarity space, greedy unrolled as MATERIALIZED CTEs
+    "topk_diverse": 6,
 }
 
 

@@ -618,76 +618,220 @@ def pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 MMR_LAMBDA = 0.5
 MMR_CANDIDATES = 50
 
+# int8 symmetric quantization, verbatim the certified quantize_embed pair
+# (queries/vector_search.py _QE): per-vector scale max|x|/127, round()
+# half-away-from-zero on both engines.
+_MMR_QE = (
+    "list_transform(CAST({col} AS DOUBLE[]), "
+    "x -> CAST(round(x * 127.0 / GREATEST("
+    "list_max(list_transform(CAST({col} AS DOUBLE[]), y -> abs(y))), "
+    "1e-30)) AS BIGINT))"
+)
 
-@query("topk_diverse")  # rows-only: greedy MMR is iterative, not SQL
+# cosine over the int8 codes: the dots are EXACT int64 (|sum| <= 127^2*dim
+# << 2^53), so sqrt/divide are single correctly-rounded IEEE ops on
+# identical operands — bit-equal across engines, no reduction-order hazard.
+_MMR_QCOS = (
+    "list_inner_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " / GREATEST("
+    "sqrt(list_inner_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    " * sqrt(list_inner_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))),"
+    " 1e-30)"
+)
+
+
+def _mmr_oracle() -> str:
+    """Unrolled K-step greedy MMR as DuckDB CTEs (the pagerank_topn
+    discipline: a sequential recurrence becomes one CTE per step with
+    identical IEEE op order on both engines). MATERIALIZED is load-
+    bearing: DuckDB inlines plain CTEs per reference, and the s1→sK
+    chain would re-expand cand/sims exponentially without it."""
+    lam, inv = MMR_LAMBDA, 1 - MMR_LAMBDA
+    parts = [
+        "WITH qz AS MATERIALIZED (",
+        f"    SELECT vec_id, {_MMR_QE.format(col='embedding')} AS qv"
+        " FROM embeddings",
+        "),",
+        "q0 AS MATERIALIZED (SELECT qv AS q0v FROM qz WHERE vec_id = 0),",
+        "cand AS MATERIALIZED (",
+        "    SELECT vec_id, qv,",
+        f"           ROUND(1 - {_MMR_QCOS.format(a='qv', b='q0v')},"
+        f" {ROUND_DIST}) AS dist_q",
+        "    FROM qz, q0 WHERE vec_id <> 0",
+        f"    ORDER BY dist_q ASC, vec_id ASC LIMIT {MMR_CANDIDATES}",
+        "),",
+        "rel AS MATERIALIZED"
+        " (SELECT vec_id, 1 - dist_q AS rel FROM cand),",
+        "sims AS MATERIALIZED (",
+        "    SELECT a.vec_id AS va, b.vec_id AS vb,",
+        f"           {_MMR_QCOS.format(a='a.qv', b='b.qv')} AS sim",
+        "    FROM cand a JOIN cand b ON a.vec_id <> b.vec_id",
+        "),",
+        "p1 AS MATERIALIZED (SELECT vec_id, rel,"
+        " CAST(1 AS INT) AS rank FROM rel",
+        f"       ORDER BY floor({lam} * rel * 1e9 + 0.5) DESC, vec_id"
+        " LIMIT 1),",
+        "s1 AS MATERIALIZED (SELECT vec_id FROM p1),",
+    ]
+    for i in range(2, K + 1):
+        p = i - 1
+        parts += [
+            f"p{i} AS MATERIALIZED (SELECT r.vec_id, r.rel,"
+            f" CAST({i} AS INT) AS rank",
+            f"       FROM rel r JOIN sims s ON s.va = r.vec_id"
+            f" AND s.vb IN (SELECT vec_id FROM s{p})",
+            f"       WHERE r.vec_id NOT IN (SELECT vec_id FROM s{p})",
+            "       GROUP BY r.vec_id, r.rel",
+            f"       ORDER BY floor(({lam} * r.rel - {inv} * max(s.sim))"
+            " * 1e9 + 0.5) DESC, r.vec_id LIMIT 1),",
+            f"s{i} AS MATERIALIZED (SELECT vec_id FROM s{p}"
+            f" UNION ALL SELECT vec_id FROM p{i}),",
+        ]
+    sel_union = " UNION ALL ".join(
+        f"SELECT * FROM p{i}" for i in range(1, K + 1)
+    )
+    parts += [
+        f"sel AS MATERIALIZED ({sel_union}),",
+        "mmr_pairs AS MATERIALIZED"
+        " (SELECT floor(s.sim * 1e6 + 0.5) AS sim_micro",
+        f"              FROM sims s WHERE s.va IN (SELECT vec_id FROM s{K})",
+        f"               AND s.vb IN (SELECT vec_id FROM s{K})"
+        " AND s.va < s.vb),",
+        "plain AS MATERIALIZED"
+        " (SELECT vec_id FROM cand ORDER BY dist_q, vec_id"
+        f" LIMIT {K}),",
+        "plain_pairs AS MATERIALIZED"
+        " (SELECT floor(s.sim * 1e6 + 0.5) AS sim_micro",
+        "              FROM sims s WHERE s.va IN (SELECT vec_id FROM plain)",
+        "               AND s.vb IN (SELECT vec_id FROM plain)"
+        " AND s.va < s.vb)",
+        "SELECT sel.rank, sel.vec_id, sel.rel AS relevance,",
+        "       (SELECT CAST(floor(CAST(sum(sim_micro) AS DOUBLE)"
+        " / count(*) + 0.5) AS BIGINT) FROM mmr_pairs)"
+        " AS avg_sim_mmr_micro,",
+        "       (SELECT CAST(floor(CAST(sum(sim_micro) AS DOUBLE)"
+        " / count(*) + 0.5) AS BIGINT) FROM plain_pairs)"
+        " AS avg_sim_plain_micro",
+        "FROM sel ORDER BY sel.rank",
+    ]
+    return "\n".join(parts)
+
+
+@query("topk_diverse", oracle=_mmr_oracle())
 def topk_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance top-k (Carbonell & Goldstein 1998):
     re-rank the exact top-MMR_CANDIDATES so each pick balances query
     relevance against redundancy with what's already picked —
-    MMR = λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s). The diversified page of
-    results single-metric KNN can't produce.
+    MMR = lam*sim(q,d) - (1-lam)*max_{s in S} sim(d,s) — the
+    diversified result page single-metric KNN can't produce.
+
+    GRADUATED from rows-only to a full value oracle (round 7) by moving
+    the similarity space onto the certified int8 quantization
+    (quantize_embed, queries/vector_search.py): every dot product is an
+    EXACT int64, so relevance, redundancy, and the greedy argmax keys
+    are single IEEE ops on identical operands — bit-equal across
+    engines with NO summation-order knife edge anywhere (the barrier
+    that kept float-space MMR rows-only). The oracle unrolls the K-step
+    greedy as one MATERIALIZED CTE per pick (the pagerank_topn
+    discipline); argmax keys are floor(score*1e9+0.5) with a vec_id
+    tiebreak, and the in-row diversity scorecard (mean pairwise sim of
+    the MMR page vs the plain top-k page, micro-units) sums exact
+    integers so even the averages are engine-independent.
 
     Distribution boundary drawn where the data is: candidate generation
-    is the corpus-scale TakeOrderedAndProject scan; the greedy loop runs
-    driver-side over the BOUNDED candidate set (k passes over ≤50 rows —
-    the same bounded-metadata-collect discipline as knn's query set).
-    Ties break on vec_id, so the selection is deterministic."""
-    import numpy as np
+    is the corpus-scale shuffle-free scan + TakeOrdered(50) (constant-
+    folded quantized query, the quantize_embed plan); the greedy loop
+    runs driver-side over the BOUNDED candidate set (K passes over <=50
+    rows — the same bounded-metadata-collect discipline as knn's query
+    set). At 100 TB only the candidate scan grows; the MMR stage is
+    O(K * MMR_CANDIDATES) regardless of corpus size."""
+    import math
 
     embs = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    scale = F.greatest(
+        F.array_max(F.transform(emb, lambda x: F.abs(x))), F.lit(1e-30)
+    )
+    qv_expr = F.transform(
+        emb, lambda x: F.round(x * F.lit(127.0) / scale).cast("long")
+    )
+    qz = embs.select("vec_id", qv_expr.alias("qv"))
+    q0_row = qz.where(F.col("vec_id") == 0).first()["qv"]
+    q0_lit = F.array(*[F.lit(int(x)) for x in q0_row])
+    q0_norm = float(sum(x * x for x in q0_row)) ** 0.5
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    dot = idot(F.col("qv"), q0_lit)
+    norm = F.sqrt(idot(F.col("qv"), F.col("qv")).cast("double")) * F.lit(
+        q0_norm
+    )
     cand = (
-        _with_query_vec(spark, sf_dir)
-        .where(F.col("vec_id") != 0)
-        .select("vec_id", "embedding", "dist")
-        .orderBy(F.asc("dist"), F.asc("vec_id"))
+        qz.where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "qv",
+            F.round(
+                F.lit(1.0)
+                - dot.cast("double") / F.greatest(norm, F.lit(1e-30)),
+                ROUND_DIST,
+            ).alias("dist_q"),
+        )
+        .orderBy(F.asc("dist_q"), F.asc("vec_id"))
         .limit(MMR_CANDIDATES)
         .collect()
     )
     ids = [r["vec_id"] for r in cand]
-    rel = {r["vec_id"]: 1.0 - r["dist"] for r in cand}
-    mat = np.array([r["embedding"] for r in cand], dtype=np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
-    sim = mat @ mat.T
-    idx = {v: i for i, v in enumerate(ids)}
+    rel = {r["vec_id"]: 1.0 - r["dist_q"] for r in cand}
+    codes = {r["vec_id"]: list(r["qv"]) for r in cand}
+    norms = {v: math.sqrt(float(sum(x * x for x in codes[v]))) for v in ids}
+
+    def sim(a: int, b: int) -> float:
+        d = float(sum(x * y for x, y in zip(codes[a], codes[b])))
+        return d / max(norms[a] * norms[b], 1e-30)
 
     picked: list[int] = []
     remaining = list(ids)
     while remaining and len(picked) < K:
-        best, best_score = None, None
+        best, best_key = None, None
         for v in remaining:
-            redundancy = (
-                max(sim[idx[v], idx[p]] for p in picked) if picked else 0.0
-            )
-            score = MMR_LAMBDA * rel[v] - (1 - MMR_LAMBDA) * redundancy
-            key = (round(score, 9), -v)  # deterministic: score then min id
-            if best is None or key > best_score:
-                best, best_score = v, key
+            red = max((sim(v, p) for p in picked), default=0.0)
+            score = MMR_LAMBDA * rel[v] - (1 - MMR_LAMBDA) * red
+            key = (math.floor(score * 1e9 + 0.5), -v)
+            if best is None or key > best_key:
+                best, best_key = v, key
         picked.append(best)
         remaining.remove(best)
 
-    # In-row diversity proof for the driver's rows-only check: mean
-    # pairwise cosine similarity of the MMR set vs the plain top-k —
-    # the diversified page must never be MORE redundant than plain KNN
-    # (asserted in tests, visible to the driver in every row).
-    def avg_pairwise(sel: list[int]) -> float:
-        sims = [
-            sim[idx[a], idx[b]]
+    # In-row diversity proof: mean pairwise sim (exact-int micro-units)
+    # of the MMR page vs the plain top-K page — the diversified page
+    # must never be MORE redundant than plain KNN (asserted in tests,
+    # visible to the driver in every row).
+    def avg_micro(sel: list[int]) -> int | None:
+        ms = [
+            math.floor(sim(a, b) * 1e6 + 0.5)
             for i, a in enumerate(sel)
             for b in sel[i + 1 :]
         ]
-        return float(sum(sims) / len(sims)) if sims else 0.0
+        if not ms:
+            return None
+        return int(math.floor(float(sum(ms)) / len(ms) + 0.5))
 
-    plain = ids[:K]
-    div_mmr = round(avg_pairwise(picked), ROUND_DIST)
-    div_plain = round(avg_pairwise(plain), ROUND_DIST)
+    mmr_m = avg_micro(picked)
+    plain_m = avg_micro(ids[:K])
     rows = [
-        (rank + 1, int(v), round(rel[v], ROUND_DIST), div_mmr, div_plain)
-        for rank, v in enumerate(picked)
+        (r + 1, int(v), rel[v], mmr_m, plain_m)
+        for r, v in enumerate(picked)
     ]
     return spark.createDataFrame(
         rows,
         "rank int, vec_id long, relevance double, "
-        "avg_sim_mmr double, avg_sim_plain double",
+        "avg_sim_mmr_micro long, avg_sim_plain_micro long",
     )
 
 
