@@ -55,11 +55,15 @@ def test_video_frame_sampling(media):
 
 
 def test_decode_stub_is_honest():
-    # jpeg stays behind the library seam (png graduated in round 5)
+    # mp4 stays behind the library seam (png graduated in round 5, gif in
+    # round 6, flac + baseline jpeg in round 7)
     with pytest.raises(NotImplementedError):
+        decode_media("video", b"\x00" * 16, {"format": "mp4"}, fake=False)
+    # jpeg now has a real decoder: garbage is a hard parse error, not a seam
+    with pytest.raises(ValueError):
         decode_media("image", b"\x00" * 16, {"format": "jpeg"}, fake=False)
-    d1 = decode_media("image", b"\x00" * 16, {"format": "jpeg"}, fake=True)
-    d2 = decode_media("image", b"\x00" * 16, {"format": "jpeg"}, fake=True)
+    d1 = decode_media("video", b"\x00" * 16, {"format": "mp4"}, fake=True)
+    d2 = decode_media("video", b"\x00" * 16, {"format": "mp4"}, fake=True)
     assert d1 == d2
 
 
@@ -156,10 +160,10 @@ def test_real_pipeline_decodes_and_is_partition_invariant(spark, sf_smoke):
 
 def test_compressed_formats_remain_a_seam():
     # png graduated to a real built-in decoder in round 5, gif in round 6,
-    # flac in round 7; jpeg/mp4 still mark the library seam
-    for fmt in ("jpeg", "mp4"):
+    # flac and baseline jpeg in round 7; mp4 still marks the library seam
+    for fmt in ("mp4",):
         with pytest.raises(NotImplementedError):
-            decode_media("image", b"\xff\xd8", {"format": fmt}, fake=False)
+            decode_media("video", b"\x00\x00", {"format": fmt}, fake=False)
 
 
 # --- png codec (round 5) ---------------------------------------------------
@@ -263,7 +267,7 @@ def test_media_pipeline_carries_png(spark, sf_smoke):
         .distinct()
         .collect()
     }
-    assert fmts == {"png", "ppm", "gif"}
+    assert fmts == {"png", "ppm", "gif", "jpeg"}
     feats = extract_features(media, fake=False)
     img = feats.where(F.col("kind") == "image")
     assert img.count() > 0
@@ -453,3 +457,153 @@ def test_flac_wav_same_signal_same_features():
         w, _ = decode_wav(_audio_payload(step, "wav"))
         f, _ = decode_flac(_audio_payload(step, "flac"))
         assert _audio_features(w, 16000) == _audio_features(f, 16000)
+
+
+# --- jpeg codec (round 7) ---------------------------------------------------
+
+
+def _psnr(a, b) -> float:
+    import numpy as np
+
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def test_jpeg_roundtrip_psnr_and_quality_monotone():
+    """Lossy codec contract: shape-exact, deterministic, PSNR-bounded,
+    and distortion must fall as quality rises."""
+    import numpy as np
+
+    from vector_search_playground_spark.functions.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    h, w = 48, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    smooth = np.stack(
+        [
+            127
+            + 100
+            * np.sin(2 * np.pi * (xx / w + c / 3))
+            * np.cos(2 * np.pi * yy / h)
+            for c in range(3)
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    psnrs = []
+    for q in (50, 85, 95):
+        enc = encode_jpeg(smooth, q)
+        assert enc.startswith(b"\xff\xd8") and enc.endswith(b"\xff\xd9")
+        dec = decode_jpeg(enc)
+        assert dec.shape == smooth.shape and dec.dtype == np.uint8
+        psnrs.append(_psnr(dec, smooth))
+    assert psnrs == sorted(psnrs), "higher quality must not hurt PSNR"
+    assert psnrs[-1] > 40.0, f"q=95 smooth-content PSNR too low: {psnrs}"
+    assert encode_jpeg(smooth, 85) == encode_jpeg(smooth, 85)
+
+
+def test_jpeg_gray_and_odd_dimensions():
+    import numpy as np
+
+    from vector_search_playground_spark.functions.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    yy, xx = np.mgrid[0:45, 0:61]
+    gray = ((2 * xx + yy) % 200).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(gray, 90))
+    assert dec.shape == (45, 61)
+    assert _psnr(dec, gray) > 30.0
+    rgb = np.stack([gray, 255 - gray, gray // 2], axis=-1).astype(np.uint8)
+    dec3 = decode_jpeg(encode_jpeg(rgb, 90))
+    assert dec3.shape == (45, 61, 3)
+
+
+def test_jpeg_constant_color_is_exact():
+    """A flat image is pure DC — lossy only through rounding, so the
+    round-trip must be exact (the color-transform sanity anchor)."""
+    import numpy as np
+
+    from vector_search_playground_spark.functions.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = np.full((16, 24, 3), (200, 30, 90), np.uint8)
+    assert (decode_jpeg(encode_jpeg(img, 95)) == img).all()
+
+
+def test_jpeg_rejects_corrupt_and_unsupported_streams():
+    import numpy as np
+    import pytest
+
+    from vector_search_playground_spark.functions.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = np.zeros((16, 16, 3), np.uint8)
+    enc = bytearray(encode_jpeg(img, 85))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG not a jpeg")
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(enc[: len(enc) // 2]))  # truncated mid-stream
+    # flip SOF0 -> SOF2 (progressive): must hit the documented seam
+    sof_at = bytes(enc).find(b"\xff\xc0")
+    prog = bytes(enc[:sof_at]) + b"\xff\xc2" + bytes(enc[sof_at + 2 :])
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(prog)
+    # claim 2x2 luma subsampling: decoder only supports 4:4:4.
+    # SOF0 layout: marker(2) len(2) precision(1) h(2) w(2) nc(1) then
+    # per-component [id, sampling, tq] — comp0 sampling sits at +11
+    sub = bytearray(enc)
+    assert sub[sof_at + 11] == 0x11
+    sub[sof_at + 11] = 0x22
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(sub))
+
+
+def test_jpeg_entropy_stream_has_no_bare_ff():
+    """Byte-stuffing check: between SOS and EOI every 0xFF must be
+    followed by 0x00 (no markers are emitted mid-scan)."""
+    import numpy as np
+
+    from vector_search_playground_spark.functions.multimodal import (
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (32, 40, 3), dtype=np.uint8)
+    enc = encode_jpeg(img, 75)
+    sos = enc.find(b"\xff\xda")
+    seglen = int.from_bytes(enc[sos + 2 : sos + 4], "big")
+    body = enc[sos + 2 + seglen : -2]
+    i = 0
+    while i < len(body):
+        if body[i] == 0xFF:
+            assert body[i + 1] == 0x00, f"bare 0xFF at {i}"
+            i += 2
+        else:
+            i += 1
+
+
+def test_jpeg_payloads_flow_through_pipeline(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from vector_search_playground_spark.functions.multimodal import (
+        extract_features,
+        synthesize_real_media,
+    )
+    from vector_search_playground_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(80)
+    media = synthesize_real_media(docs)
+    n_jpeg = media.where(F.col("meta.format") == "jpeg").count()
+    assert n_jpeg > 0, "rotation must produce jpeg payloads"
+    feats = extract_features(media, fake=False).where(
+        F.col("kind") == "image"
+    )
+    rows = feats.select("payload_bytes", "features").collect()
+    assert rows and all(len(r["features"]) > 0 for r in rows)

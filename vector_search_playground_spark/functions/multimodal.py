@@ -16,11 +16,12 @@ vectors. Two codec tiers:
   real signal statistics (RMS / zero-crossing / spectral centroid for
   audio, per-channel moments for images, per-sampled-frame luma for
   video).
-- **The library seam stays**: compressed formats (png/jpeg/mp4/flac …)
+- **The library seam stays**: remaining compressed formats (mp4 …)
   raise ``NotImplementedError`` at the same call site where
   Pillow/ffmpeg/torchaudio would plug in, and ``fake=True`` keeps the
   deterministic BLAKE2b pseudo-decode for tests that only need the
-  plumbing.
+  plumbing. PNG (r5), GIF (r6), FLAC and baseline JPEG (r7) graduated
+  from the seam to real built-in codecs.
 
 Scale shape: every stage here is a pure map over Arrow record batches —
 no shuffle, no driver collection; media rows stay on their input
@@ -1019,6 +1020,526 @@ def decode_flac(payload: bytes):
     return x.astype(np.float64) / 32768.0, sr
 
 
+# --- JPEG (baseline sequential DCT, 4:4:4 / grayscale) ----------------------
+# ITU-T T.81 baseline: level shift, 8x8 DCT-II, Annex-K-scaled quantization,
+# zigzag, DC differential + run-length AC, canonical Huffman entropy coding
+# with byte stuffing. The encoder computes OPTIMAL per-image Huffman tables
+# (libjpeg's jpeg_gen_optimal_table algorithm) and writes them as DHT
+# segments, so decoder correctness never depends on the Annex K constant
+# tables; the decoder handles any conformant baseline 4:4:4 / gray stream.
+# The first LOSSY codec in the family: round-trip tests assert PSNR bounds
+# and quality monotonicity instead of byte equality.
+
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# Annex K base quantization tables (luma, chroma), natural order
+_JPEG_QL = (
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+)
+_JPEG_QC = (
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+)
+
+
+def _jpeg_dct_matrix():
+    import numpy as np
+
+    k = np.arange(8).reshape(8, 1)
+    n = np.arange(8).reshape(1, 8)
+    c = 0.5 * np.cos((2 * n + 1) * k * np.pi / 16)
+    c[0] /= np.sqrt(2)
+    return c
+
+
+def _jpeg_scaled_tables(quality: int):
+    """libjpeg quality scaling: 5000/q below 50, 200-2q above."""
+    import numpy as np
+
+    q = max(1, min(100, int(quality)))
+    scale = 5000 / q if q < 50 else 200 - 2 * q
+    out = []
+    for t in (_JPEG_QL, _JPEG_QC):
+        tq = np.floor((np.array(t, np.float64) * scale + 50) / 100)
+        out.append(np.clip(tq, 1, 255))
+    return out
+
+
+def _jpeg_gen_huff_table(freq257):
+    """Optimal length-limited Huffman table (libjpeg
+    jpeg_gen_optimal_table): code sizes via least-frequent pair merging
+    over a parent chain, Annex K.2 adjustment down to 16 bits, then the
+    (bits[16], huffval) DHT representation. Symbol 256 is the reserved
+    sentinel guaranteeing no real symbol is assigned the all-ones code."""
+    freq = list(freq257)
+    freq[256] = 1
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        c1 = c2 = -1
+        v1 = v2 = 1 << 60
+        for i in range(257):
+            if freq[i] > 0:
+                if freq[i] <= v1:
+                    v2, c2 = v1, c1
+                    v1, c1 = freq[i], i
+                elif freq[i] <= v2:
+                    v2, c2 = freq[i], i
+        if c2 < 0:
+            break
+        freq[c1] += freq[c2]
+        freq[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    i = 32
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1
+    huffval = [
+        s for size in range(1, 17) for s in range(256) if codesize[s] == size
+    ]
+    return bits[1:17], huffval
+
+
+def _jpeg_canonical_codes(bits16, huffval):
+    """symbol -> (length, code) under JPEG's canonical assignment — the
+    same derivation the decoder applies to a DHT segment."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits16[length - 1]):
+            codes[huffval[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _JpegBitWriter:
+    """MSB-first bit packer with 0xFF 0x00 byte stuffing (entropy data
+    may never contain a bare 0xFF)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, bits: int) -> None:
+        if bits == 0:
+            return
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.nbits += bits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _jpeg_mag_bits(v: int):
+    """(magnitude category, value bits): negatives use one's-complement
+    offset per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    s = abs(v).bit_length()
+    return (s, v if v > 0 else v + (1 << s) - 1)
+
+
+def _jpeg_blocks(plane):
+    """(n_blocks, 8, 8) float64 view of an edge-padded plane, raster
+    block order."""
+    import numpy as np
+
+    h, w = plane.shape
+    p = np.pad(plane, ((0, -h % 8), (0, -w % 8)), mode="edge").astype(
+        np.float64
+    )
+    hh, ww = p.shape
+    return (
+        p.reshape(hh // 8, 8, ww // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+
+
+def encode_jpeg(pixels, quality: int = 85) -> bytes:
+    """Baseline JFIF JPEG from (h, w, 3) uint8 RGB (4:4:4, no chroma
+    subsampling) or (h, w) uint8 gray. SOI + APP0 + DQT + SOF0 + DHT
+    (optimal per-image tables) + SOS + entropy data + EOI. All DCT /
+    quantization math is vectorized numpy over every block at once; only
+    the entropy serialization walks symbols."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if not gray and (px.ndim != 3 or px.shape[2] != 3):
+        raise ValueError("expected (h, w, 3) RGB or (h, w) gray")
+    if gray:
+        planes = [px.astype(np.float64)]
+    else:
+        r = px[..., 0].astype(np.float64)
+        g = px[..., 1].astype(np.float64)
+        b = px[..., 2].astype(np.float64)
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    ncomp = len(planes)
+    qtabs = _jpeg_scaled_tables(quality)
+    dctm = _jpeg_dct_matrix()
+    zz_idx = np.array(_JPEG_ZIGZAG)
+
+    comp_codes = []
+    for ci, plane in enumerate(planes):
+        blocks = _jpeg_blocks(plane) - 128.0
+        coef = np.einsum("km,bmn,ln->bkl", dctm, blocks, dctm)
+        qt = qtabs[0 if ci == 0 else 1].reshape(8, 8)
+        qc = np.round(coef / qt).astype(np.int32)
+        comp_codes.append(qc.reshape(-1, 64)[:, zz_idx])
+
+    n_mcu = ((w + 7) // 8) * ((h + 7) // 8)
+    ntab = 1 if gray else 2
+    dc_freq = [[0] * 257 for _ in range(ntab)]
+    ac_freq = [[0] * 257 for _ in range(ntab)]
+    pred = [0] * ncomp
+    sym_stream = []  # (table, is_dc, symbol, value_bits, value_len)
+    for m in range(n_mcu):
+        for ci in range(ncomp):
+            t = 0 if ci == 0 else 1
+            zz = comp_codes[ci][m]
+            diff = int(zz[0]) - pred[ci]
+            pred[ci] = int(zz[0])
+            s, vb = _jpeg_mag_bits(diff)
+            dc_freq[t][s] += 1
+            sym_stream.append((t, True, s, vb, s))
+            run = 0
+            nz = np.nonzero(zz[1:])[0]
+            last = int(nz[-1]) + 1 if len(nz) else 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:  # ZRL
+                    ac_freq[t][0xF0] += 1
+                    sym_stream.append((t, False, 0xF0, 0, 0))
+                    run -= 16
+                s, vb = _jpeg_mag_bits(v)
+                sym = (run << 4) | s
+                ac_freq[t][sym] += 1
+                sym_stream.append((t, False, sym, vb, s))
+                run = 0
+            if last < 63:  # EOB
+                ac_freq[t][0x00] += 1
+                sym_stream.append((t, False, 0x00, 0, 0))
+
+    dc_tabs = [_jpeg_gen_huff_table(f) for f in dc_freq]
+    ac_tabs = [_jpeg_gen_huff_table(f) for f in ac_freq]
+    dc_codes = [_jpeg_canonical_codes(*t) for t in dc_tabs]
+    ac_codes = [_jpeg_canonical_codes(*t) for t in ac_tabs]
+
+    wtr = _JpegBitWriter()
+    for t, is_dc, sym, vb, vlen in sym_stream:
+        length, code = (dc_codes if is_dc else ac_codes)[t][sym]
+        wtr.write(code, length)
+        if vlen:
+            wtr.write(vb, vlen)
+    wtr.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    app0 = (
+        b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1)
+        + bytes([0, 0])
+    )
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    for ti in range(ntab):
+        body = bytes([ti]) + qtabs[ti].astype(np.uint8)[zz_idx].tobytes()
+        out += b"\xff\xdb" + struct.pack(">H", 2 + len(body)) + body
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for cls, tabs in ((0, dc_tabs), (1, ac_tabs)):
+        for ti, (bits16, huffval) in enumerate(tabs):
+            body = bytes([(cls << 4) | ti]) + bytes(bits16) + bytes(huffval)
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        t = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += wtr.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """MSB-first reader over entropy data: un-stuffs 0xFF 0x00 and raises
+    at any real marker (restart intervals are the remaining seam)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy stream")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1
+            elif 0xD0 <= nxt <= 0xD7:
+                raise NotImplementedError("restart markers unsupported")
+            else:
+                raise ValueError("unexpected marker inside entropy data")
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: undo the one's-complement negative offset."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes):
+    """uint8 pixel array ((h, w, 3) RGB or (h, w) gray) from a baseline
+    sequential JPEG with 1x1 sampling (4:4:4) — any conformant stream,
+    not just this module's encoder output (tables are read from
+    DQT/DHT). Dequantization happens in zigzag (entropy) space with the
+    table exactly as stored, then coefficients un-zigzag and every block
+    IDCTs in one vectorized einsum. Progressive (SOF2), subsampled,
+    12-bit, arithmetic-coded, and restart-interval streams raise —
+    they belong to the library seam (Pillow plugs in at
+    ``decode_media``)."""
+    import struct
+
+    import numpy as np
+
+    if not payload.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtabs = {}
+    htabs = {}
+    sof = None
+    comps = None
+    scan = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        body = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            bpos = 0
+            while bpos < len(body):
+                pq, tq = body[bpos] >> 4, body[bpos] & 0xF
+                if pq != 0:
+                    raise NotImplementedError(
+                        "16-bit quantization tables unsupported"
+                    )
+                # keep ZIGZAG order (as stored): dequantization happens
+                # in entropy space, before un-zigzagging
+                qtabs[tq] = np.frombuffer(
+                    body[bpos + 1 : bpos + 65], np.uint8
+                ).astype(np.float64)
+                bpos += 65
+        elif marker == 0xC4:  # DHT
+            bpos = 0
+            while bpos < len(body):
+                tc, th = body[bpos] >> 4, body[bpos] & 0xF
+                bits16 = list(body[bpos + 1 : bpos + 17])
+                nsym = sum(bits16)
+                huffval = list(body[bpos + 17 : bpos + 17 + nsym])
+                lut = {}
+                code = 0
+                k = 0
+                for length in range(1, 17):
+                    for _ in range(bits16[length - 1]):
+                        lut[(length, code)] = huffval[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                htabs[(tc, th)] = lut
+                bpos += 17 + nsym
+        elif marker == 0xC0:  # SOF0 baseline sequential
+            if body[0] != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            hh, ww = struct.unpack(">HH", body[1:5])
+            nc = body[5]
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "only 4:4:4 (1x1 sampling) supported; wire Pillow"
+                        " here for subsampled streams"
+                    )
+                comps.append((cid, tq))
+            sof = (hh, ww, nc)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential (SOF0) supported"
+            )
+        elif marker == 0xDD:  # DRI
+            (ri,) = struct.unpack(">H", body[:2])
+            if ri != 0:
+                raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = body[0]
+            scan = [
+                (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0xF)
+                for i in range(ns)
+            ]
+            pos += seglen
+            break
+        pos += seglen
+    if sof is None or scan is None:
+        raise ValueError("missing SOF/SOS segment")
+    h, w, nc = sof
+    if len(scan) != nc:
+        raise NotImplementedError("multi-scan streams unsupported")
+
+    rdr = _JpegBitReader(payload[pos:])
+
+    def read_sym(lut) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | rdr.read_bit()
+            if (length, code) in lut:
+                return lut[(length, code)]
+        raise ValueError("invalid Huffman code")
+
+    bw_ = (w + 7) // 8
+    bh_ = (h + 7) // 8
+    n_mcu = bw_ * bh_
+    comp_q = [qtabs[comps[ci][1]] for ci in range(nc)]
+    coefs = [np.zeros((n_mcu, 64), np.float64) for _ in range(nc)]
+    pred = [0] * nc
+    for m in range(n_mcu):
+        for ci in range(nc):
+            _, td, ta = scan[ci]
+            s = read_sym(htabs[(0, td)])
+            pred[ci] += _jpeg_extend(rdr.read(s), s)
+            zz = np.zeros(64, np.float64)
+            zz[0] = pred[ci]
+            k = 1
+            while k < 64:
+                rs = read_sym(htabs[(1, ta)])
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC coefficient index overflow")
+                zz[k] = _jpeg_extend(rdr.read(s), s)
+                k += 1
+            coefs[ci][m] = zz * comp_q[ci]
+
+    dctm = _jpeg_dct_matrix()
+    zz_idx = np.array(_JPEG_ZIGZAG)
+    planes = []
+    for ci in range(nc):
+        blk = np.zeros((n_mcu, 64), np.float64)
+        blk[:, zz_idx] = coefs[ci]
+        blk = blk.reshape(-1, 8, 8)
+        spatial = np.einsum("mk,bkl,nl->bmn", dctm.T, blk, dctm.T) + 128.0
+        grid = spatial.reshape(bh_, bw_, 8, 8).transpose(0, 2, 1, 3)
+        planes.append(grid.reshape(bh_ * 8, bw_ * 8)[:h, :w])
+    if nc == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    rgb = np.stack(
+        [
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 _REAL_DECODERS = {
     "wav": decode_wav,
     "ppm": decode_ppm,
@@ -1026,6 +1547,7 @@ _REAL_DECODERS = {
     "png": decode_png,
     "gif": decode_gif,
     "flac": decode_flac,
+    "jpeg": decode_jpeg,
 }
 
 
@@ -1036,14 +1558,15 @@ def decode_media(kind: str, payload: bytes, meta: dict[str, Any], *,
     ``fake=True``: deterministic pseudo-decode (BLAKE2b stream keyed by
     the payload) so plumbing is testable independent of any codec.
     ``fake=False``: real decode for the raw formats this engine ships
-    codecs for (wav/ppm/y4m — numpy objects out); compressed formats
-    (jpeg/mp4 …) raise ``NotImplementedError`` here, the exact
+    codecs for (wav/ppm/y4m — numpy objects out); remaining compressed
+    formats (mp4 …) raise ``NotImplementedError`` here, the exact
     call site where Pillow / soundfile / pyav plug in without any schema
     or call-site change. PNG graduated from this seam in round 5 (stdlib zlib +
     numpy unfiltering, ``decode_png``); GIF87a/LZW graduated in round 6
     (variable-width LZW with clear-code resets, ``decode_gif``); FLAC
-    graduated in round 7 (fixed predictors + Rice residuals + CRC/MD5
-    verification, ``decode_flac``).
+    and baseline JPEG graduated in round 7 (fixed predictors + Rice
+    residuals + CRC/MD5 verification, ``decode_flac``; DCT + optimal
+    Huffman entropy coding, ``decode_jpeg`` — the first lossy member).
     """
     if fake:
         return hashlib.blake2b(payload, digest_size=32).digest()
@@ -1106,6 +1629,11 @@ def _image_payload(w: int, h: int, phase: int, fmt: str = "ppm") -> bytes:
         # the gradient uses <=256 distinct colors by construction
         # (each pixel's RGB is determined by (3x+5y+phase) mod 256)
         return encode_gif(px)
+    if fmt == "jpeg":
+        # the lossy member of the rotation: downstream features are
+        # computed from the DECODED (reconstructed) pixels, which the
+        # deterministic codec makes identical on every executor
+        return encode_jpeg(px, quality=85)
     return encode_ppm(px)
 
 
@@ -1158,9 +1686,9 @@ def synthesize_real_media(docs: DataFrame) -> DataFrame:
                 if kind == "image":
                     w, h = (mid % 8 + 1) * 16, (mid % 4 + 1) * 16
                     # rotate raw/compressed containers per id so all
-                    # three image codecs run inside the registered
-                    # pipeline (ppm raw, png zlib, gif LZW)
-                    fmt = ("png", "ppm", "gif")[(mid // 3) % 3]
+                    # four image codecs run inside the registered
+                    # pipeline (ppm raw, png zlib, gif LZW, jpeg DCT)
+                    fmt = ("png", "ppm", "gif", "jpeg")[(mid // 3) % 4]
                     rows.append(
                         (mid, kind,
                          _image_payload(w, h, (7 * mid) % 256, fmt),
