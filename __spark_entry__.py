@@ -103,9 +103,10 @@ RECERTIFY_IF_AT_OR_BEFORE = {
     # full value oracle — MMR re-based on the certified int8-quantized
     # similarity space, greedy unrolled as MATERIALIZED CTEs
     "topk_diverse": 6,
-    # round-7: the media pipeline gained the baseline-JPEG codec after the
-    # r2 rows-only row (image payloads now rotate ppm/png/gif/jpeg) — the
-    # executed path materially changed, so the execution proof re-runs
+    # round-7: the media pipeline gained the baseline-JPEG codec and the
+    # MP4/ISO-BMFF container after the r2 rows-only row (payloads now
+    # rotate ppm/png/gif/jpeg images and y4m/mp4 videos) — the executed
+    # path materially changed, so the execution proof re-runs
     "multimodal_features": 6,
 }
 

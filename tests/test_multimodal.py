@@ -55,15 +55,16 @@ def test_video_frame_sampling(media):
 
 
 def test_decode_stub_is_honest():
-    # mp4 stays behind the library seam (png graduated in round 5, gif in
-    # round 6, flac + baseline jpeg in round 7)
+    # webm stays behind the library seam (png graduated in round 5, gif in
+    # round 6, flac + baseline jpeg + the mp4 container in round 7)
     with pytest.raises(NotImplementedError):
-        decode_media("video", b"\x00" * 16, {"format": "mp4"}, fake=False)
-    # jpeg now has a real decoder: garbage is a hard parse error, not a seam
-    with pytest.raises(ValueError):
-        decode_media("image", b"\x00" * 16, {"format": "jpeg"}, fake=False)
-    d1 = decode_media("video", b"\x00" * 16, {"format": "mp4"}, fake=True)
-    d2 = decode_media("video", b"\x00" * 16, {"format": "mp4"}, fake=True)
+        decode_media("video", b"\x00" * 16, {"format": "webm"}, fake=False)
+    # jpeg/mp4 now have real decoders: garbage is a parse error, not a seam
+    for kind, fmt in (("image", "jpeg"), ("video", "mp4")):
+        with pytest.raises(ValueError):
+            decode_media(kind, b"\x00" * 16, {"format": fmt}, fake=False)
+    d1 = decode_media("video", b"\x00" * 16, {"format": "webm"}, fake=True)
+    d2 = decode_media("video", b"\x00" * 16, {"format": "webm"}, fake=True)
     assert d1 == d2
 
 
@@ -159,11 +160,12 @@ def test_real_pipeline_decodes_and_is_partition_invariant(spark, sf_smoke):
 
 
 def test_compressed_formats_remain_a_seam():
-    # png graduated to a real built-in decoder in round 5, gif in round 6,
-    # flac and baseline jpeg in round 7; mp4 still marks the library seam
-    for fmt in ("mp4",):
+    # the dispatch-level seam: formats with no built-in codec raise at
+    # decode_media; the in-container seam (avc1 inside a parsed mp4) is
+    # asserted in the mp4 codec tests
+    for kind, fmt in (("video", "webm"), ("video", "h264")):
         with pytest.raises(NotImplementedError):
-            decode_media("video", b"\x00\x00", {"format": fmt}, fake=False)
+            decode_media(kind, b"\x00\x00", {"format": fmt}, fake=False)
 
 
 # --- png codec (round 5) ---------------------------------------------------
@@ -607,3 +609,89 @@ def test_jpeg_payloads_flow_through_pipeline(spark, sf_smoke):
     )
     rows = feats.select("payload_bytes", "features").collect()
     assert rows and all(len(r["features"]) > 0 for r in rows)
+
+
+# --- mp4 container (round 7) ------------------------------------------------
+
+
+def test_mp4_roundtrip_exact():
+    import numpy as np
+
+    from vector_search_playground_spark.functions.multimodal import (
+        decode_mp4,
+        encode_mp4,
+    )
+
+    ff, yy, xx = np.mgrid[0:7, 0:16, 0:32]
+    frames = ((xx + 2 * yy + 17 * ff) % 256).astype(np.uint8)
+    enc = encode_mp4(frames)
+    assert enc[4:8] == b"ftyp"
+    out, (w, h) = decode_mp4(enc)
+    assert (w, h) == (32, 16)
+    assert np.array_equal(out, frames), "v308 track is uncompressed: exact"
+
+
+def test_mp4_rejects_corrupt_and_unsupported():
+    import numpy as np
+    import pytest
+
+    from vector_search_playground_spark.functions.multimodal import (
+        decode_mp4,
+        encode_mp4,
+    )
+
+    frames = np.zeros((3, 8, 8), np.uint8)
+    enc = encode_mp4(frames)
+    with pytest.raises(ValueError):
+        decode_mp4(b"\x00\x00\x00\x08free")  # no ftyp
+    with pytest.raises(ValueError):
+        decode_mp4(enc[: len(enc) // 3])  # truncated: malformed box
+    # compressed sample entry: the seam INSIDE the parsed container
+    bad = bytearray(enc)
+    i = bad.find(b"v308")
+    bad[i : i + 4] = b"avc1"
+    with pytest.raises(NotImplementedError):
+        decode_mp4(bytes(bad))
+
+
+def test_mp4_y4m_same_signal_same_features():
+    """The two video containers must be content-transparent: featurizing
+    the SAME luma stream through y4m and mp4 yields identical stats."""
+    from vector_search_playground_spark.functions.multimodal import (
+        _video_features,
+        _video_payload,
+        decode_mp4,
+        decode_y4m,
+        sample_frame_indices,
+    )
+
+    for nf, phase in ((2, 0), (7, 41), (11, 200)):
+        fy, (w1, h1) = decode_y4m(_video_payload(nf, phase, "y4m"))
+        fm, (w2, h2) = decode_mp4(_video_payload(nf, phase, "mp4"))
+        assert (w1, h1) == (w2, h2)
+        idxs = sample_frame_indices(nf)
+        assert _video_features(fy, idxs, w1, h1) == _video_features(
+            fm, idxs, w2, h2
+        )
+
+
+def test_mp4_payloads_flow_through_pipeline(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from vector_search_playground_spark.functions.multimodal import (
+        extract_features,
+        synthesize_real_media,
+    )
+    from vector_search_playground_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(80)
+    media = synthesize_real_media(docs)
+    n_mp4 = media.where(F.col("meta.format") == "mp4").count()
+    assert n_mp4 > 0, "rotation must produce mp4 payloads"
+    feats = extract_features(media, fake=False).where(
+        F.col("kind") == "video"
+    )
+    rows = feats.select("features", "sampled_frames").collect()
+    assert rows and all(
+        r["sampled_frames"] and len(r["features"]) > 0 for r in rows
+    )
