@@ -537,6 +537,29 @@ def test_jpeg_constant_color_is_exact():
     assert (decode_jpeg(encode_jpeg(img, 95)) == img).all()
 
 
+def test_jpeg_mp4_degenerate_extremes():
+    """Sub-block images (1x1, 3x5) exercise the right/bottom edge
+    replication for every pixel, and a single 1x1 mp4 frame exercises the
+    minimal sample table (one chunk, one sample, one stts run)."""
+    import numpy as np
+
+    from vector_search_playground_spark.functions.multimodal import (
+        decode_jpeg,
+        decode_mp4,
+        encode_jpeg,
+        encode_mp4,
+    )
+
+    for shape in [(1, 1, 3), (3, 5, 3), (1, 1), (8, 8)]:
+        img = (np.arange(np.prod(shape)).reshape(shape) % 256).astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, 90))
+        assert dec.shape == img.shape
+        assert int(np.max(np.abs(dec.astype(int) - img.astype(int)))) <= 2
+    frame = np.zeros((1, 1, 1), np.uint8)
+    out, (w, h) = decode_mp4(encode_mp4(frame))
+    assert out.shape == (1, 1, 1) and (w, h) == (1, 1)
+
+
 def test_jpeg_rejects_corrupt_and_unsupported_streams():
     import numpy as np
     import pytest
