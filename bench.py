@@ -2,11 +2,12 @@
 (default /root/testdata/sf0.1) and print ONE JSON line with per-query and
 total wall seconds. The driver records this as BENCH_r{N}.json.
 
-Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and reports the
-per-query MEDIAN, so one-off JIT/classload/shuffle-file effects don't leak
-into round-over-round comparisons. ``categories`` tags one-off index-build
-IDs vs steady-state query IDs — build cost and query latency must not be
-conflated when comparing rounds.
+Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3; slow queries are
+topped up to 5) and reports the per-query MIN as the headline stat (robust
+to scheduler noise in a warm JVM — interference only inflates a rep), with
+the median alongside for spread diagnostics. ``categories`` tags one-off
+index-build IDs vs steady-state query IDs — build cost and query latency
+must not be conflated when comparing rounds.
 """
 
 from __future__ import annotations
@@ -139,17 +140,23 @@ def main() -> None:
     #   3. the final line, printed last after spark.stop(), with the
     #      queries map trimmed fastest-first until the whole line fits the
     #      capture window — the slowest queries are the signal.
+    # Round-7 verdict: medians at 3-5 reps still flap ±0.4 s/query, which
+    # forced three "regressions" to be adjudicated via git archaeology.
+    # min is robust to scheduler noise in a warm JVM (interference only
+    # ever inflates a rep, never deflates it), so min is now the HEADLINE
+    # stat: value/queries carry mins, medians ride alongside for the
+    # noise-envelope fields that need them.
     spreads.sort()
     full = {
         "metric": "total_query_wall_seconds",
-        "value": round(total, 4),
+        "value": round(sum(mins.values()), 4),
         "unit": "sec",
-        "queries": timings,
+        "queries": mins,
         "sf": sf,
         "reps": reps,
         "reps_slow": slow_reps,
         "slow_cutoff_sec": slow_cutoff,
-        "stat": "median",
+        "stat": "min",
         "n_queries": len(timings),
         "floor_per_query_sec": round(floor, 4),
         "floor_seconds": round(floor * len(timings), 2),
@@ -162,7 +169,8 @@ def main() -> None:
             spreads[int(0.9 * (len(spreads) - 1))], 4
         ) if spreads else None,
         "total_min_seconds": round(sum(mins.values()), 4),
-        "queries_min": mins,
+        "total_median_seconds": round(total, 4),
+        "queries_median": timings,
         "categories": categories,
     }
     try:
@@ -181,10 +189,10 @@ def main() -> None:
     final = {
         k: v
         for k, v in full.items()
-        if k not in ("categories", "queries_min")
+        if k not in ("categories", "queries_median")
     }
     budget = 1900  # capture window minus margin for a trailing newline
-    by_time = sorted(timings, key=timings.get)  # fastest first
+    by_time = sorted(mins, key=mins.get)  # fastest first
     while (
         len(json.dumps(final, separators=(",", ":"))) > budget
         and len(final["queries"]) > 1

@@ -51,3 +51,153 @@ def test_unsupported_format_is_loud(spark, sf_smoke):
         write_table(docs, os.path.join(SCRATCH, "x"), fmt="avro")
     with pytest.raises(ValueError):
         read_table(spark, SCRATCH, docs.schema, fmt="xml")
+
+
+# --- avro (from-scratch OCF codec, sources/avro.py) --------------------------
+
+
+def test_avro_ocf_python_roundtrip():
+    """Pure-Python write→read over every supported primitive, nulls in
+    every field, and multi-block files (rows > BLOCK_ROWS)."""
+    from vector_search_playground_spark.sources import avro as A
+
+    schema = A.make_schema(
+        "t",
+        [
+            ("i", "long"),
+            ("s", "string"),
+            ("d", "double"),
+            ("b", "boolean"),
+            ("raw", "bytes"),
+        ],
+    )
+    rows = [
+        (1, "héllo wörld €", 3.5, True, b"\xff\x00"),
+        (None, None, None, None, None),
+        (-(2**62), "", -0.0, False, b""),
+    ] * 700  # 2100 rows → 3 blocks at BLOCK_ROWS=1000
+    path = os.path.join(SCRATCH, "ocf_rt.avro")
+    os.makedirs(SCRATCH, exist_ok=True)
+    n, _ = A.write_ocf(path, schema, iter(rows), sync=b"0123456789abcdef")
+    assert n == len(rows)
+    with open(path, "rb") as fh:
+        names, blocks = A.read_ocf(fh.read())
+    assert names == ["i", "s", "d", "b", "raw"]
+    got = [r for blk in blocks for r in blk]
+    assert got == rows
+
+
+def test_avro_ocf_readable_by_jvm_avro():
+    """Interop certificate: the OFFICIAL org.apache.avro DataFileReader
+    (avro-1.12.1.jar, on Spark's classpath) decodes our bytes — our
+    writer emits spec-true OCF, not a private dialect. Needs a JVM, so
+    it borrows the test session's gateway."""
+    from vector_search_playground_spark.sources import avro as A
+
+    schema = A.make_schema("jt", [("doc_id", "long"), ("text", "string")])
+    rows = [(7, "alpha"), (None, None), (-3, "β unicode")]
+    path = os.path.join(SCRATCH, "ocf_jvm.avro")
+    os.makedirs(SCRATCH, exist_ok=True)
+    A.write_ocf(path, schema, iter(rows), sync=b"fedcba9876543210")
+
+    from vector_search_playground_spark.session import get_spark
+
+    jvm = get_spark(master="local[4]")._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    got = []
+    while reader.hasNext():
+        rec = reader.next()
+        did = rec.get("doc_id")
+        txt = rec.get("text")
+        got.append(
+            (
+                None if did is None else int(did),
+                None if txt is None else str(txt),
+            )
+        )
+    reader.close()
+    assert got == rows
+
+
+def test_avro_jvm_written_file_readable_by_us(tmp_path):
+    """Reverse interop: a file written by the OFFICIAL JVM avro writer
+    (deflate codec, null-first union — the opposite branch order from
+    ours) decodes correctly through read_ocf."""
+    from vector_search_playground_spark.sources import avro as A
+    from vector_search_playground_spark.session import get_spark
+
+    jvm = get_spark(master="local[4]")._jvm
+    sch_json = (
+        '{"type":"record","name":"jw","fields":['
+        '{"name":"doc_id","type":["null","long"]},'
+        '{"name":"text","type":["null","string"]}]}'
+    )
+    schema = jvm.org.apache.avro.Schema.Parser().parse(sch_json)
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter()
+    )
+    writer.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    path = str(tmp_path / "jvm_written.avro")
+    writer.create(schema, jvm.java.io.File(path))
+    rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+    # py4j maps small Python ints to Integer (and auto-unboxes any
+    # java.lang.Long back to a Python int), which the JVM writer rejects
+    # for a ["null","long"] union — so use a value py4j itself must send
+    # as a long (> 2^31)
+    rec.put("doc_id", 2**40 + 11)
+    rec.put("text", "from the jvm")
+    writer.append(rec)
+    rec2 = jvm.org.apache.avro.generic.GenericData.Record(schema)
+    writer.append(rec2)  # both fields null
+    writer.close()
+    with open(path, "rb") as fh:
+        names, blocks = A.read_ocf(fh.read())
+    assert names == ["doc_id", "text"]
+    assert [r for blk in blocks for r in blk] == [
+        (2**40 + 11, "from the jvm"),
+        (None, None),
+    ]
+
+
+def test_avro_unsupported_schema_is_loud():
+    from vector_search_playground_spark.sources import avro as A
+
+    with pytest.raises(ValueError):
+        A._field_types({"type": "record", "fields": [
+            {"name": "m", "type": {"type": "map", "values": "long"}}
+        ]})
+    with pytest.raises(ValueError):
+        A._field_types({"type": "enum"})
+
+
+def test_avro_distributed_roundtrip(spark, sf_smoke, tmp_path):
+    """write_avro_dataset → scan_avro_dataset returns the identical
+    multiset, across multiple files and blocks."""
+    from vector_search_playground_spark.sources.avro import (
+        scan_avro_dataset,
+        write_avro_dataset,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    base = str(tmp_path / "docs_avro")
+    fields = [
+        ("doc_id", "long"),
+        ("text", "string"),
+        ("lang", "string"),
+        ("source", "string"),
+        ("n_chars", "long"),
+    ]
+    write_avro_dataset(docs, base, "document", fields, n_files=3)
+    assert os.path.exists(os.path.join(base, "_SUCCESS"))
+    assert len([f for f in os.listdir(base) if f.endswith(".avro")]) == 3
+    got = scan_avro_dataset(
+        spark,
+        base,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    a = sorted(map(tuple, docs.collect()))
+    b = sorted(map(tuple, got.collect()))
+    assert a == b

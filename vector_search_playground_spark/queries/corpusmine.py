@@ -321,6 +321,61 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- scan_avro ---------------------------------------------------------------
+
+
+@query(
+    "scan_avro",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro ingest via a from-scratch Object Container File codec
+    (sources/avro.py) — the one mainstream batch format this container
+    cannot serve natively (the spark-avro data-source jar is not in the
+    distribution and is unfetchable offline; only the avro *core* jars
+    ship). The documents table is written ONCE per fixture fingerprint
+    as deflate-codec .avro files by a distributed mapInPandas sink, then
+    scanned back through binaryFile + a schema-driven block decoder. The
+    oracle is the original relation, so the certificate covers the full
+    write→zigzag/varint-encode→deflate→decode round trip value-for-value
+    (tests/test_formats.py additionally cross-checks the bytes against
+    the JVM's own org.apache.avro DataFileReader on Spark's classpath).
+
+    Shape at 100 TB: binaryFile parallelizes whole files (the natural
+    Avro unit — blocks are delimited by each file's own sync marker) and
+    the decoder yields one Arrow batch per Avro BLOCK, so executor
+    memory is bounded by block size, never file size.
+    """
+    import os
+
+    from vector_search_playground_spark.queries.llm_pipeline import (
+        SCRATCH,
+        _fixture_fingerprint,
+    )
+    from vector_search_playground_spark.sources.avro import (
+        scan_avro_dataset,
+        write_avro_dataset,
+    )
+
+    fields = [
+        ("doc_id", "long"),
+        ("text", "string"),
+        ("lang", "string"),
+        ("source", "string"),
+        ("n_chars", "long"),
+    ]
+    result_schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    fp = _fixture_fingerprint(sf_dir, "documents")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(SCRATCH, f"documents_avro_{tag}_{fp}")
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents")
+        write_avro_dataset(docs, base, "document", fields)
+    return scan_avro_dataset(spark, base, result_schema)
+
+
 # --- embedding_pca ----------------------------------------------------------
 
 _PCA_ROUND = 6
