@@ -65,6 +65,71 @@ def test_callable_factory_loads_once_per_worker(spark, tmp_path):
     )
 
 
+def test_minilm_factory_real_forward_pass(spark):
+    """The round-7 gap: the real-model plumbing had never executed —
+    only the hash embedder had. This runs an actual multi-layer
+    transformer forward pass (seeded numpy MiniLM architecture) through
+    embed_batch's factory path and checks the encoder contract."""
+    import numpy as np
+
+    from vector_search_playground_spark.functions.minilm import (
+        DIM,
+        minilm_factory,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("the quick brown fox",),
+            ("a completely different sentence",),
+            ("the quick brown fox",),  # duplicate text → identical vector
+            ("",),  # empty text: [CLS]-only sequence must not NaN
+        ],
+        "text: string",
+    ).repartition(3)
+    rows = embed_batch(df, "text", model=minilm_factory).collect()
+    assert len(rows) == 4
+    by_text = {}
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        assert v.shape[0] == DIM
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+        by_text.setdefault(r["text"], []).append(v)
+    a, b = by_text["the quick brown fox"]
+    assert np.array_equal(a, b), "same text, different partitions, must match"
+    # different sentences must not collapse to one point
+    other = by_text["a completely different sentence"][0]
+    assert float(a @ other) < 0.999
+
+
+def test_minilm_attention_actually_mixes_tokens():
+    """Architecture sanity, not plumbing: word ORDER must change the
+    embedding (self-attention + positional embeddings), which no
+    bag-of-words hash embedder satisfies — proof this is a genuinely
+    different compute graph on the same seam."""
+    import numpy as np
+
+    from vector_search_playground_spark.functions.minilm import MiniEncoder
+
+    enc = MiniEncoder()
+    v = enc.encode(["alpha beta gamma", "gamma beta alpha"])
+    a, b = np.asarray(v.iloc[0]), np.asarray(v.iloc[1])
+    assert not np.array_equal(a, b)
+    # and the two orderings still share vocabulary → far from orthogonal
+    assert 0.2 < float(a.astype(np.float64) @ b.astype(np.float64)) < 0.99999
+
+
+def test_minilm_weights_deterministic_across_processes():
+    """Two independent constructions (as two executors would do) agree
+    bit-for-bit — the certifiable-seeded-weights property."""
+    import numpy as np
+
+    from vector_search_playground_spark.functions.minilm import MiniEncoder
+
+    v1 = MiniEncoder().encode(["reproducible"]).iloc[0]
+    v2 = MiniEncoder().encode(["reproducible"]).iloc[0]
+    assert np.array_equal(np.asarray(v1), np.asarray(v2))
+
+
 def test_unknown_string_model_fails_with_guidance(spark):
     df = spark.createDataFrame([("hello",)], "text: string")
     with pytest.raises(Exception, match="sentence-transformers"):

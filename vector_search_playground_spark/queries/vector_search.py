@@ -356,6 +356,43 @@ def embed_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("embed_minilm")  # rows-only: transformer inference isn't SQL
+def embed_minilm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-model serving path, end to end: a seeded pure-numpy
+    MiniLM-architecture transformer (functions/minilm.py — multi-head
+    self-attention, GELU FFN, masked mean-pool; the reference's model
+    family, src/main.rs:52-60) rides the SAME factory/mapInPandas/
+    per-executor-cache plumbing a production checkpoint would
+    (functions/embed.py:96-109). In-row certificates: ``dim`` must be
+    the model width, ``norm`` must be 1.0 (L2-normalized head), and
+    ``self_cos`` compares the SAME text embedded through two
+    independently-partitioned runs — 1.0 proves the executor-side
+    weight materialization is bit-deterministic across partitionings
+    (the property that makes seeded weights certifiable at all).
+    """
+    from vector_search_playground_spark.functions.minilm import (
+        minilm_factory,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = embed_batch(docs, "text", "ea", model=minilm_factory)
+    b = embed_batch(
+        docs.repartition(7, "doc_id"), "text", "eb", model=minilm_factory
+    )
+    return (
+        a.join(b.select("doc_id", "eb"), "doc_id")
+        .select(
+            "doc_id",
+            F.size("ea").alias("dim"),
+            F.round(V.l2_norm(F.col("ea")), 4).alias("norm"),
+            F.round(
+                V.dot_product(F.col("ea"), F.col("eb")), 4
+            ).alias("self_cos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- Tier B: the rest of the pgvector operator family ----------------------
 
 _DL2 = f"ROUND(list_distance({_EMB}, q.query_embedding), {ROUND_DIST})"
