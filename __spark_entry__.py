@@ -108,6 +108,11 @@ RECERTIFY_IF_AT_OR_BEFORE = {
     # rotate ppm/png/gif/jpeg images and y4m/mp4 videos) — the executed
     # path materially changed, so the execution proof re-runs
     "multimodal_features": 6,
+    # round-8: lttb_downsample graduated from rows-only (its r5 row) to a
+    # full value oracle — exact-integer quantized LTTB (seconds/cents),
+    # greedy unrolled as 18 MATERIALIZED CTEs (the topk_diverse
+    # discipline); the registered query now runs the quantized kernel
+    "lttb_downsample": 7,
 }
 
 

@@ -536,6 +536,71 @@ def _lttb_reference(pts, n_out):
 def test_lttb_matches_reference_and_invariants(spark, sf_smoke):
     from collections import defaultdict
 
+    from vector_search_playground_spark.operators.lttb import lttb_downsample
+    from vector_search_playground_spark.queries.analytics import LTTB_N_OUT
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "user_id", "ts_us", "value"
+    ).collect()
+    series = defaultdict(list)
+    for r in sorted(ev, key=lambda r: r["ts_us"]):
+        series[r["user_id"]].append((r["ts_us"], r["value"]))
+    got = defaultdict(list)
+    df = lttb_downsample(
+        load_table(spark, sf_smoke, "events"), n_out=LTTB_N_OUT
+    )
+    for r in df.collect():
+        got[r["user_id"]].append((r["bucket"], r["ts_us"], r["value"]))
+    assert set(got) == set(series)
+    for u, rows in got.items():
+        rows.sort()
+        pts = series[u]
+        ref = _lttb_reference(pts, LTTB_N_OUT)
+        assert [(t, v) for _, t, v in rows] == [pts[i] for i in ref], u
+        # endpoints preserved, ts monotone, bucket ordinal dense
+        assert rows[0][1] == pts[0][0] and rows[-1][1] == pts[-1][0]
+        assert [b for b, _, _ in rows] == list(range(len(rows)))
+
+
+def _lttb_q_reference(pts, n_out, t_unit=1_000_000, v_scale=100):
+    """Independent pure-Python exact-integer LTTB matching the quantized
+    kernel's semantics (rebased/floored t, half-up-cents v, centroid-
+    times-m integer area, earliest-index ties)."""
+    import math
+
+    n = len(pts)
+    t0 = min(t for t, _ in pts)
+    t = [(tr - t0) // t_unit for tr, _ in pts]
+    v = [math.floor(val * v_scale + 0.5) for _, val in pts]
+    if n <= n_out:
+        return list(range(n)), v
+    ni = n_out - 2
+    edges = [1 + (b * (n - 2)) // ni for b in range(n_out - 1)]
+    picked = [0]
+    for b in range(ni):
+        lo, hi = edges[b], edges[b + 1]
+        if b + 2 <= ni:
+            nlo, nhi = edges[b + 1], edges[b + 2]
+        else:
+            nlo, nhi = n - 1, n
+        m = nhi - nlo
+        st, sv = sum(t[nlo:nhi]), sum(v[nlo:nhi])
+        at, av = t[picked[-1]], v[picked[-1]]
+        best, best_area = lo, -1
+        for i in range(lo, hi):
+            area = abs(
+                (at * m - st) * (v[i] - av) - (at - t[i]) * (sv - av * m)
+            )
+            if area > best_area:
+                best, best_area = i, area
+        picked.append(best)
+    picked.append(n - 1)
+    return picked, v
+
+
+def test_lttb_quantized_matches_reference(spark, sf_smoke):
+    from collections import defaultdict
+
     from vector_search_playground_spark.queries.analytics import (
         LTTB_N_OUT,
         lttb_downsample_q,
@@ -549,14 +614,15 @@ def test_lttb_matches_reference_and_invariants(spark, sf_smoke):
         series[r["user_id"]].append((r["ts_us"], r["value"]))
     got = defaultdict(list)
     for r in lttb_downsample_q(spark, sf_smoke).collect():
-        got[r["user_id"]].append((r["bucket"], r["ts_us"], r["value"]))
+        got[r["user_id"]].append((r["bucket"], r["ts_us"], r["v_q"]))
     assert set(got) == set(series)
     for u, rows in got.items():
         rows.sort()
         pts = series[u]
-        ref = _lttb_reference(pts, LTTB_N_OUT)
-        assert [(t, v) for _, t, v in rows] == [pts[i] for i in ref], u
-        # endpoints preserved, ts monotone, bucket ordinal dense
+        ref, vq = _lttb_q_reference(pts, LTTB_N_OUT)
+        assert [(t, q) for _, t, q in rows] == [
+            (pts[i][0], vq[i]) for i in ref
+        ], u
         assert rows[0][1] == pts[0][0] and rows[-1][1] == pts[-1][0]
         assert [b for b, _, _ in rows] == list(range(len(rows)))
 

@@ -1086,23 +1086,128 @@ def series_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- lttb_downsample --------------------------------------------------------
 
 LTTB_N_OUT = 20
+_LTTB_NI = LTTB_N_OUT - 2  # interior buckets
+_LTTB_T_UNIT = 1_000_000  # µs -> s ticks
+_LTTB_V_SCALE = 100  # cents
 
 
-@query("lttb_downsample")  # rows-only: greedy geometric selection, not SQL
+def _lttb_oracle() -> str:
+    """Unrolled 18-step per-series greedy as DuckDB CTEs (the
+    topk_diverse discipline: quantize the space to exact integers, then
+    one MATERIALIZED CTE per greedy step with int64-only arithmetic —
+    no float knife-edges anywhere). Bucket membership comes from an
+    18-row edges spine joined on a range predicate (identical to the
+    kernel's `edges = 1 + b*(n-2)//18`); each step's argmax key is the
+    exact integer triangle area |(aₜ·m−Σt)(v−aᵥ) − (aₜ−t)(Σv−aᵥ·m)|
+    with an earliest-index tiebreak matching numpy argmax."""
+    k, tu, vs = _LTTB_NI, _LTTB_T_UNIT, _LTTB_V_SCALE
+    parts = [
+        "WITH pts AS MATERIALIZED (",
+        "    SELECT user_id,",
+        "           CAST(row_number() OVER w - 1 AS BIGINT) AS i,",
+        "           count(*) OVER (PARTITION BY user_id) AS n,",
+        "           epoch_us(ts) AS t_raw,",
+        "           (epoch_us(ts) - min(epoch_us(ts))"
+        f" OVER (PARTITION BY user_id)) // {tu} AS t_q,",
+        f"           CAST(floor(value * {vs} + 0.5) AS BIGINT) AS v_q",
+        "    FROM events",
+        "    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))",
+        "),",
+        f"big AS MATERIALIZED (SELECT * FROM pts WHERE n > {LTTB_N_OUT}),",
+        "small AS (SELECT user_id, CAST(i AS INT) AS bucket,"
+        f" t_raw, v_q FROM pts WHERE n <= {LTTB_N_OUT}),",
+        "edges AS MATERIALIZED (",
+        "    SELECT p.user_id, b.b,",
+        f"           1 + (b.b * (p.n - 2)) // {k} AS lo,",
+        f"           1 + ((b.b + 1) * (p.n - 2)) // {k} AS hi",
+        "    FROM (SELECT DISTINCT user_id, n FROM big) p,"
+        f" range({k}) b(b)",
+        "),",
+        "bkt AS MATERIALIZED (",
+        "    SELECT p.user_id, e.b, p.i, p.t_q, p.v_q, p.t_raw",
+        "    FROM big p JOIN edges e",
+        "      ON p.user_id = e.user_id AND p.i >= e.lo AND p.i < e.hi",
+        "),",
+        "nxt AS MATERIALIZED (",
+        "    SELECT user_id, b - 1 AS b, count(*) AS m,",
+        "           sum(t_q) AS st, sum(v_q) AS sv",
+        "    FROM bkt WHERE b >= 1 GROUP BY user_id, b",
+        "    UNION ALL",
+        f"    SELECT user_id, {k - 1} AS b, 1 AS m, t_q AS st, v_q AS sv",
+        "    FROM big WHERE i = n - 1",
+        "),",
+        "g0 AS MATERIALIZED"
+        " (SELECT user_id, i, t_q, v_q, t_raw FROM big WHERE i = 0),",
+    ]
+    for b in range(k):
+        parts += [
+            f"g{b + 1} AS MATERIALIZED (",
+            "  SELECT user_id, i, t_q, v_q, t_raw FROM (",
+            "    SELECT c.user_id, c.i, c.t_q, c.v_q, c.t_raw,",
+            "           row_number() OVER (PARTITION BY c.user_id"
+            " ORDER BY",
+            "             abs((p.t_q * x.m - x.st) * (c.v_q - p.v_q)",
+            "               - (p.t_q - c.t_q) * (x.sv - p.v_q * x.m))"
+            " DESC,",
+            "             c.i ASC) AS rn",
+            f"    FROM bkt c JOIN g{b} p ON p.user_id = c.user_id",
+            f"    JOIN nxt x ON x.user_id = c.user_id AND x.b = {b}",
+            f"    WHERE c.b = {b}",
+            "  ) WHERE rn = 1",
+            "),",
+        ]
+    sel = "\n  UNION ALL ".join(
+        f"SELECT user_id, {b} AS bucket, t_raw, v_q FROM g{b}"
+        for b in range(k + 1)
+    )
+    parts += [
+        "sel AS (",
+        f"  {sel}",
+        f"  UNION ALL SELECT user_id, {LTTB_N_OUT - 1} AS bucket,"
+        " t_raw, v_q FROM big WHERE i = n - 1",
+        ")",
+        "SELECT user_id, CAST(bucket AS INT) AS bucket,"
+        " t_raw AS ts_us, v_q FROM sel",
+        "UNION ALL SELECT user_id, bucket, t_raw AS ts_us, v_q FROM small",
+        "ORDER BY user_id, bucket",
+    ]
+    return "\n".join(parts)
+
+
+@query("lttb_downsample", oracle=_lttb_oracle())
 def lttb_downsample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-Triangle-Three-Buckets downsampling (operators/lttb.py,
     Steinarsson 2013 — timescaledb-toolkit's `lttb`): each user's value
     stream reduced to 20 visually-representative points, keeping the
     spikes that bucket-average downsampling flattens. One shuffle on
     user_id, then a vectorized numpy greedy walk per series in
-    applyInPandas (N_OUT bucket iterations over array slices — never
-    per-row Python). Endpoint/bucket invariants and a pure-Python
-    reference comparison are property-tested; the emitted `bucket`
-    ordinal makes the selection deterministic and auditable."""
-    from vector_search_playground_spark.operators.lttb import lttb_downsample
+    mapInPandas (N_OUT bucket iterations over array slices — never
+    per-row Python).
+
+    GRADUATED from rows-only to a full value oracle (round 8) by the
+    same discipline that graduated topk_diverse in round 7: quantize
+    the geometry so the greedy's argmax keys are exact int64 — per
+    series, time rebased to the series start and floored to seconds,
+    values to half-up cents — then replicate the 18-step selection as
+    one MATERIALIZED CTE per pick (operators/lttb.py
+    lttb_downsample_quantized documents the centroid-times-m area
+    identity that keeps everything integer). Ties break to the
+    earliest index on both engines (numpy argmax / ORDER BY area DESC,
+    i ASC). The emitted point keeps its ORIGINAL microsecond timestamp
+    so the downsample is still plottable against the raw series.
+
+    Scale shape is unchanged from the float variant: one hash
+    repartition on the series key, then a per-series O(n) walk inside
+    an Arrow-batched kernel — at 100 TB each series is processed where
+    it lands, nothing ever collects."""
+    from vector_search_playground_spark.operators.lttb import (
+        lttb_downsample_quantized,
+    )
 
     ev = load_table(spark, sf_dir, "events")
-    return lttb_downsample(ev, n_out=LTTB_N_OUT).orderBy("user_id", "bucket")
+    return lttb_downsample_quantized(ev, n_out=LTTB_N_OUT).orderBy(
+        "user_id", "bucket"
+    )
 
 
 # --- histogram_buckets ------------------------------------------------------
