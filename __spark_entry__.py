@@ -103,11 +103,11 @@ RECERTIFY_IF_AT_OR_BEFORE = {
     # full value oracle — MMR re-based on the certified int8-quantized
     # similarity space, greedy unrolled as MATERIALIZED CTEs
     "topk_diverse": 6,
-    # round-7: the media pipeline gained the baseline-JPEG codec and the
-    # MP4/ISO-BMFF container after the r2 rows-only row (payloads now
-    # rotate ppm/png/gif/jpeg images and y4m/mp4 videos) — the executed
-    # path materially changed, so the execution proof re-runs
-    "multimodal_features": 6,
+    # round-8: the media rotation gained JPEG 4:2:0 chroma subsampling
+    # (images alternate 4:4:4/4:2:0) and the Motion-JPEG MP4 track
+    # (videos rotate y4m / v308 / mjpeg) after the r7 row — the executed
+    # path materially changed again, so the execution proof re-runs
+    "multimodal_features": 7,
     # round-8: lttb_downsample graduated from rows-only (its r5 row) to a
     # full value oracle — exact-integer quantized LTTB (seconds/cents),
     # greedy unrolled as 18 MATERIALIZED CTEs (the topk_diverse

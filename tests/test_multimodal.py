@@ -560,6 +560,76 @@ def test_jpeg_mp4_degenerate_extremes():
     assert out.shape == (1, 1, 1) and (w, h) == (1, 1)
 
 
+def test_jpeg_420_roundtrip_and_stream_shape():
+    """4:2:0 contract: SOF declares 2x2 luma sampling, the stream is
+    smaller than 4:4:4 on chroma-rich content, round-trip PSNR is
+    bounded, and chroma-flat content decodes as well as 4:4:4 (2x2
+    box-mean of constant chroma is lossless)."""
+    import numpy as np
+
+    from vector_search_playground_spark.functions.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    noisy = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    e420 = encode_jpeg(noisy, 90, subsampling="420")
+    e444 = encode_jpeg(noisy, 90, subsampling="444")
+    sof = e420.find(b"\xff\xc0")
+    assert e420[sof + 11] == 0x22 and e420[sof + 14] == 0x11
+    assert len(e420) < len(e444), "subsampling must shrink chroma noise"
+    dec = decode_jpeg(e420)
+    assert dec.shape == noisy.shape and dec.dtype == np.uint8
+    assert _psnr(dec, noisy) > 10.0
+    # chroma-flat: gray-valued RGB loses nothing to subsampling
+    yy, xx = np.mgrid[0:33, 0:47]
+    g = ((3 * xx + 5 * yy) % 256).astype(np.uint8)
+    flat = np.stack([g, g, g], axis=-1)
+    d420 = decode_jpeg(encode_jpeg(flat, 90, subsampling="420"))
+    d444 = decode_jpeg(encode_jpeg(flat, 90, subsampling="444"))
+    assert abs(_psnr(d420, flat) - _psnr(d444, flat)) < 1.0
+    # sub-MCU and odd shapes exercise the 16-multiple padding + crop
+    for shape in [(1, 1, 3), (5, 3, 3), (17, 23, 3), (16, 16, 3)]:
+        img = (np.arange(np.prod(shape)).reshape(shape) % 256).astype(
+            np.uint8
+        )
+        out = decode_jpeg(encode_jpeg(img, 90, subsampling="420"))
+        assert out.shape == img.shape
+    # deterministic
+    assert encode_jpeg(noisy, 90, subsampling="420") == e420
+
+
+def test_mp4_mjpeg_track_roundtrip():
+    """MJPEG-in-MP4: the container carries per-sample baseline 4:2:0
+    JPEGs (variable stsz), so a genuinely compressed entropy-coded
+    bitstream flows through the ISO-BMFF walk end-to-end."""
+    import numpy as np
+
+    from vector_search_playground_spark.functions.multimodal import (
+        decode_mp4,
+        encode_mp4,
+    )
+
+    nf, h, w = 5, 16, 32
+    ff, yy, xx = np.mgrid[0:nf, 0:h, 0:w]
+    frames = ((xx + 2 * yy + 17 * ff) % 256).astype(np.uint8)
+    enc = encode_mp4(frames, codec="mjpeg")
+    assert b"jpeg" in enc[: enc.find(b"mdat") + 10_000]
+    raw = encode_mp4(frames, codec="v308")
+    assert len(enc) < len(raw), "mjpeg track must beat uncompressed"
+    dec, (ww, hh) = decode_mp4(enc)
+    assert dec.shape == frames.shape and (ww, hh) == (w, h)
+    assert _psnr(dec, frames) > 35.0
+    # every sample is a standalone JPEG: SOI markers count == n_frames
+    assert enc.count(b"\xff\xd8\xff") == nf
+    # degenerate single 1x1 frame through the variable-size table
+    one = np.zeros((1, 1, 1), np.uint8)
+    out, (w1, h1) = decode_mp4(encode_mp4(one, codec="mjpeg"))
+    assert out.shape == (1, 1, 1) and (w1, h1) == (1, 1)
+    assert encode_mp4(frames, codec="mjpeg") == enc  # deterministic
+
+
 def test_jpeg_rejects_corrupt_and_unsupported_streams():
     import numpy as np
     import pytest
@@ -580,12 +650,13 @@ def test_jpeg_rejects_corrupt_and_unsupported_streams():
     prog = bytes(enc[:sof_at]) + b"\xff\xc2" + bytes(enc[sof_at + 2 :])
     with pytest.raises(NotImplementedError):
         decode_jpeg(prog)
-    # claim 2x2 luma subsampling: decoder only supports 4:4:4.
+    # claim 4x4 luma subsampling: the decoder supports 1x/2x component
+    # ratios (4:4:4 / 4:2:0 / 4:2:2 / 4:4:0) — exotic layouts raise.
     # SOF0 layout: marker(2) len(2) precision(1) h(2) w(2) nc(1) then
     # per-component [id, sampling, tq] — comp0 sampling sits at +11
     sub = bytearray(enc)
     assert sub[sof_at + 11] == 0x11
-    sub[sof_at + 11] = 0x22
+    sub[sof_at + 11] = 0x44
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(sub))
 

@@ -1212,12 +1212,15 @@ def _jpeg_blocks(plane):
     )
 
 
-def encode_jpeg(pixels, quality: int = 85) -> bytes:
-    """Baseline JFIF JPEG from (h, w, 3) uint8 RGB (4:4:4, no chroma
-    subsampling) or (h, w) uint8 gray. SOI + APP0 + DQT + SOF0 + DHT
-    (optimal per-image tables) + SOS + entropy data + EOI. All DCT /
-    quantization math is vectorized numpy over every block at once; only
-    the entropy serialization walks symbols."""
+def encode_jpeg(pixels, quality: int = 85, subsampling: str = "444") -> bytes:
+    """Baseline JFIF JPEG from (h, w, 3) uint8 RGB or (h, w) uint8 gray.
+    SOI + APP0 + DQT + SOF0 + DHT (optimal per-image tables) + SOS +
+    entropy data + EOI. ``subsampling`` picks the chroma layout:
+    ``"444"`` (1x1, every component full resolution) or ``"420"`` (2x2
+    luma sampling — the mode nearly every real JPEG uses: Cb/Cr box-
+    averaged 2x2, MCU = 16x16 px carrying four Y blocks then one Cb and
+    one Cr). All DCT / quantization math is vectorized numpy over every
+    block at once; only the entropy serialization walks symbols."""
     import struct
 
     import numpy as np
@@ -1227,6 +1230,9 @@ def encode_jpeg(pixels, quality: int = 85) -> bytes:
     h, w = px.shape[:2]
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
         raise ValueError("expected (h, w, 3) RGB or (h, w) gray")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    sub420 = subsampling == "420" and not gray
     if gray:
         planes = [px.astype(np.float64)]
     else:
@@ -1238,6 +1244,20 @@ def encode_jpeg(pixels, quality: int = 85) -> bytes:
             -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
             0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
         ]
+    if sub420:
+        # pad to a 16-multiple (one full MCU) with edge replication,
+        # then box-average chroma 2x2 — the canonical decimation filter
+        yp = np.pad(
+            planes[0], ((0, -h % 16), (0, -w % 16)), mode="edge"
+        )
+        hh16, ww16 = yp.shape
+        sub = []
+        for c in planes[1:]:
+            cp = np.pad(c, ((0, -h % 16), (0, -w % 16)), mode="edge")
+            sub.append(
+                cp.reshape(hh16 // 2, 2, ww16 // 2, 2).mean(axis=(1, 3))
+            )
+        planes = [yp] + sub
     ncomp = len(planes)
     qtabs = _jpeg_scaled_tables(quality)
     dctm = _jpeg_dct_matrix()
@@ -1251,41 +1271,61 @@ def encode_jpeg(pixels, quality: int = 85) -> bytes:
         qc = np.round(coef / qt).astype(np.int32)
         comp_codes.append(qc.reshape(-1, 64)[:, zz_idx])
 
-    n_mcu = ((w + 7) // 8) * ((h + 7) // 8)
+    # Block schedule: the exact interleaved MCU order of the scan, as
+    # (component, raster block index) pairs. 4:4:4 visits one block per
+    # component per 8x8 MCU; 4:2:0 visits Y's 2x2 sub-grid then Cb, Cr
+    # per 16x16 MCU (T.81 A.2.3 data-unit ordering).
+    if sub420:
+        mcy, mcx = planes[0].shape[0] // 16, planes[0].shape[1] // 16
+        ybw, cbw = mcx * 2, mcx
+        schedule = []
+        for my in range(mcy):
+            for mx in range(mcx):
+                for by in (0, 1):
+                    for bx in (0, 1):
+                        schedule.append(
+                            (0, (2 * my + by) * ybw + 2 * mx + bx)
+                        )
+                schedule.append((1, my * cbw + mx))
+                schedule.append((2, my * cbw + mx))
+    else:
+        n_mcu = ((w + 7) // 8) * ((h + 7) // 8)
+        schedule = [
+            (ci, m) for m in range(n_mcu) for ci in range(ncomp)
+        ]
     ntab = 1 if gray else 2
     dc_freq = [[0] * 257 for _ in range(ntab)]
     ac_freq = [[0] * 257 for _ in range(ntab)]
     pred = [0] * ncomp
     sym_stream = []  # (table, is_dc, symbol, value_bits, value_len)
-    for m in range(n_mcu):
-        for ci in range(ncomp):
-            t = 0 if ci == 0 else 1
-            zz = comp_codes[ci][m]
-            diff = int(zz[0]) - pred[ci]
-            pred[ci] = int(zz[0])
-            s, vb = _jpeg_mag_bits(diff)
-            dc_freq[t][s] += 1
-            sym_stream.append((t, True, s, vb, s))
+    for ci, m in schedule:
+        t = 0 if ci == 0 else 1
+        zz = comp_codes[ci][m]
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        s, vb = _jpeg_mag_bits(diff)
+        dc_freq[t][s] += 1
+        sym_stream.append((t, True, s, vb, s))
+        run = 0
+        nz = np.nonzero(zz[1:])[0]
+        last = int(nz[-1]) + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:  # ZRL
+                ac_freq[t][0xF0] += 1
+                sym_stream.append((t, False, 0xF0, 0, 0))
+                run -= 16
+            s, vb = _jpeg_mag_bits(v)
+            sym = (run << 4) | s
+            ac_freq[t][sym] += 1
+            sym_stream.append((t, False, sym, vb, s))
             run = 0
-            nz = np.nonzero(zz[1:])[0]
-            last = int(nz[-1]) + 1 if len(nz) else 0
-            for k in range(1, last + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:  # ZRL
-                    ac_freq[t][0xF0] += 1
-                    sym_stream.append((t, False, 0xF0, 0, 0))
-                    run -= 16
-                s, vb = _jpeg_mag_bits(v)
-                sym = (run << 4) | s
-                ac_freq[t][sym] += 1
-                sym_stream.append((t, False, sym, vb, s))
-                run = 0
-            if last < 63:  # EOB
-                ac_freq[t][0x00] += 1
-                sym_stream.append((t, False, 0x00, 0, 0))
+        if last < 63:  # EOB
+            ac_freq[t][0x00] += 1
+            sym_stream.append((t, False, 0x00, 0, 0))
 
     dc_tabs = [_jpeg_gen_huff_table(f) for f in dc_freq]
     ac_tabs = [_jpeg_gen_huff_table(f) for f in ac_freq]
@@ -1311,7 +1351,8 @@ def encode_jpeg(pixels, quality: int = 85) -> bytes:
         out += b"\xff\xdb" + struct.pack(">H", 2 + len(body)) + body
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        samp = 0x22 if (sub420 and ci == 0) else 0x11
+        sof += bytes([ci + 1, samp, 0 if ci == 0 else 1])
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     for cls, tabs in ((0, dc_tabs), (1, ac_tabs)):
         for ti, (bits16, huffval) in enumerate(tabs):
@@ -1330,14 +1371,18 @@ def encode_jpeg(pixels, quality: int = 85) -> bytes:
 
 def decode_jpeg(payload: bytes):
     """uint8 pixel array ((h, w, 3) RGB or (h, w) gray) from a baseline
-    sequential JPEG with 1x1 sampling (4:4:4) — any conformant stream,
-    not just this module's encoder output (tables are read from
-    DQT/DHT). Dequantization happens in zigzag (entropy) space with the
-    table exactly as stored, then coefficients un-zigzag and every block
-    IDCTs in one vectorized einsum. Progressive (SOF2), subsampled,
-    12-bit, arithmetic-coded, and restart-interval streams raise —
-    they belong to the library seam (Pillow plugs in at
-    ``decode_media``)."""
+    sequential JPEG — any conformant stream, not just this module's
+    encoder output (tables are read from DQT/DHT). Handles the common
+    sampling layouts natively: 4:4:4, 4:2:0 (the mode nearly every real
+    JPEG uses), 4:2:2, and 4:4:0 — any per-component integer 1x/2x
+    ratio; chroma planes decode at their stored resolution and
+    replicate up (nearest-neighbor, the conformant baseline since T.81
+    leaves the upsampling filter unspecified). Dequantization happens
+    in zigzag (entropy) space with the table exactly as stored, then
+    coefficients un-zigzag and every block IDCTs in one vectorized
+    einsum. Progressive (SOF2), 12-bit, arithmetic-coded, exotic-
+    sampling, and restart-interval streams raise — they belong to the
+    library seam (Pillow plugs in at ``decode_media``)."""
     import struct
 
     import numpy as np
@@ -1410,12 +1455,7 @@ def decode_jpeg(payload: bytes):
             comps = []
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "only 4:4:4 (1x1 sampling) supported; wire Pillow"
-                        " here for subsampled streams"
-                    )
-                comps.append((cid, tq))
+                comps.append((cid, samp >> 4, samp & 0xF, tq))
             sof = (hh, ww, nc)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -1464,13 +1504,52 @@ def decode_jpeg(payload: bytes):
         clean.append(b)
         i += 1
 
-    bw_ = (w + 7) // 8
-    bh_ = (h + 7) // 8
-    n_mcu = bw_ * bh_
-    comp_q = [qtabs[comps[ci][1]] for ci in range(nc)]
+    # Sampling geometry (T.81 A.1.1/A.2.3). A single-component scan is
+    # non-interleaved by definition: its data unit is one block in
+    # raster order regardless of declared factors. Interleaved scans
+    # support any factor layout whose per-component upsampling ratio
+    # (hmax/hi, vmax/vi) is an integer in {1, 2} — i.e. 4:4:4, 4:2:0,
+    # 4:2:2, 4:4:0; anything rarer stays behind the library seam.
+    if nc == 1:
+        factors = [(1, 1)]
+    else:
+        factors = [(comps[ci][1], comps[ci][2]) for ci in range(nc)]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    for hi, vi in factors:
+        if (
+            hi < 1 or vi < 1 or hmax % hi or vmax % vi
+            or hmax // hi > 2 or vmax // vi > 2 or hmax > 2 or vmax > 2
+        ):
+            raise NotImplementedError(
+                f"sampling layout {factors} unsupported (only integer"
+                " 1x/2x component ratios); wire Pillow here for exotic"
+                " subsampling"
+            )
+    mcx = (w + 8 * hmax - 1) // (8 * hmax)
+    mcy = (h + 8 * vmax - 1) // (8 * vmax)
+    comp_geom = []  # (block-grid width, block-grid height) per component
+    for hi, vi in factors:
+        comp_geom.append((mcx * hi, mcy * vi))
+    # interleaved data-unit order, as (component, raster block) pairs
+    schedule = []
+    for my in range(mcy):
+        for mx in range(mcx):
+            for ci in range(nc):
+                hi, vi = factors[ci]
+                bwc = comp_geom[ci][0]
+                for by in range(vi):
+                    for bx in range(hi):
+                        schedule.append(
+                            (ci, (my * vi + by) * bwc + mx * hi + bx)
+                        )
+    comp_q = [qtabs[comps[ci][3]] for ci in range(nc)]
     comp_dc = [htabs[(0, scan[ci][1])] for ci in range(nc)]
     comp_ac = [htabs[(1, scan[ci][2])] for ci in range(nc)]
-    coefs = [np.zeros((n_mcu, 64), np.float64) for _ in range(nc)]
+    coefs = [
+        np.zeros((comp_geom[ci][0] * comp_geom[ci][1], 64), np.float64)
+        for ci in range(nc)
+    ]
     pred = [0] * nc
     # Inlined T.81 F.2.2 entropy decode: a local-variable bit cursor
     # (acc/nbits/p) and range-table Huffman decode — this loop runs once
@@ -1481,91 +1560,103 @@ def decode_jpeg(payload: bytes):
     p = 0
     ncl = len(clean)
     zz = np.zeros(64, np.float64)
-    for m in range(n_mcu):
-        for ci in range(nc):
-            dc_min, dc_max, dc_ptr, dc_val = comp_dc[ci]
-            ac_min, ac_max, ac_ptr, ac_val = comp_ac[ci]
-            zz[:] = 0.0
-            k = 0
-            while True:  # one DC symbol, then AC symbols until EOB/63
-                if k == 0:
-                    tmin, tmax, tptr, tval = dc_min, dc_max, dc_ptr, dc_val
-                else:
-                    tmin, tmax, tptr, tval = ac_min, ac_max, ac_ptr, ac_val
-                code = 0
-                length = 0
-                while True:
-                    if nbits == 0:
-                        if p >= ncl:
+    for ci, m in schedule:
+        dc_min, dc_max, dc_ptr, dc_val = comp_dc[ci]
+        ac_min, ac_max, ac_ptr, ac_val = comp_ac[ci]
+        zz[:] = 0.0
+        k = 0
+        while True:  # one DC symbol, then AC symbols until EOB/63
+            if k == 0:
+                tmin, tmax, tptr, tval = dc_min, dc_max, dc_ptr, dc_val
+            else:
+                tmin, tmax, tptr, tval = ac_min, ac_max, ac_ptr, ac_val
+            code = 0
+            length = 0
+            while True:
+                if nbits == 0:
+                    if p >= ncl:
+                        raise ValueError(
+                            "truncated JPEG entropy stream"
+                        )
+                    acc = clean[p]
+                    p += 1
+                    nbits = 8
+                nbits -= 1
+                code = (code << 1) | ((acc >> nbits) & 1)
+                length += 1
+                if code <= tmax[length]:
+                    sym = tval[tptr[length] + code - tmin[length]]
+                    break
+                if length >= 16:
+                    raise ValueError("invalid Huffman code")
+            if k == 0:
+                s = sym
+            else:
+                r, s = sym >> 4, sym & 0xF
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        if k > 63:
                             raise ValueError(
-                                "truncated JPEG entropy stream"
+                                "AC coefficient index overflow"
                             )
-                        acc = clean[p]
-                        p += 1
-                        nbits = 8
-                    nbits -= 1
-                    code = (code << 1) | ((acc >> nbits) & 1)
-                    length += 1
-                    if code <= tmax[length]:
-                        sym = tval[tptr[length] + code - tmin[length]]
-                        break
-                    if length >= 16:
-                        raise ValueError("invalid Huffman code")
-                if k == 0:
-                    s = sym
-                else:
-                    r, s = sym >> 4, sym & 0xF
-                    if s == 0:
-                        if r == 15:  # ZRL
-                            k += 16
-                            if k > 63:
-                                raise ValueError(
-                                    "AC coefficient index overflow"
-                                )
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("AC coefficient index overflow")
-                # read s magnitude bits (chunked from the byte cursor)
-                v = 0
-                need = s
-                while need:
-                    if nbits == 0:
-                        if p >= ncl:
-                            raise ValueError(
-                                "truncated JPEG entropy stream"
-                            )
-                        acc = clean[p]
-                        p += 1
-                        nbits = 8
-                    take = need if need < nbits else nbits
-                    nbits -= take
-                    v = (v << take) | ((acc >> nbits) & ((1 << take) - 1))
-                    need -= take
-                if s and v < (1 << (s - 1)):  # EXTEND (T.81 F.2.2.1)
-                    v -= (1 << s) - 1
-                if k == 0:
-                    pred[ci] += v
-                    zz[0] = pred[ci]
-                    k = 1
-                else:
-                    zz[k] = v
-                    k += 1
-                    if k > 63:
-                        break
-            coefs[ci][m] = zz * comp_q[ci]
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC coefficient index overflow")
+            # read s magnitude bits (chunked from the byte cursor)
+            v = 0
+            need = s
+            while need:
+                if nbits == 0:
+                    if p >= ncl:
+                        raise ValueError(
+                            "truncated JPEG entropy stream"
+                        )
+                    acc = clean[p]
+                    p += 1
+                    nbits = 8
+                take = need if need < nbits else nbits
+                nbits -= take
+                v = (v << take) | ((acc >> nbits) & ((1 << take) - 1))
+                need -= take
+            if s and v < (1 << (s - 1)):  # EXTEND (T.81 F.2.2.1)
+                v -= (1 << s) - 1
+            if k == 0:
+                pred[ci] += v
+                zz[0] = pred[ci]
+                k = 1
+            else:
+                zz[k] = v
+                k += 1
+                if k > 63:
+                    break
+        coefs[ci][m] = zz * comp_q[ci]
 
     dctm = _jpeg_dct_matrix()
     zz_idx = np.array(_JPEG_ZIGZAG)
     planes = []
     for ci in range(nc):
-        blk = np.zeros((n_mcu, 64), np.float64)
+        bwc, bhc = comp_geom[ci]
+        hi, vi = factors[ci]
+        blk = np.zeros((bwc * bhc, 64), np.float64)
         blk[:, zz_idx] = coefs[ci]
         blk = blk.reshape(-1, 8, 8)
         spatial = np.einsum("mk,bkl,nl->bmn", dctm.T, blk, dctm.T) + 128.0
-        grid = spatial.reshape(bh_, bw_, 8, 8).transpose(0, 2, 1, 3)
-        planes.append(grid.reshape(bh_ * 8, bw_ * 8)[:h, :w])
+        grid = spatial.reshape(bhc, bwc, 8, 8).transpose(0, 2, 1, 3)
+        plane = grid.reshape(bhc * 8, bwc * 8)
+        # crop to the component's true extent, then replicate up to full
+        # resolution (T.81 leaves the upsampling filter unspecified;
+        # nearest-neighbor is the conformant baseline choice)
+        cw = (w * hi + hmax - 1) // hmax
+        ch = (h * vi + vmax - 1) // vmax
+        plane = plane[:ch, :cw]
+        if hi != hmax or vi != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+            )
+        planes.append(plane[:h, :w])
     if nc == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     y, cb, cr = planes
@@ -1609,25 +1700,50 @@ def _mp4_matrix() -> bytes:
     return struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
 
 
-def encode_mp4(frames, fps: int = 25) -> bytes:
-    """ISO BMFF (MP4) bytes from (n_frames, h, w) uint8 luma: one
-    uncompressed ``v308`` (8-bit 4:4:4 YCbCr, per-pixel Cr/Y/Cb order)
-    video track with a complete sample table (stsd/stts/stsc/stsz/stco)
-    — a conformant file an mp4box/ffprobe walks. Chroma is neutral 128,
-    matching the Y4M encoder's convention, so the two video containers
-    are content-transparent for the same luma stream."""
+def encode_mp4(frames, fps: int = 25, codec: str = "v308",
+               quality: int = 90) -> bytes:
+    """ISO BMFF (MP4) bytes from (n_frames, h, w) uint8 luma: one video
+    track with a complete sample table (stsd/stts/stsc/stsz/stco) — a
+    conformant file an mp4box/ffprobe walks. ``codec`` picks the track
+    payload:
+
+    - ``"v308"`` — uncompressed 8-bit 4:4:4 YCbCr (per-pixel Cr/Y/Cb),
+      chroma neutral 128 matching the Y4M encoder's convention, so the
+      two raw video containers are content-transparent for the same
+      luma stream; constant sample size.
+    - ``"mjpeg"`` — Motion JPEG: every sample is a complete baseline
+      4:2:0 JPEG from this module's own encoder (``jpeg`` sample
+      entry, the QuickTime-lineage MJPEG signaling), so the container
+      carries a genuinely compressed entropy-coded bitstream
+      end-to-end; per-sample sizes in stsz.
+    """
     import struct
 
     import numpy as np
 
     fr = np.ascontiguousarray(frames, np.uint8)
     n, h, w = fr.shape
-    sample = np.empty((n, h, w, 3), np.uint8)
-    sample[..., 0] = 128  # Cr
-    sample[..., 1] = fr   # Y
-    sample[..., 2] = 128  # Cb
-    frame_size = h * w * 3
-    mdat_payload = sample.reshape(n, -1).tobytes()
+    if codec == "mjpeg":
+        jpegs = [
+            encode_jpeg(
+                np.repeat(f[..., None], 3, axis=-1), quality,
+                subsampling="420",
+            )
+            for f in fr
+        ]
+        sizes = [len(j) for j in jpegs]
+        frame_size = 0  # per-sample table
+        mdat_payload = b"".join(jpegs)
+    elif codec == "v308":
+        sample = np.empty((n, h, w, 3), np.uint8)
+        sample[..., 0] = 128  # Cr
+        sample[..., 1] = fr   # Y
+        sample[..., 2] = 128  # Cb
+        frame_size = h * w * 3
+        sizes = None
+        mdat_payload = sample.reshape(n, -1).tobytes()
+    else:
+        raise ValueError("codec must be 'v308' or 'mjpeg'")
 
     ftyp = _mp4_box(
         b"ftyp", b"isom", struct.pack(">I", 512), b"isom", b"mp42"
@@ -1672,8 +1788,8 @@ def encode_mp4(frames, fps: int = 25) -> bytes:
     dref = _mp4_full(
         b"dref", 0, 0, struct.pack(">I", 1), _mp4_full(b"url ", 0, 1)
     )
-    v308 = _mp4_box(
-        b"v308",
+    entry = _mp4_box(
+        b"jpeg" if codec == "mjpeg" else b"v308",
         b"\x00" * 6,
         struct.pack(">H", 1),
         b"\x00" * 16,
@@ -1684,12 +1800,18 @@ def encode_mp4(frames, fps: int = 25) -> bytes:
         b"\x00" * 32,
         struct.pack(">Hh", 24, -1),
     )
-    stsd = _mp4_full(b"stsd", 0, 0, struct.pack(">I", 1), v308)
+    stsd = _mp4_full(b"stsd", 0, 0, struct.pack(">I", 1), entry)
     stts = _mp4_full(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
     stsc = _mp4_full(
         b"stsc", 0, 0, struct.pack(">I", 1), struct.pack(">III", 1, n, 1)
     )
-    stsz = _mp4_full(b"stsz", 0, 0, struct.pack(">II", frame_size, n))
+    if sizes is None:
+        stsz = _mp4_full(b"stsz", 0, 0, struct.pack(">II", frame_size, n))
+    else:
+        stsz = _mp4_full(
+            b"stsz", 0, 0, struct.pack(">II", 0, n),
+            struct.pack(f">{n}I", *sizes),
+        )
     stco = _mp4_full(
         b"stco", 0, 0, struct.pack(">I", 1),
         struct.pack(">I", first_sample_off),
@@ -1726,13 +1848,16 @@ def _mp4_find(data: bytes, start: int, end: int, tag: bytes):
 
 def decode_mp4(payload: bytes):
     """(frames (n, h, w) uint8 luma, (w, h)) from an ISO BMFF file
-    carrying an uncompressed ``v308`` video track — the same contract as
-    ``decode_y4m``. The box walker handles general stsc/stsz/stco sample
-    layouts, not just this module's single-chunk output; compressed
-    sample entries (avc1/hev1 ...) raise at the seam INSIDE the
-    container — the bitstream decoder is what a library provides, the
-    container walk is native. 64-bit offsets and fragmented (moof)
-    files also raise."""
+    carrying an uncompressed ``v308`` track or a Motion-JPEG ``jpeg``
+    track (every sample a complete baseline JPEG, decoded by this
+    module's own entropy decoder — a genuinely compressed bitstream
+    end-to-end) — the same contract as ``decode_y4m``. The box walker
+    handles general stsc/stsz/stco sample layouts, not just this
+    module's single-chunk output; inter-frame-predicted sample entries
+    (avc1/hev1 ...) raise at the seam INSIDE the container — that
+    bitstream decoder is what a library provides, the container walk
+    is native. 64-bit offsets and fragmented (moof) files also
+    raise."""
     import struct
 
     import numpy as np
@@ -1757,11 +1882,12 @@ def decode_mp4(payload: bytes):
 
     stsd_s, _ = _mp4_find(payload, stbl_s, stbl_e, b"stsd")
     entry_tag = payload[stsd_s + 12 : stsd_s + 16]
-    if entry_tag != b"v308":
+    if entry_tag not in (b"v308", b"jpeg"):
         raise NotImplementedError(
             f"compressed video codec {entry_tag!r} requires a library"
             " decoder; the container is parsed, the bitstream is the seam"
         )
+    mjpeg = entry_tag == b"jpeg"
     ent = stsd_s + 8  # past version/flags + entry_count
     w, h = struct.unpack(">HH", payload[ent + 32 : ent + 36])
 
@@ -1810,13 +1936,29 @@ def decode_mp4(payload: bytes):
             if si >= n_samples:
                 break
             size = sizes[si]
-            if size != expect:
-                raise ValueError("v308 sample size mismatch")
             raw = payload[pos : pos + size]
             if len(raw) != size:
                 raise ValueError("truncated mdat")
-            px = np.frombuffer(raw, np.uint8).reshape(h, w, 3)
-            frames.append(px[..., 1].copy())  # Y of (Cr, Y, Cb)
+            if mjpeg:
+                px = decode_jpeg(bytes(raw))
+                if px.shape[:2] != (h, w):
+                    raise ValueError("mjpeg sample dimension mismatch")
+                if px.ndim == 3:  # BT.601 luma of the reconstructed RGB
+                    px = np.clip(
+                        np.round(
+                            0.299 * px[..., 0]
+                            + 0.587 * px[..., 1]
+                            + 0.114 * px[..., 2]
+                        ),
+                        0,
+                        255,
+                    ).astype(np.uint8)
+                frames.append(px)
+            else:
+                if size != expect:
+                    raise ValueError("v308 sample size mismatch")
+                px = np.frombuffer(raw, np.uint8).reshape(h, w, 3)
+                frames.append(px[..., 1].copy())  # Y of (Cr, Y, Cb)
             pos += size
             si += 1
     if si != n_samples:
@@ -1919,8 +2061,10 @@ def _image_payload(w: int, h: int, phase: int, fmt: str = "ppm") -> bytes:
     if fmt == "jpeg":
         # the lossy member of the rotation: downstream features are
         # computed from the DECODED (reconstructed) pixels, which the
-        # deterministic codec makes identical on every executor
-        return encode_jpeg(px, quality=85)
+        # deterministic codec makes identical on every executor;
+        # alternate chroma layouts so both sampling decoders run
+        sub = ("444", "420")[(phase // 2) % 2]
+        return encode_jpeg(px, quality=85, subsampling=sub)
     return encode_ppm(px)
 
 
@@ -1948,6 +2092,8 @@ def _video_payload(nf: int, phase: int, fmt: str = "y4m") -> bytes:
     frames = ((xx + 2 * yy + 17 * ff + phase) % 256).astype(np.uint8)
     if fmt == "mp4":
         return encode_mp4(frames)
+    if fmt == "mjpeg":
+        return encode_mp4(frames, codec="mjpeg")
     return encode_y4m(frames)
 
 
@@ -1996,12 +2142,16 @@ def synthesize_real_media(docs: DataFrame) -> DataFrame:
                     )
                 else:
                     nf = mid % 10 + 2
-                    # rotate the raw interchange container (y4m) with the
-                    # ISO BMFF container (mp4, uncompressed v308 track)
-                    vfmt = ("y4m", "mp4")[(mid // 3) % 2]
+                    # rotate the raw interchange container (y4m) with
+                    # the ISO BMFF container in both track flavors:
+                    # uncompressed v308 and Motion-JPEG (per-sample
+                    # baseline 4:2:0 JPEGs — a genuinely compressed
+                    # bitstream inside the container)
+                    vfmt = ("y4m", "mp4", "mjpeg")[(mid // 3) % 3]
                     rows.append(
                         (mid, kind, _video_payload(nf, mid % 256, vfmt),
-                         {"format": vfmt, "width": 32, "height": 16,
+                         {"format": "mp4" if vfmt == "mjpeg" else vfmt,
+                          "width": 32, "height": 16,
                           "sample_rate": None, "n_frames": nf})
                     )
             yield pd.DataFrame(
