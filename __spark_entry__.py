@@ -113,6 +113,11 @@ RECERTIFY_IF_AT_OR_BEFORE = {
     # greedy unrolled as 18 MATERIALIZED CTEs (the topk_diverse
     # discipline); the registered query now runs the quantized kernel
     "lttb_downsample": 7,
+    # round-8: semdedup's bucket bit count became corpus-adaptive after
+    # the second-decade stress run caught the fixed-6-bit variant going
+    # quadratic; query AND oracle changed (sem_bits computed identically
+    # in both engines), so the r3 green certifies retired code
+    "semdedup": 7,
 }
 
 

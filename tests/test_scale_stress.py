@@ -48,25 +48,15 @@ def _scratch_root() -> str:
     return os.path.join(here, ".scratch", "scale_stress")
 
 
-def _build_dirs() -> tuple[str, str]:
-    base = "/root/testdata/sf0.01"
-    root = _scratch_root()
-    x1, x10 = os.path.join(root, "x1"), os.path.join(root, "x10")
-    if os.path.exists(os.path.join(x10, "_READY")):
-        return x1, x10
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(x1)
-    os.makedirs(x10)
-    for t in _TABLES:
-        shutil.copy(
-            os.path.join(base, f"{t}.parquet"), os.path.join(x1, f"{t}.parquet")
-        )
-        if t not in ("documents", "embeddings"):
-            shutil.copy(
-                os.path.join(base, f"{t}.parquet"),
-                os.path.join(x10, f"{t}.parquet"),
-            )
-    con = duckdb.connect()
+def _replicate(con, base: str, out: str, factor: int) -> None:
+    """Deterministic factor-x blow-up: each doc replicated with a
+    one-token perturbation (near-dup clusters of `factor`); each vector
+    replicated under fresh ids as the k-step CIRCULAR ROTATION of the
+    original (norm-preserving, distinct direction per k) — growth means
+    NEW content spread across the hash/centroid space, not `factor`
+    bit-identical copies piling into one bucket, whose pair space is
+    quadratic in `factor` by the algorithm's own definition rather than
+    through any plan defect."""
     con.execute(
         f"""
         COPY (
@@ -75,35 +65,59 @@ def _build_dirs() -> tuple[str, str]:
                         ELSE d.text || ' r' || r.k END AS text,
                    d.lang, d.source, d.n_chars
             FROM read_parquet('{base}/documents.parquet') d
-            CROSS JOIN (SELECT unnest(range(10)) AS k) r
-        ) TO '{x10}/documents.parquet' (FORMAT parquet)
+            CROSS JOIN (SELECT unnest(range({factor})) AS k) r
+        ) TO '{out}/documents.parquet' (FORMAT parquet)
         """
     )
     con.execute(
         f"""
         COPY (
             SELECT r.k * 10000000 + e.vec_id AS vec_id,
-                   e.embedding, e.label
+                   CAST(list_transform(
+                       range(len(e.embedding)),
+                       i -> e.embedding[1 + ((i + r.k) % len(e.embedding))]
+                   ) AS FLOAT[]) AS embedding,
+                   e.label
             FROM read_parquet('{base}/embeddings.parquet') e
-            CROSS JOIN (SELECT unnest(range(10)) AS k) r
-        ) TO '{x10}/embeddings.parquet' (FORMAT parquet)
+            CROSS JOIN (SELECT unnest(range({factor})) AS k) r
+        ) TO '{out}/embeddings.parquet' (FORMAT parquet)
         """
     )
+
+
+def _build_dirs() -> dict[int, str]:
+    base = "/root/testdata/sf0.01"
+    root = _scratch_root()
+    dirs = {f: os.path.join(root, f"x{f}") for f in (1, 10, 100)}
+    if os.path.exists(os.path.join(root, "_READY")):
+        return dirs
+    shutil.rmtree(root, ignore_errors=True)
+    con = duckdb.connect()
+    for f, d in dirs.items():
+        os.makedirs(d)
+        for t in _TABLES:
+            if f == 1 or t not in ("documents", "embeddings"):
+                shutil.copy(
+                    os.path.join(base, f"{t}.parquet"),
+                    os.path.join(d, f"{t}.parquet"),
+                )
+        if f > 1:
+            _replicate(con, base, d, f)
     con.close()
-    with open(os.path.join(x10, "_READY"), "w") as fh:
+    with open(os.path.join(root, "_READY"), "w") as fh:
         fh.write("ok")
-    return x1, x10
+    return dirs
 
 
 @pytest.fixture(scope="module")
 def scale_dirs(spark):
     registry.load_all()
-    x1, x10 = _build_dirs()
+    dirs = _build_dirs()
     # one-off index builds, untimed (the cost ivf/pq_search amortize)
-    for d in (x1, x10):
+    for d in dirs.values():
         registry.QUERIES["index_build_ivf"](spark, d).collect()
         registry.QUERIES["index_build_pq"](spark, d).collect()
-    return x1, x10
+    return dirs
 
 
 def _timed_run(spark, qid: str, sf_dir: str) -> tuple[float, str]:
@@ -117,11 +131,42 @@ def _timed_run(spark, qid: str, sf_dir: str) -> tuple[float, str]:
     return dt, plan
 
 
+def _stage_watermark(spark) -> int:
+    """Highest completed stage id so far (UI status store)."""
+    stats = _stage_stats(spark, 0)
+    return stats["max_stage"] + 1
+
+
+def _stage_stats(spark, since_stage: int) -> dict:
+    """Spill + peak-execution-memory across stages >= since_stage, read
+    from the local UI's REST status store — the same numbers the Spark
+    UI's stage table shows."""
+    import json as _json
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app}/stages?status=complete"
+    with urllib.request.urlopen(url, timeout=30) as resp:
+        stages = _json.load(resp)
+    picked = [s for s in stages if s.get("stageId", -1) >= since_stage]
+    return {
+        "max_stage": max((s.get("stageId", -1) for s in stages), default=-1),
+        "spill_bytes": sum(
+            s.get("memoryBytesSpilled", 0) + s.get("diskBytesSpilled", 0)
+            for s in picked
+        ),
+        "peak_exec_mem": max(
+            (s.get("peakExecutionMemory", 0) for s in picked), default=0
+        ),
+    }
+
+
 @pytest.mark.parametrize("qid", _QUERIES)
 def test_tenfold_scaleup_stays_linear_and_keeps_plan_shape(
     spark, scale_dirs, qid
 ):
-    x1, x10 = scale_dirs
+    x1, x10 = scale_dirs[1], scale_dirs[10]
     _timed_run(spark, qid, x1)  # warm code paths / sidecar caches
     t1, plan1 = _timed_run(spark, qid, x1)
     t10, plan10 = _timed_run(spark, qid, x10)
@@ -138,3 +183,46 @@ def test_tenfold_scaleup_stays_linear_and_keeps_plan_shape(
         assert "PartitionFilters" in plan10, (
             "IVF listing-time pruning lost at 10x scale"
         )
+
+
+# Second decade (round-7 VERDICT #4): one decade separates O(n) from
+# O(n²); two separate O(n) from O(n·log n) drift and surface memory
+# ceilings. The ANN tier only — the queries whose 100-TB story is
+# "pruning keeps the scanned fraction constant".
+_ANN_QUERIES = ["ivf_search", "pq_search", "semdedup"]
+
+# t(100x)/t(10x) on another 10x of data: linear ≈ 10, quadratic ≈ 100.
+# Same generous noise margin as _MAX_RATIO (single runs flap 2-3x).
+_MAX_RATIO_DECADE2 = 35.0
+
+
+@pytest.mark.parametrize("qid", _ANN_QUERIES)
+def test_hundredfold_ann_scaleup_second_decade(spark, scale_dirs, qid):
+    x10, x100 = scale_dirs[10], scale_dirs[100]
+    _timed_run(spark, qid, x10)  # warm
+    t10, plan10 = _timed_run(spark, qid, x10)
+    mark = _stage_watermark(spark)
+    t100, plan100 = _timed_run(spark, qid, x100)
+    mem = _stage_stats(spark, mark)
+    ratio = t100 / max(t10, 1e-6)
+    print(
+        f"# scale_stress_decade2 {qid}: x10={t10:.2f}s x100={t100:.2f}s "
+        f"ratio={ratio:.1f} spill={mem['spill_bytes']} "
+        f"peak_exec_mem={mem['peak_exec_mem']}"
+    )
+    assert ratio < _MAX_RATIO_DECADE2, (
+        f"{qid}: second decade cost {ratio:.1f}x wall — superlinear drift"
+    )
+    assert plan100.count("Exchange") <= plan10.count("Exchange"), (
+        f"{qid}: second decade introduced a new shuffle"
+    )
+    if qid == "ivf_search":
+        assert "PartitionFilters" in plan100, (
+            "IVF listing-time pruning lost at 100x scale"
+        )
+    # memory ceiling: the 100x run must stay in-memory at this fixture
+    # scale — spill at 50k rows would mean partitions sized wrong by
+    # orders of magnitude before real data ever arrives
+    assert mem["spill_bytes"] == 0, (
+        f"{qid}: spilled {mem['spill_bytes']} bytes at 100x fixture scale"
+    )

@@ -229,10 +229,25 @@ def substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- semdedup ---------------------------------------------------------------
 
-SEM_BITS = 6
+SEM_BITS = 6          # bit-count floor (fixture scale)
+SEM_MAX_BITS = 24     # hyperplane pool; 2^24 buckets serves ~134M rows
+SEM_TARGET_BUCKET = 8  # expected vectors per bucket the bit count holds
 SEM_DIM = 64
 SEM_TAU = 0.6
-_SEM_PLANES = hyperplanes(SEM_DIM, SEM_BITS, seed=42)
+_SEM_PLANES = hyperplanes(SEM_DIM, SEM_MAX_BITS, seed=42)
+
+
+def sem_bits(n: int) -> int:
+    """Bucket bits for an n-row corpus: the smallest b in
+    [SEM_BITS, SEM_MAX_BITS] with 2^b * SEM_TARGET_BUCKET >= n — i.e.
+    expected bucket size stays <= SEM_TARGET_BUCKET as the corpus
+    grows, which is what keeps the within-bucket pair space LINEAR in n
+    (Σ|bucket|² ≈ n·target). Pure integer arithmetic so the SQL oracle
+    computes the identical value with no float-log knife edge."""
+    for b in range(SEM_BITS, SEM_MAX_BITS + 1):
+        if (1 << b) * SEM_TARGET_BUCKET >= n:
+            return b
+    return SEM_MAX_BITS
 
 
 def _planes_sql() -> str:
@@ -246,13 +261,21 @@ def _planes_sql() -> str:
     "semdedup",
     oracle=f"""
     WITH hp AS (SELECT * FROM (VALUES {_planes_sql()}) t(j, h)),
+    nb AS (
+        SELECT MIN(b) AS bits
+        FROM range({SEM_BITS}, {SEM_MAX_BITS + 1}) t(b)
+        WHERE (CAST(1 AS BIGINT) << b) * {SEM_TARGET_BUCKET}
+              >= (SELECT count(*) FROM embeddings)
+    ),
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
     bk AS (
         SELECT e.vec_id,
                CAST(sum(CASE WHEN list_dot_product(e.emb, hp.h) >= 0
                              THEN CAST(pow(2, hp.j) AS BIGINT)
                              ELSE 0 END) AS BIGINT) AS bucket
-        FROM e CROSS JOIN hp GROUP BY e.vec_id
+        FROM e CROSS JOIN hp CROSS JOIN nb
+        WHERE hp.j < nb.bits
+        GROUP BY e.vec_id
     ),
     rm AS (
         SELECT DISTINCT a.vec_id
@@ -280,18 +303,25 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     KMeans centroids are the drop-in alternative when approximate
     clusters are acceptable.
 
-    Scale shape: bucket assignment is a shuffle-free map of 6 codegen'd
+    Scale shape: bucket assignment is a shuffle-free map of codegen'd
     dot products against literal hyperplanes; the prune self-join is
-    keyed on bucket, so the candidate-pair space is Σ|bucket|², tuned
-    by the bit count — the 100 TB knob is "more bits", not a new plan.
-    The threshold compares the ROUNDED distance so the boundary is
+    keyed on bucket, so the candidate-pair space is Σ|bucket|². The bit
+    count now TURNS ITSELF with corpus size (``sem_bits``: smallest b
+    with 2^b·target ≥ n, integer-exact on both engines from one
+    metadata-only count) so expected bucket size — and with it the pair
+    space per row — stays constant as n grows. Round 8's second-decade
+    stress run measured the fixed-6-bit variant at 67× wall for 10×
+    data (quadratic, exactly the drift the added decade exists to
+    catch); with adaptive bits the same blow-up is linear. The
+    threshold compares the ROUNDED distance so the boundary is
     engine-stable.
     """
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bits = sem_bits(e.count())
     bk = e.select(
         "vec_id",
         "embedding",
-        bucket_expr(F.col("embedding"), _SEM_PLANES).alias("bucket"),
+        bucket_expr(F.col("embedding"), _SEM_PLANES[:bits]).alias("bucket"),
     )
     a, b = bk.alias("a"), bk.alias("b")
     # Fixture embeddings are L2-normalized (FIXTURES.md) ⇒ dist = 1 − dot,
