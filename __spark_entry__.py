@@ -104,9 +104,10 @@ RECERTIFY_IF_AT_OR_BEFORE = {
     # similarity space, greedy unrolled as MATERIALIZED CTEs
     "topk_diverse": 6,
     # round-8: the media rotation gained JPEG 4:2:0 chroma subsampling
-    # (images alternate 4:4:4/4:2:0) and the Motion-JPEG MP4 track
-    # (videos rotate y4m / v308 / mjpeg) after the r7 row — the executed
-    # path materially changed again, so the execution proof re-runs
+    # (images alternate 4:4:4/4:2:0), the Motion-JPEG MP4 track (videos
+    # rotate y4m / v308 / mjpeg), and stereo+LPC FLAC (audio alternates
+    # mono/stereo) after the r7 row — the executed path materially
+    # changed again, so the execution proof re-runs
     "multimodal_features": 7,
     # round-8: lttb_downsample graduated from rows-only (its r5 row) to a
     # full value oracle — exact-integer quantized LTTB (seconds/cents),

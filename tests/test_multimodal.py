@@ -384,6 +384,61 @@ def test_flac_roundtrip_exact_across_signal_shapes():
             assert np.array_equal(out, _int16_ref(s)), (name, po)
 
 
+def test_flac_stereo_and_lpc_roundtrip_exact():
+    """Round-8 coverage closure: stereo streams reconstruct bit-exactly
+    through every channel assignment the encoder can pick (independent /
+    left-side / right-side / mid-side — identical channels force
+    mid/side, independent noise forces L/R), and LPC subframes both
+    shrink tonal audio below the fixed-predictor encoding and invert
+    exactly (integer recurrence, lossless for any coefficients)."""
+    import numpy as np
+
+    from vector_search_playground_spark.functions.multimodal import (
+        decode_flac,
+        encode_flac,
+    )
+
+    rng = np.random.RandomState(11)
+    t = np.arange(800) / 16000.0
+    L = 0.6 * np.sin(2 * np.pi * 100 * t)
+    cases = {
+        "phase_shift": np.stack(
+            [L, 0.54 * np.sin(2 * np.pi * 100 * t + 0.2)], axis=-1
+        ),
+        "identical": np.stack([L, L], axis=-1),
+        "independent_noise": rng.uniform(-1, 1, (300, 2)),
+        "const_stereo": np.full((7, 2), -0.5),
+        "multi_block": np.stack(
+            [
+                np.sin(2 * np.pi * 50 * np.arange(9000) / 16000.0),
+                np.cos(2 * np.pi * 75 * np.arange(9000) / 16000.0),
+            ],
+            axis=-1,
+        )
+        * 0.7,
+    }
+    for name, s in cases.items():
+        out, sr = decode_flac(encode_flac(s, 16000))
+        assert sr == 16000 and out.shape == s.shape, name
+        assert np.array_equal(out, _int16_ref(s)), name
+    # mid/side must beat independent coding on near-identical channels
+    same = encode_flac(cases["identical"], 16000)
+    indep = encode_flac(
+        np.stack([L, rng.uniform(-1, 1, 800)], axis=-1), 16000
+    )
+    assert len(same) < 0.75 * len(indep)
+    # LPC: tonal mono audio must encode smaller than fixed-only, and
+    # the stream must actually carry an LPC subframe (types 0b100000+)
+    mono = 0.5 * np.sin(2 * np.pi * 120 * t) + 0.25 * np.sin(
+        2 * np.pi * 240 * t
+    )
+    with_lpc = encode_flac(mono, 16000)
+    fixed_only = encode_flac(mono, 16000, lpc_order=0)
+    assert len(with_lpc) < len(fixed_only)
+    out, _ = decode_flac(with_lpc)
+    assert np.array_equal(out, _int16_ref(mono))
+
+
 def test_flac_actually_compresses_tonal_audio():
     import numpy as np
 
@@ -455,10 +510,17 @@ def test_flac_wav_same_signal_same_features():
         _audio_payload,
     )
 
-    for step in (0, 7, 39):
+    # even steps carry the same mono signal through both containers;
+    # odd steps are stereo flac by design (rotation of channel layouts)
+    for step in (0, 8, 38):
         w, _ = decode_wav(_audio_payload(step, "wav"))
         f, _ = decode_flac(_audio_payload(step, "flac"))
         assert _audio_features(w, 16000) == _audio_features(f, 16000)
+    for step in (7, 39):
+        f, _ = decode_flac(_audio_payload(step, "flac"))
+        assert f.ndim == 2 and f.shape[1] == 2, "odd steps must be stereo"
+        feats = _audio_features(f, 16000)
+        assert len(feats) == len(_audio_features(f[:, 0], 16000))
 
 
 # --- jpeg codec (round 7) ---------------------------------------------------

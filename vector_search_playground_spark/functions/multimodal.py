@@ -582,15 +582,18 @@ def decode_gif(payload: bytes):
     return palette[np.frombuffer(bytes(out), np.uint8)].reshape(ih, iw, 3)
 
 
-# --- FLAC (subset: mono, 16-bit, fixed predictors + Rice residuals) ---------
-# Round-7 codec graduation (the VERDICT-nominated seam retirement): a
-# spec-conformant FLAC encoder/decoder built from the public format
-# description (RFC 9639 / xiph.org FLAC format) — STREAMINFO with audio
-# MD5, frame sync + CRC-8 header / CRC-16 frame, UTF-8-coded frame
-# numbers, CONSTANT / VERBATIM / FIXED(0..4) subframes, Rice-coded
-# residuals with arbitrary partition order and the 5-bit escape. Mono
-# 16-bit only — the same deliberate posture as the WAV codec
-# (multi-channel decorrelation is a modeling choice, not plumbing).
+# --- FLAC (16-bit mono/stereo, fixed + LPC predictors, Rice residuals) ------
+# Round-7 codec graduation (the VERDICT-nominated seam retirement),
+# completed round 8: a spec-conformant FLAC encoder/decoder built from
+# the public format description (RFC 9639 / xiph.org FLAC format) —
+# STREAMINFO with audio MD5, frame sync + CRC-8 header / CRC-16 frame,
+# UTF-8-coded frame numbers, the full subframe family (CONSTANT /
+# VERBATIM / FIXED(0..4) / LPC with quantized Levinson-Durbin
+# coefficients), Rice-coded residuals with arbitrary partition order and
+# the 5-bit escape, and all four stereo channel assignments (independent,
+# left/side, right/side, mid/side) chosen per block by measured bit cost.
+# 16-bit only (the WAV codec's posture); higher depths are a constant,
+# not a structure.
 
 _CRC8_POLY, _CRC16_POLY = 0x07, 0x8005
 
@@ -654,6 +657,156 @@ def _fixed_residual(x, order: int):
     return r
 
 
+def _lpc_coefs(x, order: int):
+    """Levinson-Durbin LPC coefficients from the block's autocorrelation
+    (float); None when the signal is degenerate (zero energy /
+    singular)."""
+    import numpy as np
+
+    xf = np.asarray(x, np.float64)
+    n = len(xf)
+    if n <= order:
+        return None
+    # Welch window tames edge leakage (standard encoder practice)
+    w = 1.0 - (2.0 * np.arange(n) / (n - 1) - 1.0) ** 2 if n > 1 else None
+    xw = xf * w if w is not None else xf
+    ac = np.array(
+        [np.dot(xw[: n - k], xw[k:]) for k in range(order + 1)]
+    )
+    if ac[0] <= 0:
+        return None
+    err = ac[0]
+    a = np.zeros(order)
+    for i in range(order):
+        acc = ac[i + 1] - sum(a[j] * ac[i - j] for j in range(i))
+        k = acc / err
+        new = a.copy()
+        new[i] = k
+        for j in range(i):
+            new[j] = a[j] - k * a[i - 1 - j]
+        a = new
+        err *= 1.0 - k * k
+        if err <= 0:
+            return None
+    return a
+
+
+def _lpc_quantize(coefs, precision: int):
+    """(int coefficients, right-shift) for the float LPC vector: shift
+    scales the largest coefficient into [2^(p-2), 2^(p-1)); rounding
+    uses error feedback so quantization noise does not accumulate
+    (libFLAC's scheme). Returns None if the vector cannot fit."""
+    import math
+
+    cmax = max(abs(float(c)) for c in coefs)
+    if cmax <= 0:
+        return None
+    lg = math.frexp(cmax)[1]  # cmax in [2^(lg-1), 2^lg)
+    shift = precision - 1 - lg
+    shift = max(0, min(15, shift))
+    lim = 1 << (precision - 1)
+    q = []
+    err = 0.0
+    for c in coefs:
+        v = float(c) * (1 << shift) + err
+        iv = int(math.floor(v + 0.5))
+        iv = max(-lim, min(lim - 1, iv))
+        err = v - iv
+        q.append(iv)
+    return q, shift
+
+
+def _lpc_residual(x, qcoefs, shift: int):
+    """Exact integer LPC residual: res[i] = x[i] − (Σ c_j·x[i−1−j] >>
+    shift) — the arithmetic shift makes the round-trip lossless for ANY
+    coefficient choice (coefficient quality only changes residual
+    magnitude, never correctness)."""
+    import numpy as np
+
+    xi = np.asarray(x, np.int64)
+    order = len(qcoefs)
+    n = len(xi)
+    pred = np.zeros(n - order, np.int64)
+    for j, c in enumerate(qcoefs):
+        pred += int(c) * xi[order - 1 - j : n - 1 - j]
+    return xi[order:] - (pred >> shift)
+
+
+def _best_rice_cost(res) -> int:
+    import numpy as np
+
+    r = np.asarray(res, np.int64)
+    u = (r << 1) ^ (r >> 63)
+    return min(_rice_cost(u, k) for k in range(15))
+
+
+def _write_subframe(frame: _BitWriter, blk, bps: int,
+                    partition_order: int, lpc_order: int) -> None:
+    """One channel's subframe, picked by measured bit cost among
+    CONSTANT / VERBATIM / FIXED(0..4) / LPC(lpc_order) — the full
+    subframe-type family of the format."""
+    import numpy as np
+
+    blk = np.asarray(blk, np.int64)
+    n = len(blk)
+    if np.all(blk == blk[0]):
+        frame.write(0, 1)
+        frame.write(0, 6)  # CONSTANT
+        frame.write(0, 1)
+        frame.write(int(blk[0]), bps)
+        return
+    nparts = 1 << partition_order
+    best = ("verbatim", n * bps, None)
+    max_fixed = min(4, n - 1)
+    for o in range(max_fixed + 1):
+        if n % nparts or n // nparts <= o:
+            continue
+        cost = o * bps + 6 + _best_rice_cost(_fixed_residual(blk, o))
+        if cost < best[1]:
+            best = ("fixed", cost, o)
+    if lpc_order and n > 2 * lpc_order and n % nparts == 0 \
+            and n // nparts > lpc_order:
+        fl = _lpc_coefs(blk, lpc_order)
+        qz = _lpc_quantize(fl, 12) if fl is not None else None
+        if qz is not None:
+            qc, shift = qz
+            res = _lpc_residual(blk, qc, shift)
+            cost = (
+                lpc_order * bps + 4 + 5 + lpc_order * 12 + 6
+                + _best_rice_cost(res)
+            )
+            if cost < best[1]:
+                best = ("lpc", cost, (qc, shift, res))
+    kind = best[0]
+    frame.write(0, 1)
+    if kind == "verbatim":
+        frame.write(1, 6)
+        frame.write(0, 1)
+        for v in blk:
+            frame.write(int(v), bps)
+    elif kind == "fixed":
+        o = best[2]
+        frame.write(0b001000 | o, 6)
+        frame.write(0, 1)
+        for v in blk[:o]:
+            frame.write(int(v), bps)
+        _write_residuals(
+            frame, _fixed_residual(blk, o), n, o, partition_order
+        )
+    else:  # lpc
+        qc, shift, res = best[2]
+        o = len(qc)
+        frame.write(0b100000 | (o - 1), 6)
+        frame.write(0, 1)
+        for v in blk[:o]:
+            frame.write(int(v), bps)
+        frame.write(12 - 1, 4)  # coefficient precision
+        frame.write(shift, 5)
+        for c in qc:
+            frame.write(int(c), 12)
+        _write_residuals(frame, res, n, o, partition_order)
+
+
 def _utf8_code(n: int) -> bytes:
     """FLAC's UTF-8-style variable-length number (frame numbers)."""
     if n < 0x80:
@@ -705,12 +858,48 @@ def _write_residuals(w: _BitWriter, res, blocksize: int, order: int,
                     w.write(int(rem), best_k)
 
 
+def _subframe_cost(blk, bps: int, partition_order: int,
+                   lpc_order: int) -> int:
+    """Measured bit cost of the subframe _write_subframe would emit —
+    used to pick the stereo decorrelation mode."""
+    import numpy as np
+
+    blk = np.asarray(blk, np.int64)
+    n = len(blk)
+    if np.all(blk == blk[0]):
+        return 8 + bps
+    nparts = 1 << partition_order
+    best = n * bps
+    for o in range(min(4, n - 1) + 1):
+        if n % nparts or n // nparts <= o:
+            continue
+        best = min(
+            best, o * bps + 6 + _best_rice_cost(_fixed_residual(blk, o))
+        )
+    if lpc_order and n > 2 * lpc_order and n % nparts == 0 \
+            and n // nparts > lpc_order:
+        fl = _lpc_coefs(blk, lpc_order)
+        qz = _lpc_quantize(fl, 12) if fl is not None else None
+        if qz is not None:
+            qc, shift = qz
+            best = min(
+                best,
+                lpc_order * bps + 15 + lpc_order * 12
+                + _best_rice_cost(_lpc_residual(blk, qc, shift)),
+            )
+    return best + 8
+
+
 def encode_flac(samples, sample_rate: int = 16000, *,
-                block_size: int = 4096, partition_order: int = 0) -> bytes:
-    """FLAC bytes from float samples in [-1, 1) — mono, 16-bit,
-    CONSTANT/FIXED(0..4)/VERBATIM subframes chosen per block by measured
-    bit cost, Rice partition order configurable (compression knob; the
-    pipeline default 0 keeps one parameter per block)."""
+                block_size: int = 4096, partition_order: int = 0,
+                lpc_order: int = 8) -> bytes:
+    """FLAC bytes from float samples in [-1, 1) — 16-bit, mono (n,) or
+    stereo (n, 2). Subframes chosen per block/channel by measured bit
+    cost among CONSTANT / FIXED(0..4) / VERBATIM / LPC(8) (quantized
+    Levinson-Durbin coefficients, precision 12); stereo frames pick the
+    cheapest of independent / left-side / right-side / mid-side
+    decorrelation per block — the format's full channel-assignment
+    family. Rice partition order stays a knob (pipeline default 0)."""
     import hashlib as _hashlib
     import struct
 
@@ -719,9 +908,19 @@ def encode_flac(samples, sample_rate: int = 16000, *,
     pcm = np.clip(
         np.asarray(samples, dtype=np.float64), -1.0, 1.0 - 2**-15
     )
+    if pcm.ndim == 1:
+        ch = 1
+    elif pcm.ndim == 2 and pcm.shape[1] in (1, 2):
+        ch = pcm.shape[1]
+        if ch == 1:
+            pcm = pcm[:, 0]
+    else:
+        raise ValueError("expected (n,) mono or (n, 2) stereo samples")
     x = (pcm * 32768.0).astype(np.int16).astype(np.int64)
     total = len(x)
-    md5 = _hashlib.md5(x.astype("<i2").tobytes()).digest()
+    md5 = _hashlib.md5(
+        x.astype("<i2").tobytes()  # interleaved for stereo (row-major)
+    ).digest()
 
     head = bytearray(b"fLaC")
     head.append(0x80)  # last metadata block, type 0 = STREAMINFO
@@ -732,7 +931,7 @@ def encode_flac(samples, sample_rate: int = 16000, *,
     si.write(0, 24)  # min frame size unknown
     si.write(0, 24)  # max frame size unknown
     si.write(sample_rate, 20)
-    si.write(0, 3)  # channels - 1
+    si.write(ch - 1, 3)
     si.write(15, 5)  # bits per sample - 1
     si.write(total, 36)
     si.align()
@@ -744,13 +943,35 @@ def encode_flac(samples, sample_rate: int = 16000, *,
         n = len(blk)
         if n == 0:
             break
+        if ch == 1:
+            chan_code = 0
+            subs = [(blk, 16)]
+        else:
+            left = blk[:, 0]
+            right = blk[:, 1]
+            side = left - right
+            mid = (left + right) >> 1
+            cands = {
+                0b0001: [(left, 16), (right, 16)],       # independent
+                0b1000: [(left, 16), (side, 17)],        # left/side
+                0b1001: [(side, 17), (right, 16)],       # right/side
+                0b1010: [(mid, 16), (side, 17)],         # mid/side
+            }
+            chan_code = min(
+                cands,
+                key=lambda c: sum(
+                    _subframe_cost(b, w, partition_order, lpc_order)
+                    for b, w in cands[c]
+                ),
+            )
+            subs = cands[chan_code]
         hdr = _BitWriter()
         hdr.write(0b11111111111110, 14)
         hdr.write(0, 1)  # reserved
         hdr.write(0, 1)  # fixed-blocksize strategy
         hdr.write(0b0111, 4)  # blocksize: 16-bit value at header end
         hdr.write(0, 4)  # sample rate: from STREAMINFO
-        hdr.write(0, 4)  # channel assignment: mono
+        hdr.write(chan_code, 4)
         hdr.write(0b100, 3)  # 16-bit samples
         hdr.write(0, 1)  # reserved
         hdr.align()
@@ -758,43 +979,10 @@ def encode_flac(samples, sample_rate: int = 16000, *,
         frame = _BitWriter()
         frame.buf = bytearray(hdr_bytes)
         frame.buf.append(_crc8(hdr_bytes))
-
-        # subframe selection by measured cost
-        if np.all(blk == blk[0]):
-            frame.write(0, 1)
-            frame.write(0, 6)  # CONSTANT
-            frame.write(0, 1)
-            frame.write(int(blk[0]), 16)
-        else:
-            best_order, best_cost = None, n * 16  # verbatim baseline
-            max_order = min(4, n - 1)
-            nparts = 1 << partition_order
-            for o in range(max_order + 1):
-                if n % nparts or n // nparts <= o:
-                    continue
-                res = _fixed_residual(blk, o)
-                u = (res << 1) ^ (res >> 63)
-                cost = o * 16 + 6 + min(
-                    _rice_cost(u, k) for k in range(15)
-                )
-                if cost < best_cost:
-                    best_order, best_cost = o, cost
-            if best_order is None:
-                frame.write(0, 1)
-                frame.write(1, 6)  # VERBATIM
-                frame.write(0, 1)
-                for v in blk:
-                    frame.write(int(v), 16)
-            else:
-                frame.write(0, 1)
-                frame.write(0b001000 | best_order, 6)  # FIXED
-                frame.write(0, 1)
-                for v in blk[:best_order]:
-                    frame.write(int(v), 16)
-                _write_residuals(
-                    frame, _fixed_residual(blk, best_order), n,
-                    best_order, partition_order,
-                )
+        for sub_blk, sub_bps in subs:
+            _write_subframe(
+                frame, sub_blk, sub_bps, partition_order, lpc_order
+            )
         frame.align()
         frame.buf += struct.pack(">H", _crc16(bytes(frame.buf)))
         out += frame.buf
@@ -881,6 +1069,59 @@ def _read_residuals(r: _BitReader, blocksize: int, order: int):
     return np.concatenate(out) if out else np.empty(0, np.int64)
 
 
+def _read_subframe(r: "_BitReader", n: int, bps: int):
+    """One channel's subframe at `bps` bits (17 for a stereo side
+    channel): CONSTANT / VERBATIM / FIXED(0..4) / LPC(1..32)."""
+    import numpy as np
+
+    if r.read(1):
+        raise ValueError("bad subframe padding bit")
+    stype = r.read(6)
+    if r.read(1):
+        raise NotImplementedError("wasted bits unsupported")
+    if stype == 0:
+        return np.full(n, r.read_signed(bps), dtype=np.int64)
+    if stype == 1:
+        return np.array(
+            [r.read_signed(bps) for _ in range(n)], dtype=np.int64
+        )
+    if 8 <= stype <= 12:
+        order = stype - 8
+        warm = [r.read_signed(bps) for _ in range(order)]
+        res = _read_residuals(r, n, order)
+        # invert o rounds of differencing: repeated prefix integration
+        heads = []
+        cur = np.array(warm, dtype=np.int64)
+        for _ in range(order):
+            heads.append(int(cur[0]))
+            cur = np.diff(cur)
+        blk = res
+        for h in reversed(heads):
+            blk = np.concatenate(([h], h + np.cumsum(blk, dtype=np.int64)))
+        return blk
+    if stype >= 32:
+        order = (stype & 0x1F) + 1
+        warm = [r.read_signed(bps) for _ in range(order)]
+        prec_code = r.read(4)
+        if prec_code == 15:
+            raise ValueError("invalid LPC coefficient precision")
+        prec = prec_code + 1
+        shift = r.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative LPC shift")
+        coefs = [r.read_signed(prec) for _ in range(order)]
+        res = _read_residuals(r, n, order)
+        # exact integer recurrence: x[i] = res + (Σ c_j·x[i−1−j] >> shift)
+        x = list(map(int, warm)) + [0] * (n - order)
+        for i in range(order, n):
+            pred = 0
+            for j in range(order):
+                pred += coefs[j] * x[i - 1 - j]
+            x[i] = int(res[i - order]) + (pred >> shift)
+        return np.array(x, dtype=np.int64)
+    raise ValueError("reserved subframe type")
+
+
 def _read_utf8_code(r: _BitReader) -> int:
     b0 = r.read(8)
     if b0 < 0x80:
@@ -900,9 +1141,12 @@ def _read_utf8_code(r: _BitReader) -> int:
 
 
 def decode_flac(payload: bytes):
-    """(samples float64 in [-1,1), sample_rate) from mono 16-bit FLAC.
-    Verifies the frame-header CRC-8, whole-frame CRC-16, and the
-    STREAMINFO audio MD5 — a corrupted stream cannot round-trip."""
+    """(samples float64 in [-1,1), sample_rate) from 16-bit FLAC — mono
+    (returns (n,)) or stereo (returns (n, 2)), all four channel
+    assignments (independent, left/side, right/side, mid/side) and all
+    subframe types including LPC. Verifies the frame-header CRC-8,
+    whole-frame CRC-16, and the STREAMINFO audio MD5 — a corrupted
+    stream cannot round-trip."""
     import hashlib as _hashlib
 
     import numpy as np
@@ -923,9 +1167,10 @@ def decode_flac(payload: bytes):
             sr = (body[10] << 12) | (body[11] << 4) | (body[12] >> 4)
             ch = ((body[12] >> 1) & 0x7) + 1
             bps = (((body[12] & 1) << 4) | (body[13] >> 4)) + 1
-            if ch != 1 or bps != 16:
+            if ch not in (1, 2) or bps != 16:
                 raise NotImplementedError(
-                    "only mono 16-bit FLAC supported by the built-in codec"
+                    "only mono/stereo 16-bit FLAC supported by the"
+                    " built-in codec"
                 )
             total = ((body[13] & 0x0F) << 32) | int.from_bytes(
                 body[14:18], "big"
@@ -950,8 +1195,10 @@ def decode_flac(payload: bytes):
         chan = r.read(4)
         ss_code = r.read(3)
         r.read(1)
-        if chan != 0:
-            raise NotImplementedError("only mono frames supported")
+        if chan not in (0b0000, 0b0001, 0b1000, 0b1001, 0b1010):
+            raise NotImplementedError(
+                "only mono / 2-channel frame assignments supported"
+            )
         if ss_code != 0b100:
             raise NotImplementedError("only 16-bit frames supported")
         _read_utf8_code(r)
@@ -977,34 +1224,31 @@ def decode_flac(payload: bytes):
         if _crc8(payload[pos : pos + (r.pos - 8) // 8]) != crc_hdr:
             raise ValueError("frame header CRC mismatch")
 
-        if r.read(1):
-            raise ValueError("bad subframe padding bit")
-        stype = r.read(6)
-        if r.read(1):
-            raise NotImplementedError("wasted bits unsupported")
-        if stype == 0:
-            blk = np.full(n, r.read_signed(16), dtype=np.int64)
-        elif stype == 1:
-            blk = np.array(
-                [r.read_signed(16) for _ in range(n)], dtype=np.int64
-            )
-        elif 8 <= stype <= 12:
-            order = stype - 8
-            warm = [r.read_signed(16) for _ in range(order)]
-            res = _read_residuals(r, n, order)
-            # invert o rounds of differencing: repeated prefix integration
-            heads = []
-            cur = np.array(warm, dtype=np.int64)
-            for _ in range(order):
-                heads.append(int(cur[0]))
-                cur = np.diff(cur)
-            blk = res
-            for h in reversed(heads):
-                blk = np.concatenate(
-                    ([h], h + np.cumsum(blk, dtype=np.int64))
-                )
+        if chan == 0b0000:
+            blk = _read_subframe(r, n, 16)
         else:
-            raise NotImplementedError("LPC subframes unsupported")
+            # per-channel bps: a side channel carries one extra bit
+            if chan == 0b0001:
+                widths = (16, 16)
+            elif chan == 0b1000:  # left/side
+                widths = (16, 17)
+            elif chan == 0b1001:  # side/right
+                widths = (17, 16)
+            else:  # mid/side
+                widths = (16, 17)
+            c0 = _read_subframe(r, n, widths[0])
+            c1 = _read_subframe(r, n, widths[1])
+            if chan == 0b0001:
+                left, right = c0, c1
+            elif chan == 0b1000:
+                left, right = c0, c0 - c1
+            elif chan == 0b1001:
+                left, right = c0 + c1, c1
+            else:  # mid/side (libFLAC reconstruction)
+                mid2 = (c0 << 1) | (c1 & 1)
+                left = (mid2 + c1) >> 1
+                right = (mid2 - c1) >> 1
+            blk = np.stack([left, right], axis=-1)
         r.align()
         crc_frame = r.read(16)
         if _crc16(payload[pos : pos + r.pos // 8 - 2]) != crc_frame:
@@ -2079,6 +2323,12 @@ def _audio_payload(step: int, fmt: str = "wav") -> bytes:
         2 * np.pi * 2 * freq * t
     )
     if fmt == "flac":
+        # alternate mono and stereo (phase-shifted right channel) so
+        # both channel layouts — and with them the mid/side and LPC
+        # paths — execute inside the registered pipeline
+        if step % 2:
+            right = 0.5 * np.sin(2 * np.pi * freq * t + 0.3)
+            samples = np.stack([samples, right], axis=-1)
         return encode_flac(samples, sr)
     return encode_wav(samples, sr)
 
@@ -2167,6 +2417,9 @@ def _audio_features(samples, sr: int) -> list[float]:
     normalized sample rate, and a constant validity bit."""
     import numpy as np
 
+    samples = np.asarray(samples)
+    if samples.ndim == 2:  # stereo: feature over the mono downmix
+        samples = samples.mean(axis=1)
     n = len(samples)
     if n == 0:
         return [0.0] * FEATURE_DIM
