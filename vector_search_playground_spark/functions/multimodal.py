@@ -2091,9 +2091,28 @@ def _mp4_find(data: bytes, start: int, end: int, tag: bytes):
 
 
 def decode_mp4(payload: bytes):
-    """(frames (n, h, w) uint8 luma, (w, h)) from an ISO BMFF file
-    carrying an uncompressed ``v308`` track or a Motion-JPEG ``jpeg``
-    track (every sample a complete baseline JPEG, decoded by this
+    """(frames (n, h, w) uint8 luma, (w, h)) — full decode of every
+    sample; see :func:`_decode_mp4`."""
+    frames, wh, _n = _decode_mp4(payload, None)
+    return frames, wh
+
+
+def decode_mp4_sampled(payload: bytes, k: int = 4):
+    """(sampled frames (k, h, w), (w, h), n_samples): decodes ONLY the
+    k evenly-spaced sampled frames. For the Motion-JPEG track this
+    skips the entropy decode of every unsampled frame — per-sample
+    independence is MJPEG's defining property, and at pipeline scale
+    (featurize 4 frames of an n-frame clip) it makes decode cost
+    O(k), not O(n). The sample table walk itself is metadata-only."""
+    return _decode_mp4(payload, lambda n: sample_frame_indices(n, k))
+
+
+def _decode_mp4(payload: bytes, picker):
+    """(frames (m, h, w) uint8 luma, (w, h), n_samples) from an ISO BMFF
+    file; ``picker`` maps n_samples → the sample indices to decode
+    (None = all). The file may carry an uncompressed ``v308`` track or
+    a Motion-JPEG ``jpeg`` track (every sample a complete baseline
+    JPEG, decoded by this
     module's own entropy decoder — a genuinely compressed bitstream
     end-to-end) — the same contract as ``decode_y4m``. The box walker
     handles general stsc/stsz/stco sample layouts, not just this
@@ -2171,43 +2190,50 @@ def decode_mp4(payload: bytes):
                 spc = count
         per_chunk.append(spc)
 
-    frames = []
+    # materialize every sample's (offset, size) from the chunk walk —
+    # pure metadata, no payload bytes touched yet
+    spans = []
     si = 0
-    expect = h * w * 3
     for ci, off in enumerate(offsets):
         pos = off
         for _ in range(per_chunk[ci]):
             if si >= n_samples:
                 break
-            size = sizes[si]
-            raw = payload[pos : pos + size]
-            if len(raw) != size:
-                raise ValueError("truncated mdat")
-            if mjpeg:
-                px = decode_jpeg(bytes(raw))
-                if px.shape[:2] != (h, w):
-                    raise ValueError("mjpeg sample dimension mismatch")
-                if px.ndim == 3:  # BT.601 luma of the reconstructed RGB
-                    px = np.clip(
-                        np.round(
-                            0.299 * px[..., 0]
-                            + 0.587 * px[..., 1]
-                            + 0.114 * px[..., 2]
-                        ),
-                        0,
-                        255,
-                    ).astype(np.uint8)
-                frames.append(px)
-            else:
-                if size != expect:
-                    raise ValueError("v308 sample size mismatch")
-                px = np.frombuffer(raw, np.uint8).reshape(h, w, 3)
-                frames.append(px[..., 1].copy())  # Y of (Cr, Y, Cb)
-            pos += size
+            spans.append((pos, sizes[si]))
+            pos += sizes[si]
             si += 1
     if si != n_samples:
         raise ValueError("sample count mismatch")
-    return np.stack(frames), (w, h)
+
+    expect = h * w * 3
+    pick = range(n_samples) if picker is None else picker(n_samples)
+    frames = []
+    for i in pick:
+        pos, size = spans[i]
+        raw = payload[pos : pos + size]
+        if len(raw) != size:
+            raise ValueError("truncated mdat")
+        if mjpeg:
+            px = decode_jpeg(bytes(raw))
+            if px.shape[:2] != (h, w):
+                raise ValueError("mjpeg sample dimension mismatch")
+            if px.ndim == 3:  # BT.601 luma of the reconstructed RGB
+                px = np.clip(
+                    np.round(
+                        0.299 * px[..., 0]
+                        + 0.587 * px[..., 1]
+                        + 0.114 * px[..., 2]
+                    ),
+                    0,
+                    255,
+                ).astype(np.uint8)
+            frames.append(px)
+        else:
+            if size != expect:
+                raise ValueError("v308 sample size mismatch")
+            px = np.frombuffer(raw, np.uint8).reshape(h, w, 3)
+            frames.append(px[..., 1].copy())  # Y of (Cr, Y, Cb)
+    return np.stack(frames), (w, h), n_samples
 
 
 _REAL_DECODERS = {
@@ -2458,20 +2484,34 @@ def _image_features(px) -> list[float]:
     ]
 
 
-def _video_features(frames, idxs: list[int], w: int, h: int) -> list[float]:
+def _video_features(frames, idxs: list[int], w: int, h: int,
+                    n_total: int | None = None) -> list[float]:
     """Mean luma of each sampled frame (padded to 4), frame count and
-    dimensions normalized, σ across the sampled lumas."""
+    dimensions normalized, σ across the sampled lumas. ``n_total``
+    carries the clip's full frame count when ``frames`` holds only the
+    sampled subset (the selective mp4 decode path)."""
     import numpy as np
 
     lumas = [float(frames[i].mean()) / 255.0 for i in idxs]
     padded = (lumas + [0.0] * 4)[:4]
     spread = float(np.std(lumas)) if lumas else 0.0
-    return padded + [min(len(frames) / 256.0, 1.0), min(w / 1024.0, 1.0),
+    n = len(frames) if n_total is None else n_total
+    return padded + [min(n / 256.0, 1.0), min(w / 1024.0, 1.0),
                      min(h / 1024.0, 1.0), spread]
 
 
 def _featurize_real(kind: str, payload: bytes, meta: dict[str, Any]):
     """(features, sampled_frames) through the real decoders."""
+    if kind == "video" and meta.get("format") == "mp4":
+        # selective decode: only the sampled frames are reconstructed —
+        # for the MJPEG track that skips the entropy decode of every
+        # unsampled frame (decode cost O(k), not O(n_frames))
+        sub, (w, h), n_total = decode_mp4_sampled(payload)
+        idxs = sample_frame_indices(n_total)
+        feats = _video_features(
+            sub, list(range(len(sub))), w, h, n_total=n_total
+        )
+        return feats, idxs
     obj = decode_media(kind, payload, meta, fake=False)
     if kind == "audio":
         samples, sr = obj
