@@ -16,7 +16,12 @@ certificate to the SQL surface a real analytics user exercises:
 - tri-valued NULL logic (``sql_null_semantics``),
 - Spark 4 pipe syntax (``sql_pipe_syntax`` — Spark-only dialect, so the
   oracle is the classic phrasing of the same plan),
-- the Spark 4 VARIANT type over JSON event payloads (``variant_json``).
+- the Spark 4 VARIANT type over JSON event payloads (``variant_json``),
+- (round 8) the wider TPC-H join/aggregate surface: a 4-table chain
+  with exact-cents GROUP BY keys (``sql_tpch_q10``), a LEFT OUTER JOIN
+  with a non-equi ON residual re-aggregated into a histogram
+  (``sql_tpch_q13``), and a conditional-aggregate ratio over a
+  fact⋈dimension join (``sql_tpch_q14``).
 
 Every query here except the last two is ONE SQL string executed verbatim
 by BOTH engines (spark.sql over the registered views; the identical text
@@ -398,3 +403,122 @@ def variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_VARIANT_SPARK_SQL)
+
+
+# --- sql_tpch_q10 (round 8) --------------------------------------------------
+
+_TPCH_Q10_SQL = """
+SELECT c_custkey,
+       c_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_c,
+       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_c,
+       n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT), n_name
+ORDER BY revenue_c DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("sql_tpch_q10", oracle=_TPCH_Q10_SQL)
+def sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting: top-20 customers by revenue
+    lost to returns in a quarter), adapted to the fixture's columns
+    (no c_address/c_phone/c_comment) and date range, as ONE verbatim
+    SQL string for both engines. Extends the parity tier to a 4-table
+    join with a dimension (nation) on the far side of the fact chain
+    and money grouped exactly (acctbal quantized to cents inside the
+    GROUP BY, repeated verbatim in the key — the alias-free phrasing
+    both engines parse identically).
+
+    Shape at 100 TB: the quarter predicate prunes orders partitions at
+    the scan; lineitem's returnflag filter pushes down; customer⋈orders
+    and orders⋈lineitem shuffle on their keys while nation broadcasts;
+    TakeOrdered(20) never sorts globally.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q10_SQL)
+
+
+# --- sql_tpch_q13 (round 8) --------------------------------------------------
+
+_TPCH_Q13_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+    FROM customer
+    LEFT OUTER JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query("sql_tpch_q13", oracle=_TPCH_Q13_SQL)
+def sql_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution), adapted to the
+    fixture (the NOT-LIKE comment predicate becomes an order-priority
+    exclusion — no o_comment column), as ONE verbatim SQL string for
+    both engines. The distinctive surface: a LEFT OUTER JOIN whose ON
+    clause carries a NON-equi residual predicate (customers keep their
+    row when every order is excluded — count(o_orderkey) counts only
+    non-NULL keys, so excluded-only customers land in the c_count=0
+    bucket, the exact outer-join semantics a histogram like this
+    exists to test), followed by a re-aggregation of the aggregate.
+
+    Shape at 100 TB: one shuffle on custkey for the outer join + first
+    agg (Catalyst co-plans them), then a tiny second agg over at most
+    max-order-count distinct values — the classic two-level histogram
+    whose second stage is metadata-sized.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q13_SQL)
+
+
+# --- sql_tpch_q14 (round 8) --------------------------------------------------
+
+_TPCH_Q14_SQL = """
+SELECT floor(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                   + 0.5) AS BIGINT)) AS DOUBLE)
+             * 1e4 + 0.5) / 1e4 AS promo_pct,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_c
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1996-01-01'
+  AND l_shipdate < DATE '1996-02-01'
+"""
+
+
+@query("sql_tpch_q14", oracle=_TPCH_Q14_SQL)
+def sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect: share of a month's revenue from
+    PROMO parts), adapted to the fixture's p_type vocabulary (exact
+    'PROMO' match, the fixture's categorical), as ONE verbatim SQL
+    string for both engines. The surface: a conditional aggregate
+    ratio over a fact⋈dimension join reduced to a single row — the
+    numerator and denominator are EXACT integer cent sums, so the one
+    division is a single correctly-rounded IEEE op on identical
+    operands and the percentage rounds with the shared Q1 discipline
+    (floor(x·1e4+0.5)/1e4).
+
+    Shape at 100 TB: the one-month shipdate band prunes lineitem at
+    the scan; part broadcasts (dimension); the aggregate is a
+    map-side-combined scalar — no groups, no skew surface at all.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q14_SQL)
