@@ -20,8 +20,10 @@ certificate to the SQL surface a real analytics user exercises:
 - (round 8) the wider TPC-H join/aggregate surface: a 4-table chain
   with exact-cents GROUP BY keys (``sql_tpch_q10``), a LEFT OUTER JOIN
   with a non-equi ON residual re-aggregated into a histogram
-  (``sql_tpch_q13``), and a conditional-aggregate ratio over a
-  fact⋈dimension join (``sql_tpch_q14``).
+  (``sql_tpch_q13``), a conditional-aggregate ratio over a
+  fact⋈dimension join (``sql_tpch_q14``), and a disjunctive
+  cross-relation predicate the optimizer must decompose itself
+  (``sql_tpch_q19``).
 
 Every query here except the last two is ONE SQL string executed verbatim
 by BOTH engines (spark.sql over the registered views; the identical text
@@ -522,3 +524,44 @@ def sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_TPCH_Q14_SQL)
+
+
+# --- sql_tpch_q19 (round 8) --------------------------------------------------
+
+_TPCH_Q19_SQL = """
+SELECT CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_c,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12'
+       AND l_quantity >= 1 AND l_quantity <= 11
+       AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#23'
+       AND l_quantity >= 10 AND l_quantity <= 20
+       AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#3'
+       AND l_quantity >= 20 AND l_quantity <= 30
+       AND p_size BETWEEN 1 AND 15)
+"""
+
+
+@query("sql_tpch_q19", oracle=_TPCH_Q19_SQL)
+def sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted-revenue: three OR'd brand/quantity/size
+    bands spanning BOTH join sides), adapted to the fixture's brand and
+    container-free schema, as ONE verbatim SQL string for both engines.
+    The distinctive surface: a DISJUNCTIVE predicate that references
+    columns from both relations — the optimizer must derive the
+    single-side implications itself (every branch constrains p_brand
+    and p_size, so a derived part-side filter can prune before the
+    join; Catalyst does this via constraint propagation / CNF
+    conversion, and the test pins that the semantics survive it).
+
+    Shape at 100 TB: part's derived disjunction (brand IN (...) AND
+    size <= 15) pushes to its scan, shrinking the broadcast side; the
+    residual cross-side OR evaluates post-join in codegen; output is a
+    single scalar row — no skew, no global sort.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q19_SQL)
