@@ -201,3 +201,24 @@ def test_avro_distributed_roundtrip(spark, sf_smoke, tmp_path):
     a = sorted(map(tuple, docs.collect()))
     b = sorted(map(tuple, got.collect()))
     assert a == b
+
+
+def test_avro_nullable_long_keeps_full_int64_precision(spark, tmp_path):
+    """A long column containing a NULL makes Arrow→pandas deliver the
+    whole batch as float64, which silently rounds values >= 2^53 — the
+    sink must round-trip such values exactly (it transports integer
+    columns as decimal text for this reason)."""
+    from vector_search_playground_spark.sources.avro import (
+        scan_avro_dataset,
+        write_avro_dataset,
+    )
+
+    big = 9007199254740993  # 2^53 + 1: unrepresentable as float64
+    rows = [(1, big), (2, None), (3, -big - 12345)]
+    df = spark.createDataFrame(rows, "id long, val long")
+    base = str(tmp_path / "bigint_avro")
+    write_avro_dataset(df, base, "bigint_case", [("id", "long"),
+                                                 ("val", "long")],
+                       n_files=1)
+    got = scan_avro_dataset(spark, base, "id long, val long")
+    assert sorted(map(tuple, got.collect())) == sorted(rows)

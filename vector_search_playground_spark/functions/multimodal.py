@@ -740,30 +740,29 @@ def _best_rice_cost(res) -> int:
     return min(_rice_cost(u, k) for k in range(15))
 
 
-def _write_subframe(frame: _BitWriter, blk, bps: int,
-                    partition_order: int, lpc_order: int) -> None:
-    """One channel's subframe, picked by measured bit cost among
-    CONSTANT / VERBATIM / FIXED(0..4) / LPC(lpc_order) — the full
-    subframe-type family of the format."""
+def _plan_subframe(blk, bps: int, partition_order: int, lpc_order: int):
+    """(kind, cost_bits, payload) for one channel's subframe, picked by
+    measured bit cost among CONSTANT / VERBATIM / FIXED(0..4) /
+    LPC(lpc_order) — the full subframe-type family of the format. The
+    SINGLE source of both the stereo-mode cost comparison and the bits
+    the writer emits, so the chooser can never disagree with the
+    stream (and the expensive LPC fit / Rice scans run once)."""
     import numpy as np
 
     blk = np.asarray(blk, np.int64)
     n = len(blk)
     if np.all(blk == blk[0]):
-        frame.write(0, 1)
-        frame.write(0, 6)  # CONSTANT
-        frame.write(0, 1)
-        frame.write(int(blk[0]), bps)
-        return
+        return ("constant", 8 + bps, None)
     nparts = 1 << partition_order
-    best = ("verbatim", n * bps, None)
+    best = ("verbatim", 8 + n * bps, None)
     max_fixed = min(4, n - 1)
     for o in range(max_fixed + 1):
         if n % nparts or n // nparts <= o:
             continue
-        cost = o * bps + 6 + _best_rice_cost(_fixed_residual(blk, o))
+        res = _fixed_residual(blk, o)
+        cost = 8 + o * bps + 6 + _best_rice_cost(res)
         if cost < best[1]:
-            best = ("fixed", cost, o)
+            best = ("fixed", cost, (o, res))
     if lpc_order and n > 2 * lpc_order and n % nparts == 0 \
             and n // nparts > lpc_order:
         fl = _lpc_coefs(blk, lpc_order)
@@ -772,29 +771,45 @@ def _write_subframe(frame: _BitWriter, blk, bps: int,
             qc, shift = qz
             res = _lpc_residual(blk, qc, shift)
             cost = (
-                lpc_order * bps + 4 + 5 + lpc_order * 12 + 6
+                8 + lpc_order * bps + 4 + 5 + lpc_order * 12 + 6
                 + _best_rice_cost(res)
             )
             if cost < best[1]:
                 best = ("lpc", cost, (qc, shift, res))
-    kind = best[0]
+    return best
+
+
+def _write_subframe(frame: _BitWriter, blk, bps: int,
+                    partition_order: int, lpc_order: int,
+                    plan=None) -> None:
+    """Emit one channel's subframe; ``plan`` reuses a _plan_subframe
+    result (the stereo path already computed it for mode selection)."""
+    import numpy as np
+
+    blk = np.asarray(blk, np.int64)
+    n = len(blk)
+    kind, _cost, payload = plan or _plan_subframe(
+        blk, bps, partition_order, lpc_order
+    )
     frame.write(0, 1)
-    if kind == "verbatim":
+    if kind == "constant":
+        frame.write(0, 6)
+        frame.write(0, 1)
+        frame.write(int(blk[0]), bps)
+    elif kind == "verbatim":
         frame.write(1, 6)
         frame.write(0, 1)
         for v in blk:
             frame.write(int(v), bps)
     elif kind == "fixed":
-        o = best[2]
+        o, res = payload
         frame.write(0b001000 | o, 6)
         frame.write(0, 1)
         for v in blk[:o]:
             frame.write(int(v), bps)
-        _write_residuals(
-            frame, _fixed_residual(blk, o), n, o, partition_order
-        )
+        _write_residuals(frame, res, n, o, partition_order)
     else:  # lpc
-        qc, shift, res = best[2]
+        qc, shift, res = payload
         o = len(qc)
         frame.write(0b100000 | (o - 1), 6)
         frame.write(0, 1)
@@ -858,38 +873,6 @@ def _write_residuals(w: _BitWriter, res, blocksize: int, order: int,
                     w.write(int(rem), best_k)
 
 
-def _subframe_cost(blk, bps: int, partition_order: int,
-                   lpc_order: int) -> int:
-    """Measured bit cost of the subframe _write_subframe would emit —
-    used to pick the stereo decorrelation mode."""
-    import numpy as np
-
-    blk = np.asarray(blk, np.int64)
-    n = len(blk)
-    if np.all(blk == blk[0]):
-        return 8 + bps
-    nparts = 1 << partition_order
-    best = n * bps
-    for o in range(min(4, n - 1) + 1):
-        if n % nparts or n // nparts <= o:
-            continue
-        best = min(
-            best, o * bps + 6 + _best_rice_cost(_fixed_residual(blk, o))
-        )
-    if lpc_order and n > 2 * lpc_order and n % nparts == 0 \
-            and n // nparts > lpc_order:
-        fl = _lpc_coefs(blk, lpc_order)
-        qz = _lpc_quantize(fl, 12) if fl is not None else None
-        if qz is not None:
-            qc, shift = qz
-            best = min(
-                best,
-                lpc_order * bps + 15 + lpc_order * 12
-                + _best_rice_cost(_lpc_residual(blk, qc, shift)),
-            )
-    return best + 8
-
-
 def encode_flac(samples, sample_rate: int = 16000, *,
                 block_size: int = 4096, partition_order: int = 0,
                 lpc_order: int = 8) -> bytes:
@@ -945,26 +928,41 @@ def encode_flac(samples, sample_rate: int = 16000, *,
             break
         if ch == 1:
             chan_code = 0
-            subs = [(blk, 16)]
+            subs = [(blk, 16, None)]
         else:
             left = blk[:, 0]
             right = blk[:, 1]
             side = left - right
             mid = (left + right) >> 1
+            # four UNIQUE channel signals across the four candidate
+            # assignments — plan each once; the chosen plans are handed
+            # to the writer, so chooser and stream cannot disagree and
+            # the LPC fits / Rice scans are never recomputed
+            plans = {
+                ("left", 16): _plan_subframe(
+                    left, 16, partition_order, lpc_order),
+                ("right", 16): _plan_subframe(
+                    right, 16, partition_order, lpc_order),
+                ("side", 17): _plan_subframe(
+                    side, 17, partition_order, lpc_order),
+                ("mid", 16): _plan_subframe(
+                    mid, 16, partition_order, lpc_order),
+            }
             cands = {
-                0b0001: [(left, 16), (right, 16)],       # independent
-                0b1000: [(left, 16), (side, 17)],        # left/side
-                0b1001: [(side, 17), (right, 16)],       # right/side
-                0b1010: [(mid, 16), (side, 17)],         # mid/side
+                0b0001: [("left", 16, left), ("right", 16, right)],
+                0b1000: [("left", 16, left), ("side", 17, side)],
+                0b1001: [("side", 17, side), ("right", 16, right)],
+                0b1010: [("mid", 16, mid), ("side", 17, side)],
             }
             chan_code = min(
                 cands,
                 key=lambda c: sum(
-                    _subframe_cost(b, w, partition_order, lpc_order)
-                    for b, w in cands[c]
+                    plans[(nm, w)][1] for nm, w, _ in cands[c]
                 ),
             )
-            subs = cands[chan_code]
+            subs = [
+                (arr, w, plans[(nm, w)]) for nm, w, arr in cands[chan_code]
+            ]
         hdr = _BitWriter()
         hdr.write(0b11111111111110, 14)
         hdr.write(0, 1)  # reserved
@@ -979,9 +977,10 @@ def encode_flac(samples, sample_rate: int = 16000, *,
         frame = _BitWriter()
         frame.buf = bytearray(hdr_bytes)
         frame.buf.append(_crc8(hdr_bytes))
-        for sub_blk, sub_bps in subs:
+        for sub_blk, sub_bps, sub_plan in subs:
             _write_subframe(
-                frame, sub_blk, sub_bps, partition_order, lpc_order
+                frame, sub_blk, sub_bps, partition_order, lpc_order,
+                plan=sub_plan,
             )
         frame.align()
         frame.buf += struct.pack(">H", _crc16(bytes(frame.buf)))

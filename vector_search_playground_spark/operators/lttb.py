@@ -106,11 +106,19 @@ def lttb_downsample_quantized(
     n_out: int = 20,
     t_unit: int = 1_000_000,
     v_scale: int = 100,
+    tiebreak_col: str | None = "event_id",
 ) -> DataFrame:
     """Exact-integer LTTB — the hash-certifiable variant (round-8
     graduation, the topk_diverse discipline: quantize the space so the
     greedy's argmax keys are exact integers, then the same algorithm is
     replicable as unrolled SQL with zero float knife-edges).
+
+    ``tiebreak_col`` pins the point ORDER under duplicate timestamps
+    (the repo-wide full-tiebreak discipline: epoch µs then event id) —
+    without it, pandas' stable sort would preserve shuffle arrival
+    order while the oracle's ROW_NUMBER breaks ties arbitrarily, and
+    the certification could flap on correct code the first time a
+    fixture carries a duplicate (key, ts) pair.
 
     Quantization defines the query's own semantics: per series, time is
     rebased to the series start and floored to ``t_unit`` ticks
@@ -128,11 +136,12 @@ def lttb_downsample_quantized(
     """
     schema = f"{key_col} long, bucket int, {t_col} long, v_q long"
     n_interior = n_out - 2
+    sort_cols = [t_col] + ([tiebreak_col] if tiebreak_col else [])
 
     def one_series(pdf: "pd.DataFrame"):
         import numpy as np
 
-        pdf = pdf.sort_values([t_col]).reset_index(drop=True)
+        pdf = pdf.sort_values(sort_cols).reset_index(drop=True)
         n = len(pdf)
         t_raw = pdf[t_col].to_numpy(dtype=np.int64)
         t = (t_raw - t_raw.min()) // t_unit
@@ -189,6 +198,7 @@ def lttb_downsample_quantized(
             ignore_index=True,
         )
 
-    src = df.select(key_col, t_col, v_col)
+    cols = [key_col, t_col, v_col] + ([tiebreak_col] if tiebreak_col else [])
+    src = df.select(*cols)
     p = df.sparkSession.sparkContext.defaultParallelism
     return src.repartition(p, key_col).mapInPandas(per_partition, schema)

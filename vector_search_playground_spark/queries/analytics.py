@@ -1111,7 +1111,8 @@ def _lttb_oracle() -> str:
         f" OVER (PARTITION BY user_id)) // {tu} AS t_q,",
         f"           CAST(floor(value * {vs} + 0.5) AS BIGINT) AS v_q",
         "    FROM events",
-        "    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))",
+        "    WINDOW w AS (PARTITION BY user_id"
+        " ORDER BY epoch_us(ts), event_id)",
         "),",
         f"big AS MATERIALIZED (SELECT * FROM pts WHERE n > {LTTB_N_OUT}),",
         "small AS (SELECT user_id, CAST(i AS INT) AS bucket,"

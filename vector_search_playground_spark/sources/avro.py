@@ -25,10 +25,14 @@ Scale posture:
   directory is shared storage; the task writes to a temp name and renames,
   so speculative/retried tasks never interleave bytes.
 - The READER ingests via Spark's ``binaryFile`` source (whole-file
-  parallelism — the natural unit: Avro blocks are delimited by the file's
-  own sync marker) and decodes in ``mapInPandas``, yielding ONE pandas
-  batch per Avro block: a 10 GB file streams through an executor at
-  block-sized memory.
+  parallelism) and decodes in ``mapInPandas``, yielding ONE pandas batch
+  per Avro block — so the DECODED side is block-sized. The raw payload
+  is file-sized: ``binaryFile`` materializes each file as one row (hard
+  2 GB cap), so the scan's scale unit is the file, and datasets must be
+  sharded into many moderate files — exactly the layout the writer's
+  one-OCF-per-partition output produces. Splitting a single huge OCF at
+  its sync markers would need a custom Hadoop InputFormat (JVM-side),
+  which is out of scope for a from-scratch Python codec.
 """
 
 from __future__ import annotations
@@ -195,9 +199,13 @@ def write_ocf(
     rows: Iterator[tuple],
     sync: bytes,
     codec: str = "deflate",
+    tmp_suffix: str = "",
 ) -> tuple[int, int]:
     """Write one OCF file; returns (n_rows, n_bytes). ``rows`` are tuples
-    in schema field order; None encodes the union's null branch."""
+    in schema field order; None encodes the union's null branch.
+    ``tmp_suffix`` disambiguates the in-progress temp name per task
+    ATTEMPT — two speculative/retried attempts of the same partition
+    must never share a temp file, or their blocks interleave."""
     if len(sync) != 16:
         raise ValueError("sync marker must be 16 bytes")
     fields = _field_types(schema)
@@ -216,7 +224,7 @@ def write_ocf(
     header.extend(sync)
 
     n_rows = 0
-    tmp = f"{path}.inprogress"
+    tmp = f"{path}.inprogress{tmp_suffix}"
     with open(tmp, "wb") as fh:
         fh.write(header)
         block = bytearray()
@@ -271,14 +279,22 @@ def write_avro_dataset(
 ):
     """Distributed Avro sink: hash-repartition ``df`` on its first column,
     then each partition streams itself into ONE OCF file under ``path``
-    via ``mapInPandas`` (temp-name + rename, so task retries never
-    interleave). Returns after the write action completes and the
-    ``_SUCCESS`` marker is down. The collect is bounded: one stats row
-    per output file."""
+    via ``mapInPandas`` (attempt-suffixed temp name + rename, so
+    speculative/retried tasks never interleave bytes — the rename is the
+    commit point, last attempt wins atomically). Returns after the write
+    action completes and the ``_SUCCESS`` marker is down. The collect is
+    bounded: one stats row per output file.
+
+    Integer columns cross the Arrow→pandas boundary as STRINGS: a batch
+    of int64s containing one null arrives in pandas as float64, which
+    silently rounds any value ≥ 2^53 — a decimal-text round trip is
+    exact for the full int64 range and costs only the from-scratch
+    sink's already-Python-bound encode pass."""
     import pandas as pd
 
     schema = make_schema(record_name, fields)
     names = [n for n, _ in fields]
+    int_pos = [i for i, (_, t) in enumerate(fields) if t in ("long", "int")]
 
     def _write(batches) -> Iterator["pd.DataFrame"]:
         import hashlib
@@ -296,26 +312,37 @@ def write_avro_dataset(
             for pdf in batches:
                 yield from pdf[names].itertuples(index=False, name=None)
 
-        # itertuples hands numpy scalars for int columns; write_ocf's
-        # int() cast normalizes them. NaN (pandas null for floats) must
-        # become None for the union's null branch.
+        # itertuples hands numpy scalars / decimal-text ints (see the
+        # sink docstring); NaN (pandas null for floats) must become
+        # None for the union's null branch.
         def norm(it: Iterator[tuple]) -> Iterator[tuple]:
             for row in it:
-                yield tuple(
+                vals = [
                     None
                     if v is None or (isinstance(v, float) and v != v)
                     else v
                     for v in row
-                )
+                ]
+                for i in int_pos:
+                    if vals[i] is not None:
+                        vals[i] = int(vals[i])
+                yield tuple(vals)
 
-        n_rows, n_bytes = write_ocf(fname, schema, norm(rows()), sync)
+        n_rows, n_bytes = write_ocf(
+            fname, schema, norm(rows()), sync,
+            tmp_suffix=f".{ctx.taskAttemptId()}",
+        )
         yield pd.DataFrame(
             {"path": [fname], "n_rows": [n_rows], "n_bytes": [n_bytes]}
         )
 
     os.makedirs(path, exist_ok=True)
+    sel = [
+        f"CAST(`{n}` AS STRING) AS `{n}`" if i in int_pos else f"`{n}`"
+        for i, n in enumerate(names)
+    ]
     stats = (
-        df.select(*names)
+        df.selectExpr(*sel)
         .repartition(n_files, names[0])
         .mapInPandas(_write, "path string, n_rows long, n_bytes long")
     )
@@ -327,14 +354,19 @@ def write_avro_dataset(
 def scan_avro_dataset(spark, path: str, result_schema: str):
     """Distributed Avro scan: ``binaryFile`` lists and parallelizes
     whole files; ``mapInPandas`` decodes each, yielding one Arrow batch
-    per Avro BLOCK (never the whole file), columns resolved by name
-    from the schema each file embeds in its own header."""
+    per Avro BLOCK (the decoded side never holds the whole file; the
+    raw payload is file-sized — see the module docstring's sharding
+    contract), columns resolved by name from the schema each file
+    embeds in its own header."""
     import pandas as pd
 
-    want = [
-        c.strip().split()[0]
-        for c in result_schema.split(",")
-    ]
+    cols = [c.strip().split() for c in result_schema.split(",")]
+    want = [c[0] for c in cols]
+    # int columns get pandas' NULLABLE Int64 dtype: a plain constructor
+    # would infer float64 for any list containing None and silently
+    # round values >= 2^53 before Arrow ever sees them
+    int_cols = {c[0] for c in cols if c[1].lower() in ("long", "int",
+                                                       "bigint")}
 
     def _decode(batches) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -347,7 +379,12 @@ def scan_avro_dataset(spark, path: str, result_schema: str):
                 for rows in blocks:
                     yield pd.DataFrame(
                         {
-                            c: [row[idx[c]] for row in rows]
+                            c: pd.array(
+                                [row[idx[c]] for row in rows],
+                                dtype="Int64",
+                            )
+                            if c in int_cols
+                            else [row[idx[c]] for row in rows]
                             for c in want
                         }
                     )
