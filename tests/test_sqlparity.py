@@ -33,6 +33,12 @@ def test_verbatim_ids_share_one_sql_text():
         "sql_recursive_cte": sqlparity._RECURSIVE_CTE_SQL,
         "sql_lateral_topk": sqlparity._LATERAL_TOPK_SQL,
         "sql_null_semantics": sqlparity._NULL_SEMANTICS_SQL,
+        "sql_tpch_q10": sqlparity._TPCH_Q10_SQL,
+        "sql_tpch_q13": sqlparity._TPCH_Q13_SQL,
+        "sql_tpch_q14": sqlparity._TPCH_Q14_SQL,
+        "sql_tpch_q17": sqlparity._TPCH_Q17_SQL,
+        "sql_tpch_q18": sqlparity._TPCH_Q18_SQL,
+        "sql_tpch_q19": sqlparity._TPCH_Q19_SQL,
     }
     for qid, text in verbatim.items():
         assert O[qid] == text, qid
@@ -149,3 +155,37 @@ def sqlparity_mod() -> int:
     from vector_search_playground_spark.queries import trainprep
 
     return trainprep._CP_MOD
+
+
+# --- round 9: Q17 / Q18 ------------------------------------------------------
+
+
+def test_q17_decorrelates_no_per_row_rescan(spark, sf_smoke):
+    """The correlated scalar AVG subquery must lower to an aggregate
+    joined back on partkey, never a nested-loop re-scan of lineitem."""
+    plan = _plan(Q["sql_tpch_q17"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2, "per-part avg must be an agg"
+
+
+def test_q17_nonvacuous_and_consistent(spark, sf_smoke):
+    r = Q["sql_tpch_q17"](spark, sf_smoke).collect()[0]
+    assert r["n_lines"] > 0, "threshold filter killed every row"
+    assert r["avg_yearly_c"] > 0
+
+
+def test_q18_takeordered_and_semijoin(spark, sf_smoke):
+    plan = _plan(Q["sql_tpch_q18"](spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan, "LIMIT must not global-sort"
+    assert "LeftSemi" in plan, "IN subquery must plan as a semi-join"
+
+
+def test_q18_every_order_clears_threshold(spark, sf_smoke):
+    rows = Q["sql_tpch_q18"](spark, sf_smoke).collect()
+    assert rows, "threshold vacuous at smoke scale"
+    assert len(rows) <= 100
+    for r in rows:
+        assert r["sum_qty"] > 250, r["o_orderkey"]
+    prices = [r["totalprice_c"] for r in rows]
+    assert prices == sorted(prices, reverse=True)
