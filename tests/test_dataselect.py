@@ -168,3 +168,40 @@ def test_sample_negatives_never_self_and_deterministic(spark, sf_smoke):
         assert "Exchange hashpartitioning" not in plan, plan
     finally:
         df.unpersist()
+
+
+def test_sem_corpus_count_cache_invalidates_on_fixture_rewrite(
+    spark, sf_smoke, tmp_path
+):
+    """_corpus_rows memoizes the embeddings row count; its key must
+    include the fixture CONTENT fingerprint, not the directory path
+    alone — a regenerated fixture (the scale-stress scratch dirs do
+    this in-session) must see a fresh count, or semdedup's sem_bits
+    diverges from the live-recounting DuckDB oracle (ADVICE r8)."""
+    import os
+    import shutil
+
+    import duckdb
+
+    from vector_search_playground_spark.queries import dataselect as ds
+
+    d = tmp_path / "fx"
+    d.mkdir()
+    src = os.path.join(sf_smoke, "embeddings.parquet")
+    dst = str(d / "embeddings.parquet")
+    shutil.copy(src, dst)
+    n1 = ds._corpus_rows(spark, str(d))
+    assert n1 > 0
+    # regenerate IN PLACE with double the rows (fresh mtime + size)
+    duckdb.connect().execute(
+        f"""
+        COPY (
+            SELECT vec_id, embedding, label FROM read_parquet('{src}')
+            UNION ALL
+            SELECT vec_id + 10000000, embedding, label
+            FROM read_parquet('{src}')
+        ) TO '{dst}' (FORMAT parquet)
+        """
+    )
+    n2 = ds._corpus_rows(spark, str(d))
+    assert n2 == 2 * n1, "stale cached count served after fixture rewrite"

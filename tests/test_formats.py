@@ -222,3 +222,79 @@ def test_avro_nullable_long_keeps_full_int64_precision(spark, tmp_path):
                        n_files=1)
     got = scan_avro_dataset(spark, base, "id long, val long")
     assert sorted(map(tuple, got.collect())) == sorted(rows)
+
+
+def test_avro_double_nan_distinct_from_null(spark, tmp_path):
+    """A genuine NaN in a double column must round-trip as NaN and a SQL
+    NULL as NULL — Arrow→pandas renders both as float64 NaN, so the sink
+    carries a JVM-side validity mask per float column and the scan keeps
+    them apart with an explicit (values, mask) FloatingArray (the
+    dtype-string constructor would fold NaN back into NA)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from vector_search_playground_spark.sources.avro import (
+        scan_avro_dataset,
+        write_avro_dataset,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.5), (2, None), (3, None), (4, -0.0)], "id long, val double"
+    ).withColumn(
+        "val",
+        F.when(F.col("id") == 3, F.lit(float("nan"))).otherwise(
+            F.col("val")
+        ),
+    )
+    base = str(tmp_path / "nan_avro")
+    write_avro_dataset(
+        df, base, "nan_case", [("id", "long"), ("val", "double")], n_files=1
+    )
+    got = {r["id"]: r["val"] for r in scan_avro_dataset(
+        spark, base, "id long, val double"
+    ).collect()}
+    assert got[1] == 1.5
+    assert got[2] is None, "SQL NULL must stay NULL"
+    assert got[3] is not None and math.isnan(got[3]), "NaN must stay NaN"
+    assert got[4] == 0.0 and math.copysign(1.0, got[4]) == -1.0, "-0.0 sign"
+    # the mask companion columns are transport-only: never in the output
+    assert set(got) == {1, 2, 3, 4}
+
+
+def test_avro_truncated_varint_is_loud():
+    """A malformed/truncated varint must raise the reader's explicit
+    error style, not a bare IndexError (ADVICE r8: r_long had no bounds
+    or continuation cap)."""
+    from vector_search_playground_spark.sources import avro as A
+
+    r = A._Reader(b"\xff\xff\xff")  # every byte continues, buffer ends
+    with pytest.raises(ValueError, match="truncated avro varint"):
+        r.r_long()
+    r = A._Reader(b"\xff" * 11 + b"\x01")  # 11 continuation groups
+    with pytest.raises(ValueError, match="overlong avro varint"):
+        r.r_long()
+
+
+def test_avro_writer_honors_null_first_branch_order():
+    """write_ocf must emit union indices per the schema AS DECLARED:
+    a caller-supplied ["null", type] schema (the JVM convention) must
+    round-trip — the null branch is index 0 there, not 1."""
+    from vector_search_playground_spark.sources import avro as A
+
+    schema = {
+        "type": "record",
+        "name": "nf",
+        "fields": [
+            {"name": "i", "type": ["null", "long"]},
+            {"name": "s", "type": ["string", "null"]},  # mixed orders
+        ],
+    }
+    rows = [(5, "x"), (None, None), (-7, "")]
+    path = os.path.join(SCRATCH, "ocf_nullfirst.avro")
+    os.makedirs(SCRATCH, exist_ok=True)
+    A.write_ocf(path, schema, iter(rows), sync=b"abcdef0123456789")
+    with open(path, "rb") as fh:
+        names, blocks = A.read_ocf(fh.read())
+    assert names == ["i", "s"]
+    assert [r for blk in blocks for r in blk] == rows

@@ -851,3 +851,58 @@ def test_mp4_payloads_flow_through_pipeline(spark, sf_smoke):
     assert rows and all(
         r["sampled_frames"] and len(r["features"]) > 0 for r in rows
     )
+
+
+def test_flac_plan_cost_matches_emitted_bits_at_partition_order():
+    """The subframe planner must price residual sections with the SAME
+    per-partition Rice/escape scan _write_residuals performs (ADVICE r8:
+    a whole-block estimate mis-ranked subframe/stereo candidates when
+    partition_order > 0). Certificate: _residual_cost == the exact bit
+    count a _BitWriter records for the same residuals, across partition
+    orders and residual shapes."""
+    import numpy as np
+
+    from vector_search_playground_spark.functions import multimodal as M
+
+    rng = np.random.RandomState(11)
+    cases = [
+        rng.randint(-5, 6, 4096),                     # small uniform
+        (rng.randn(4096) * 2000).astype(np.int64),    # wide gaussian
+        np.concatenate([                              # regime change:
+            rng.randint(-2, 3, 2048),                 # per-partition k
+            (rng.randn(2048) * 30000).astype(np.int64),  # must differ
+        ]),
+        np.zeros(4096, dtype=np.int64),
+    ]
+    for res_full in cases:
+        for order in (0, 2):
+            res = res_full[order:]
+            for po in (0, 1, 3):
+                w = M._BitWriter()
+                M._write_residuals(w, res, len(res_full), order, po)
+                emitted = len(w.buf) * 8 + w.n
+                planned = M._residual_cost(res, len(res_full), order, po)
+                assert planned == emitted, (order, po)
+
+
+def test_flac_partitioned_rice_beats_whole_block_on_regime_change():
+    """With per-partition Rice parameters priced exactly, a signal whose
+    residual magnitude jumps mid-block must encode no larger at
+    partition_order 3 than at 0 — and the round-trip stays lossless."""
+    import numpy as np
+
+    from vector_search_playground_spark.functions.multimodal import (
+        decode_flac,
+        encode_flac,
+    )
+
+    rng = np.random.RandomState(3)
+    quiet = 0.001 * rng.randn(2048)
+    loud = 0.6 * rng.uniform(-1, 1, 2048)
+    s = np.concatenate([quiet, loud])
+    b0 = encode_flac(s, 16000, partition_order=0)
+    b3 = encode_flac(s, 16000, partition_order=3)
+    out0, _ = decode_flac(b0)
+    out3, _ = decode_flac(b3)
+    assert np.array_equal(out0, out3), "lossless regardless of knob"
+    assert len(b3) <= len(b0), "partitioned Rice must not lose to whole-block"

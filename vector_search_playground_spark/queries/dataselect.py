@@ -237,17 +237,27 @@ SEM_TAU = 0.6
 _SEM_PLANES = hyperplanes(SEM_DIM, SEM_MAX_BITS, seed=42)
 
 
-# corpus-size lookups memoized per fixture dir: the count is one cheap
-# footer-statistics job, but the query constructor runs per bench rep /
-# certification pass, and the fixture dirs are immutable within a session
-_SEM_N_CACHE: dict[str, int] = {}
+# corpus-size lookups memoized per (fixture dir, content fingerprint):
+# the count is one cheap footer-statistics job, but the query constructor
+# runs per bench rep / certification pass. Keying on the directory path
+# ALONE was an ADVICE-r8 bug: a fixture regenerated in-session (the
+# scale-stress scratch dirs do this) would leave the Spark side on a
+# stale sem_bits while the DuckDB oracle recounts live — the fingerprint
+# (file size + mtime_ns, same discipline as llm_pipeline's index caches)
+# self-invalidates on any rewrite.
+_SEM_N_CACHE: dict[tuple[str, str], int] = {}
 
 
 def _corpus_rows(spark: SparkSession, sf_dir: str) -> int:
-    n = _SEM_N_CACHE.get(sf_dir)
+    from vector_search_playground_spark.queries.llm_pipeline import (
+        _fixture_fingerprint,
+    )
+
+    key = (sf_dir, _fixture_fingerprint(sf_dir, "embeddings"))
+    n = _SEM_N_CACHE.get(key)
     if n is None:
         n = load_table(spark, sf_dir, "embeddings").count()
-        _SEM_N_CACHE[sf_dir] = n
+        _SEM_N_CACHE[key] = n
     return n
 
 

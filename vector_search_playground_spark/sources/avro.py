@@ -86,7 +86,16 @@ class _Reader:
         u = 0
         shift = 0
         buf = self.buf
+        end = len(buf)
         while True:
+            # bounds + continuation caps: a truncated or malformed file
+            # must fail with the same loud error style as r_bytes/r_raw,
+            # never a bare IndexError or an unbounded shift (a valid
+            # zigzag long is at most 10 base-128 groups: shift <= 63)
+            if self.pos >= end:
+                raise ValueError("truncated avro varint")
+            if shift > 63:
+                raise ValueError("overlong avro varint (> 10 bytes)")
             b = buf[self.pos]
             self.pos += 1
             u |= (b & 0x7F) << shift
@@ -181,8 +190,13 @@ def _field_types(schema: dict) -> list[tuple[str, str, bool]]:
 
 
 def make_schema(name: str, fields: list[tuple[str, str]]) -> dict:
-    """Record schema with every field as ``["null", type]`` (the
-    relational convention: parquet columns here are OPTIONAL)."""
+    """Record schema with every field as the 2-branch ``[type, "null"]``
+    union (value branch first; parquet columns here are OPTIONAL, so
+    every field is nullable). Branch ORDER is a per-file declaration,
+    not a format constant — the reader resolves null's index from each
+    file's own embedded schema, and the writer honors whatever order
+    the schema it was handed declares (the JVM writer's convention is
+    the opposite ``["null", type]``; both round-trip)."""
     return {
         "type": "record",
         "name": name,
@@ -209,6 +223,13 @@ def write_ocf(
     if len(sync) != 16:
         raise ValueError("sync marker must be 16 bytes")
     fields = _field_types(schema)
+    # union branch indices come from the schema AS DECLARED — hardcoding
+    # [type, "null"] would silently mis-encode a caller-supplied
+    # ["null", type] schema (the JVM writer's convention)
+    null_idx: dict[str, int] = {}
+    for f in schema["fields"]:
+        if isinstance(f["type"], list):
+            null_idx[f["name"]] = f["type"].index("null")
     header = bytearray()
     header.extend(MAGIC)
     # file metadata: a map<bytes> written as one block then a 0 count
@@ -250,11 +271,11 @@ def write_ocf(
         for row in rows:
             for (name, typ, nullable), v in zip(fields, row, strict=True):
                 if nullable:
-                    # union index: branch order is [type, null] (make_schema)
+                    ni = null_idx[name]
                     if v is None:
-                        _w_long(block, 1)
+                        _w_long(block, ni)
                         continue
-                    _w_long(block, 0)
+                    _w_long(block, 1 - ni)
                 elif v is None:
                     raise ValueError(f"null in non-nullable field {name}")
                 _encode_value(block, typ, v)
@@ -289,12 +310,25 @@ def write_avro_dataset(
     of int64s containing one null arrives in pandas as float64, which
     silently rounds any value ≥ 2^53 — a decimal-text round trip is
     exact for the full int64 range and costs only the from-scratch
-    sink's already-Python-bound encode pass."""
+    sink's already-Python-bound encode pass.
+
+    Double/float columns ride with a COMPANION VALIDITY column
+    (``isnull(col)`` computed JVM-side, stripped before encoding):
+    Arrow→pandas renders both SQL NULL and a genuine NaN as float64
+    NaN, so without the mask a real NaN would silently take the
+    union's null branch and round-trip as NULL. With it, NULL encodes
+    as the null branch and NaN as the IEEE NaN payload — lossless both
+    ways (the scan side keeps them distinct via pandas' nullable
+    Float64 dtype)."""
     import pandas as pd
 
     schema = make_schema(record_name, fields)
     names = [n for n, _ in fields]
     int_pos = [i for i, (_, t) in enumerate(fields) if t in ("long", "int")]
+    float_pos = [
+        i for i, (_, t) in enumerate(fields) if t in ("double", "float")
+    ]
+    mask_names = [f"__isnull_{i}" for i in float_pos]
 
     def _write(batches) -> Iterator["pd.DataFrame"]:
         import hashlib
@@ -310,19 +344,22 @@ def write_avro_dataset(
 
         def rows() -> Iterator[tuple]:
             for pdf in batches:
-                yield from pdf[names].itertuples(index=False, name=None)
+                yield from pdf[names + mask_names].itertuples(
+                    index=False, name=None
+                )
 
         # itertuples hands numpy scalars / decimal-text ints (see the
-        # sink docstring); NaN (pandas null for floats) must become
-        # None for the union's null branch.
+        # sink docstring). Float columns: the trailing validity masks
+        # decide null vs genuine NaN (both look like NaN here); other
+        # columns arrive as None when null (object dtype).
+        nf = len(names)
+
         def norm(it: Iterator[tuple]) -> Iterator[tuple]:
             for row in it:
-                vals = [
-                    None
-                    if v is None or (isinstance(v, float) and v != v)
-                    else v
-                    for v in row
-                ]
+                vals = [None if v is None else v for v in row[:nf]]
+                for j, i in enumerate(float_pos):
+                    if row[nf + j]:
+                        vals[i] = None
                 for i in int_pos:
                     if vals[i] is not None:
                         vals[i] = int(vals[i])
@@ -340,6 +377,8 @@ def write_avro_dataset(
     sel = [
         f"CAST(`{n}` AS STRING) AS `{n}`" if i in int_pos else f"`{n}`"
         for i, n in enumerate(names)
+    ] + [
+        f"(`{names[i]}` IS NULL) AS `__isnull_{i}`" for i in float_pos
     ]
     stats = (
         df.selectExpr(*sel)
@@ -367,6 +406,29 @@ def scan_avro_dataset(spark, path: str, result_schema: str):
     # round values >= 2^53 before Arrow ever sees them
     int_cols = {c[0] for c in cols if c[1].lower() in ("long", "int",
                                                        "bigint")}
+    # float columns get the NULLABLE Float64 dtype: a plain constructor
+    # folds decoded None into NaN, so a genuine NaN payload and a null
+    # branch would reach Spark as the same value — the masked dtype
+    # keeps NULL a null and NaN a NaN across the Arrow boundary
+    float_cols = {c[0] for c in cols if c[1].lower() in ("double",
+                                                         "float")}
+
+    def _col(c: str, vals: list):
+        if c in int_cols:
+            return pd.array(vals, dtype="Int64")
+        if c in float_cols:
+            # NOT pd.array(dtype="Float64"): that constructor folds a
+            # genuine NaN value into <NA>, re-conflating what the
+            # explicit (values, mask) form keeps apart
+            import numpy as np
+
+            mask = np.array([v is None for v in vals], dtype=bool)
+            data = np.array(
+                [0.0 if v is None else float(v) for v in vals],
+                dtype=np.float64,
+            )
+            return pd.arrays.FloatingArray(data, mask)
+        return vals
 
     def _decode(batches) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -379,12 +441,7 @@ def scan_avro_dataset(spark, path: str, result_schema: str):
                 for rows in blocks:
                     yield pd.DataFrame(
                         {
-                            c: pd.array(
-                                [row[idx[c]] for row in rows],
-                                dtype="Int64",
-                            )
-                            if c in int_cols
-                            else [row[idx[c]] for row in rows]
+                            c: _col(c, [row[idx[c]] for row in rows])
                             for c in want
                         }
                     )
