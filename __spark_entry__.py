@@ -119,6 +119,18 @@ RECERTIFY_IF_AT_OR_BEFORE = {
     # quadratic; query AND oracle changed (sem_bits computed identically
     # in both engines), so the r3 green certifies retired code
     "semdedup": 7,
+    # round-9: embed_minilm's self_cos certificate moved to a
+    # deterministic 10% sample (nullable column — schema changed);
+    # index_build_lsh gained the bucket_balance/buckets_used_frac/
+    # recall_at_k scorecard columns; scan_avro's codec changed (varint
+    # bounds checks, NaN-vs-NULL double transport, schema-declared
+    # union branch order); multimodal_features' FLAC encoder now prices
+    # subframes with the exact per-partition Rice cost, changing the
+    # emitted bitstream the decode path re-reads
+    "embed_minilm": 8,
+    "index_build_lsh": 8,
+    "scan_avro": 8,
+    "multimodal_features": 8,
 }
 
 

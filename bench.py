@@ -147,10 +147,22 @@ def main() -> None:
     # stat: value/queries carry mins, medians ride alongside for the
     # noise-envelope fields that need them.
     spreads.sort()
+    # per-category totals (r8 verdict #8): one-off model/index builds and
+    # steady-state queries must not be conflated when comparing rounds —
+    # the parsed summary carries both tiers' totals explicitly
+    build_total = round(
+        sum(v for q, v in mins.items() if categories[q] == "build"), 4
+    )
+    query_total = round(
+        sum(v for q, v in mins.items() if categories[q] == "query"), 4
+    )
     full = {
         "metric": "total_query_wall_seconds",
         "value": round(sum(mins.values()), 4),
         "unit": "sec",
+        "total_query_tier_seconds": query_total,
+        "total_build_tier_seconds": build_total,
+        "n_build_ids": sum(1 for c in categories.values() if c == "build"),
         "queries": mins,
         "sf": sf,
         "reps": reps,

@@ -153,3 +153,28 @@ def test_sentence_transformers_integration(spark):
         v = np.array(r["embedding"], dtype=np.float64)
         assert v.shape[0] == 384
         assert abs(np.linalg.norm(v) - 1.0) < 1e-3
+
+
+def test_embed_minilm_query_certificates(spark, sf_smoke):
+    """The registered embed_minilm query's in-row certificates: dim is
+    the model width and norm 1.0 on EVERY row (full corpus), and
+    self_cos — the cross-partitioning bit-determinism witness — is 1.0
+    on every row of the deterministic xxhash64(doc_id)%10 sample and
+    NULL elsewhere (r9: the re-embed runs on the sample, not the full
+    corpus; the sample must be non-empty or the certificate is vacuous)."""
+    from vector_search_playground_spark import registry
+    from vector_search_playground_spark.functions.minilm import DIM
+
+    registry.load_all()
+    rows = registry.QUERIES["embed_minilm"](spark, sf_smoke).collect()
+    assert len(rows) == 500
+    sampled = [r for r in rows if r["self_cos"] is not None]
+    assert len(sampled) >= 20, "certificate sample vacuously small"
+    assert len(sampled) < len(rows), "sampling must actually subset"
+    for r in rows:
+        assert r["dim"] == DIM
+        assert r["norm"] == 1.0, r["doc_id"]
+    for r in sampled:
+        assert r["self_cos"] == 1.0, (
+            f"doc {r['doc_id']}: partitioning changed the embedding"
+        )

@@ -215,3 +215,23 @@ def test_range_search_ivf_prunes_clustered_and_stays_complete(spark, tmp_path):
         .select("vec_id", "dist")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, brute.collect()))
+
+
+def test_index_build_lsh_scorecard(spark):
+    """r9: the LSH build carries the index_build_pq-style quality
+    scorecard in-row — normalized bucket-occupancy entropy (uniform
+    fixture vectors under random hyperplanes should land well-balanced),
+    used-bucket fraction, and recall@10 of the multiprobe search vs
+    exact. The rows-only driver check then pins numbers, not a shape."""
+    import __spark_entry__ as em
+
+    df = em.queries()["index_build_lsh"](spark, "/root/testdata/sf0.01")
+    for col in ("bucket_balance", "buckets_used_frac", "recall_at_k"):
+        assert col in df.columns, col
+    r = df.first()
+    assert 0.9 <= r["bucket_balance"] <= 1.0, (
+        f"sign buckets collapsed: balance={r['bucket_balance']}"
+    )
+    assert 0.5 <= r["buckets_used_frac"] <= 1.0
+    assert 0.0 <= r["recall_at_k"] <= 1.0
+    assert r["recall_at_k"] >= 0.1, "multiprobe recall collapsed"

@@ -890,8 +890,20 @@ def range_search_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("index_build_lsh")  # rows-only: bucketed search is approximate
 def index_build_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build the random-hyperplane LSH table and run a multiprobe top-10
-    search for vec 0's embedding (plans/lsh.py)."""
+    """Build the random-hyperplane LSH table, run a multiprobe top-10
+    search for vec 0's embedding (plans/lsh.py), and ride the BUILD
+    SCORECARD in-row (r8 verdict #5 — the index_build_pq discipline):
+    ``bucket_balance`` is the normalized occupancy entropy over the
+    2^nbits sign buckets (1.0 = perfectly even split, the property that
+    keeps per-bucket probe cost constant at scale; a collapsed table
+    scores near 0 and would make every probe a corpus scan),
+    ``buckets_used_frac`` the fraction of possible buckets with ≥1
+    member (dead-cell detector at fixture density), and ``recall_at_k``
+    the multiprobe search's overlap with the exact top-10 — the same
+    honest quality surface lsh_search carries. The occupancy aggregate
+    is one ≤2^nbits-row collect: metadata math, never corpus-scale."""
+    import math
+
     from vector_search_playground_spark.plans.lsh import (
         build_lsh,
         hyperplanes,
@@ -900,13 +912,36 @@ def index_build_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.where(F.col("vec_id") == 0).first()["embedding"])
-    planes = hyperplanes(dim, nbits=8, seed=42)
+    nbits = 8
+    planes = hyperplanes(dim, nbits=nbits, seed=42)
     indexed = build_lsh(emb, planes)
+    occ = [
+        r["c"]
+        for r in indexed.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("c")
+        ).collect()
+    ]
+    total = sum(occ)
+    balance = (
+        -sum((c / total) * math.log(c / total) for c in occ)
+        / math.log(1 << nbits)
+        if total and len(occ) > 1
+        else 0.0
+    )
     qvec = [
         float(x)
         for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
     ]
-    return search_lsh(indexed, planes, qvec, k=10)
+    found = search_lsh(indexed, planes, qvec, k=10)
+    recall = _recall_at_k(found, emb, qvec, 10)
+    return (
+        found.withColumn("bucket_balance", F.lit(round(balance, 4)))
+        .withColumn(
+            "buckets_used_frac",
+            F.lit(round(len(occ) / (1 << nbits), 4)),
+        )
+        .withColumn("recall_at_k", F.lit(round(recall, 2)))
+    )
 
 
 @query("lsh_search")  # rows-only: bucketed search is approximate

@@ -356,6 +356,12 @@ def embed_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic ~1-in-10 certificate sample: both partitionings agree on
+# membership by construction (a pure function of doc_id), so the sampled
+# re-embed still compares the same texts across different partitionings
+_MINILM_SELF_COS_MOD = 10
+
+
 @query("embed_minilm")  # rows-only: transformer inference isn't SQL
 def embed_minilm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-model serving path, end to end: a seeded pure-numpy
@@ -364,11 +370,16 @@ def embed_minilm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     family, src/main.rs:52-60) rides the SAME factory/mapInPandas/
     per-executor-cache plumbing a production checkpoint would
     (functions/embed.py:96-109). In-row certificates: ``dim`` must be
-    the model width, ``norm`` must be 1.0 (L2-normalized head), and
-    ``self_cos`` compares the SAME text embedded through two
+    the model width and ``norm`` 1.0 (L2-normalized head) for EVERY
+    row; ``self_cos`` compares the SAME text embedded through two
     independently-partitioned runs — 1.0 proves the executor-side
     weight materialization is bit-deterministic across partitionings
-    (the property that makes seeded weights certifiable at all).
+    (the property that makes seeded weights certifiable at all). The
+    re-embed runs on a deterministic xxhash64(doc_id)%10 sample (r8
+    verdict: double-embedding the full corpus made this the bench's
+    slowest query; determinism is a per-row property, so a fixed ~10%
+    witness set certifies it at a tenth of the second pass — NULL
+    self_cos marks the unsampled rows, never a skipped check).
     """
     from vector_search_playground_spark.functions.minilm import (
         minilm_factory,
@@ -376,11 +387,14 @@ def embed_minilm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     a = embed_batch(docs, "text", "ea", model=minilm_factory)
+    sample = docs.where(
+        F.pmod(F.xxhash64("doc_id"), F.lit(_MINILM_SELF_COS_MOD)) == 0
+    )
     b = embed_batch(
-        docs.repartition(7, "doc_id"), "text", "eb", model=minilm_factory
+        sample.repartition(7, "doc_id"), "text", "eb", model=minilm_factory
     )
     return (
-        a.join(b.select("doc_id", "eb"), "doc_id")
+        a.join(b.select("doc_id", "eb"), "doc_id", "left")
         .select(
             "doc_id",
             F.size("ea").alias("dim"),
