@@ -518,3 +518,96 @@ def test_stream_moments_exact_across_batches(
     ).fetchall()
     want = {u: (2 * n, 2 * s, 2 * ss) for u, n, s, ss in ref}
     assert got == want
+
+
+def test_cdc_apply_crash_recovery_from_checkpoint(
+    spark, sf_smoke, tmp_path, monkeypatch
+):
+    """r9 crash-recovery certificate: kill stream_cdc_apply mid-stream
+    AFTER its first micro-batch committed (injected failure at batch 1,
+    before any state write), restart from the same checkpoint, and the
+    drained state must equal the one-shot batch CDC result. The
+    n_changes counter is the sharp edge: if recovery re-applied the
+    committed batch 0, every batch-0 user's count would double; if it
+    skipped the uncommitted batch 1, those changes would be missing —
+    either way the comparison breaks."""
+    import os as _os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from vector_search_playground_spark.streaming import jobs
+
+    # time-split two-file source, one file per micro-batch
+    d = tmp_path / "ev"
+    d.mkdir()
+    tbl = pq.read_table(_os.path.join(sf_smoke, "events.parquet"))
+    mid = pc.quantile(tbl["ts"].cast("int64"), 0.5)[0].as_py()
+    early, late = str(d / "events_a.parquet"), str(d / "events_b.parquet")
+    keep = pc.less(tbl["ts"].cast("int64"), mid)
+    pq.write_table(tbl.filter(keep), early)
+    pq.write_table(tbl.filter(pc.invert(keep)), late)
+    now = _os.stat(late).st_mtime
+    _os.utime(early, (now - 60, now - 60))
+    monkeypatch.setattr(jobs, "_MAX_FILES_PER_TRIGGER", 1)
+
+    # phase 1: crash at batch 1 (batch 0 has committed by then)
+    monkeypatch.setattr(jobs, "_CDC_FAIL_AT_BATCH", 1)
+    with _pytest.raises(Exception) as ei:
+        jobs.stream_cdc_apply(spark, str(d))
+    assert "injected crash" in str(ei.value)
+    ckpt = _os.path.join(jobs.SCRATCH, "ckpt_s_cdc_apply")
+    assert _os.path.exists(_os.path.join(ckpt, "commits", "0")), (
+        "batch 0 must have committed before the injected crash"
+    )
+    assert not _os.path.exists(_os.path.join(ckpt, "commits", "1"))
+    state_dir = _os.path.join(jobs.SCRATCH, "cdc_state")
+    import glob as _glob
+
+    assert _glob.glob(_os.path.join(state_dir, "bucket=*")), (
+        "batch 0's state write must survive the crash"
+    )
+
+    # phase 2: restart against the SAME checkpoint + state table
+    monkeypatch.setattr(jobs, "_CDC_FAIL_AT_BATCH", None)
+    monkeypatch.setattr(jobs, "_CDC_KEEP_STATE", True)
+    got = {
+        r["user_id"]: (r["last_us"], r["last_value_cents"], r["n_changes"])
+        for r in jobs.stream_cdc_apply(spark, str(d)).collect()
+    }
+
+    # batch reference over the same two-file dir (the cdc oracle shape)
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(str(d)).select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp_ntz").cast("timestamp"))
+        .alias("t"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    last = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.struct("t", "event_id", "event_type", "value")).alias(
+                "m"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("m.event_type") != "error")
+        .select(
+            "user_id",
+            F.col("m.t").alias("last_us"),
+            F.floor(F.col("m.value") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+            "n",
+        )
+    )
+    want = {
+        r["user_id"]: (r["last_us"], r["cents"], r["n"])
+        for r in last.collect()
+    }
+    assert got == want, "recovered state diverged from the batch CDC oracle"

@@ -57,6 +57,16 @@ _MAX_FILES_PER_TRIGGER: int | None = None
 # tests can exercise other values.
 _STREAM_SHUFFLE_PARTITIONS = 8
 
+# Crash-recovery test seams for stream_cdc_apply (r8 verdict #3): when
+# _CDC_FAIL_AT_BATCH is set, merge_batch raises BEFORE touching state on
+# that batch_id — simulating a crash after the earlier batches committed;
+# when _CDC_KEEP_STATE is True, the query skips its fresh-run wipe and
+# RESUMES from the existing checkpoint + state table (the restart half of
+# the kill/restart certificate). Production equivalents: a task failure
+# and a queryName restart against the same checkpointLocation.
+_CDC_FAIL_AT_BATCH: int | None = None
+_CDC_KEEP_STATE = False
+
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as an unbounded source (same schema/normalization as
@@ -714,7 +724,12 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``foreachBatch``. After the drain, the state table must equal the
     batch CDC result regardless of how the feed was micro-batched —
     last-writer-wins is associative over (ts, event_id)-max merges, and
-    tests/test_streaming.py asserts the multi-batch split.
+    tests/test_streaming.py asserts the multi-batch split AND the
+    crash-recovery half: killed after ≥1 committed micro-batch and
+    restarted from the checkpoint (``_CDC_FAIL_AT_BATCH`` /
+    ``_CDC_KEEP_STATE`` seams), the resumed drain must hash-equal the
+    batch oracle — committed batches are never reapplied (the
+    n_changes counter would double and break the certificate).
 
     Shape at 100 TB: the state table is parquet PARTITIONED BY a key
     bucket; each micro-batch (1) collapses to its latest-change-per-key
@@ -728,9 +743,15 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     read) so a later upsert for the key still wins by timestamp.
     """
     state_dir = os.path.join(SCRATCH, "cdc_state")
-    shutil.rmtree(state_dir, ignore_errors=True)
+    if not _CDC_KEEP_STATE:
+        shutil.rmtree(state_dir, ignore_errors=True)
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        if _CDC_FAIL_AT_BATCH is not None and batch_id == _CDC_FAIL_AT_BATCH:
+            # test seam: crash BEFORE any state write for this batch —
+            # the checkpoint has committed every earlier batch, so a
+            # restart must resume here, never reapply those
+            raise RuntimeError(f"injected crash at batch {batch_id}")
         s = batch.sparkSession
         latest = (
             batch.withColumn(
@@ -815,7 +836,8 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     qname = "s_cdc_apply"
     ckpt = os.path.join(SCRATCH, f"ckpt_{qname}")
-    shutil.rmtree(ckpt, ignore_errors=True)
+    if not _CDC_KEEP_STATE:
+        shutil.rmtree(ckpt, ignore_errors=True)
     try:
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     except Exception:
