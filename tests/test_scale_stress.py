@@ -226,3 +226,52 @@ def test_hundredfold_ann_scaleup_second_decade(spark, scale_dirs, qid):
     assert mem["spill_bytes"] == 0, (
         f"{qid}: spilled {mem['spill_bytes']} bytes at 100x fixture scale"
     )
+
+
+def test_forced_spill_preserves_oracle_equality(scale_dirs, tmp_path):
+    """r9 (verdict #2): the scale suite's missing datapoint — behavior
+    UNDER memory pressure. A dedicated subprocess JVM runs the exact-KNN
+    flagship, the bucketed window operator, and the semdedup bucket join
+    at the 100x fixture with a 1500m heap, a lowered memory fraction,
+    broadcast disabled, and the core force-spill threshold at 2000
+    records, so sort/join/window buffers measurably hit disk — then
+    every query must STILL hash-match its DuckDB oracle (the reference's
+    brute-force semantics, src/main.rs:85-96, hold under any memory
+    budget). Asserts spill_bytes > 0 (the pressure was real, not
+    vacuous) and oracle equality per query."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "spill_stats.json")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(here, "tests", "_spill_probe.py"),
+         scale_dirs[100], out],
+        cwd=here,
+        env={**os.environ, "PYTHONPATH": here},
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, (
+        f"spill probe failed\nstdout: {proc.stdout[-2000:]}\n"
+        f"stderr: {proc.stderr[-2000:]}"
+    )
+    with open(out) as fh:
+        stats = json.load(fh)
+    from tests._spill_probe import PROBE_QUERIES
+
+    assert set(stats) == set(PROBE_QUERIES)
+    for qid, s in stats.items():
+        assert s["oracle_match"], qid
+        print(f"# spill_probe {qid}: spill={s['spill_bytes']} "
+              f"peak_exec_mem={s['peak_exec_mem']}")
+    total_spill = sum(s["spill_bytes"] for s in stats.values())
+    assert total_spill > 0, (
+        "no spill recorded — the memory-pressure scenario was vacuous"
+    )
+    # the join/window-heavy probes must each have hit the spill path
+    assert stats["semdedup"]["spill_bytes"] > 0, "bucket join never spilled"
+    assert stats["ids_dense"]["spill_bytes"] > 0, "window never spilled"
