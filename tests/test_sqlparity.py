@@ -36,6 +36,8 @@ def test_verbatim_ids_share_one_sql_text():
         "sql_tpch_q10": sqlparity._TPCH_Q10_SQL,
         "sql_tpch_q13": sqlparity._TPCH_Q13_SQL,
         "sql_tpch_q14": sqlparity._TPCH_Q14_SQL,
+        "sql_tpch_q7": sqlparity._TPCH_Q7_SQL,
+        "sql_tpch_q8": sqlparity._TPCH_Q8_SQL,
         "sql_tpch_q17": sqlparity._TPCH_Q17_SQL,
         "sql_tpch_q18": sqlparity._TPCH_Q18_SQL,
         "sql_tpch_q19": sqlparity._TPCH_Q19_SQL,
@@ -179,6 +181,28 @@ def test_q18_takeordered_and_semijoin(spark, sf_smoke):
     plan = _plan(Q["sql_tpch_q18"](spark, sf_smoke))
     assert "TakeOrderedAndProject" in plan, "LIMIT must not global-sort"
     assert "LeftSemi" in plan, "IN subquery must plan as a semi-join"
+
+
+def test_q7_symmetric_pair_and_broadcast_dimensions(spark, sf_smoke):
+    df = Q["sql_tpch_q7"](spark, sf_smoke)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, "nation aliases must broadcast"
+    rows = df.collect()
+    assert rows, "nation pair vacuous at smoke scale"
+    for r in rows:
+        assert {r["supp_nation"], r["cust_nation"]} <= {
+            "NATION_12", "NATION_10"
+        }
+        assert r["l_year"] in (1996, 1997)
+        assert r["n_lines"] > 0
+
+
+def test_q8_share_is_a_proper_fraction(spark, sf_smoke):
+    rows = Q["sql_tpch_q8"](spark, sf_smoke).collect()
+    assert [r["o_year"] for r in rows] == [1996, 1997]
+    for r in rows:
+        assert 0.0 <= r["mkt_share"] < 1.0
+        assert r["total_c"] > 0
 
 
 def test_q18_every_order_clears_threshold(spark, sf_smoke):

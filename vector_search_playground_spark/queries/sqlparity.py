@@ -24,14 +24,16 @@ certificate to the SQL surface a real analytics user exercises:
   fact⋈dimension join (``sql_tpch_q14``), and a disjunctive
   cross-relation predicate the optimizer must decompose itself
   (``sql_tpch_q19``),
-- (round 9) the two remaining fixture-expressible TPC-H shapes: a
-  correlated scalar AVG subquery per part (``sql_tpch_q17``) and a
-  semi-join on a grouped HAVING subquery (``sql_tpch_q18``). The other
-  classic shapes are fixture-blocked, not skipped: Q4/Q12 need
-  l_commitdate/l_receiptdate/l_shipmode, Q22 needs c_phone, Q11 needs
-  partsupp, Q15 needs a supplier revenue view over l_suppkey date
-  bands already covered by Q5's join — none of those columns/tables
-  exist in FIXTURES.md.
+- (round 9) the remaining fixture-expressible TPC-H shapes: a
+  correlated scalar AVG subquery per part (``sql_tpch_q17``), a
+  semi-join on a grouped HAVING subquery (``sql_tpch_q18``), a
+  symmetric cross-nation disjunction over a 6-table chain
+  (``sql_tpch_q7``), and a conditional market-share ratio over an
+  8-table join with the same dimension joined twice
+  (``sql_tpch_q8``). The other classic shapes are fixture-blocked,
+  not skipped: Q4/Q12 need l_commitdate/l_receiptdate/l_shipmode,
+  Q22 needs c_phone, Q2/Q9/Q11/Q16/Q20 need partsupp, Q21 needs
+  l_receiptdate — none of those columns/tables exist in FIXTURES.md.
 
 Every query here except the last two is ONE SQL string executed verbatim
 by BOTH engines (spark.sql over the registered views; the identical text
@@ -660,3 +662,109 @@ def sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_TPCH_Q18_SQL)
+
+
+# --- sql_tpch_q7 (round 9) ---------------------------------------------------
+
+_TPCH_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(vol_c) AS BIGINT) AS revenue_c,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM (
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+           CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                AS BIGINT) AS vol_c
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+        OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+      AND l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1998-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("sql_tpch_q7", oracle=_TPCH_Q7_SQL)
+def sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping: two-year revenue between a nation pair,
+    both directions, by year), nation literals adapted to the fixture's
+    NATION_k vocabulary (the 12/10 pair is non-vacuous at every fixture
+    SF), as ONE verbatim SQL string for both engines. The distinctive
+    surface: the SAME dimension table joined twice under different
+    aliases (supplier's nation and customer's nation) with a SYMMETRIC
+    disjunction across the two aliases — the optimizer must keep the
+    two n_name filters attached to the right alias through join
+    reordering, and EXTRACT(YEAR) must agree across engines as a GROUP
+    BY key.
+
+    Shape at 100 TB: both n_name disjuncts push into the two broadcast
+    nation probes (25 rows each); the fact chain shuffles
+    supplier⋈lineitem on suppkey, then orderkey, then custkey; the
+    two-year shipdate band prunes lineitem at the scan; final agg is
+    ≤ pairs×years groups — metadata-sized.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q7_SQL)
+
+
+# --- sql_tpch_q8 (round 9) ---------------------------------------------------
+
+_TPCH_Q8_SQL = """
+SELECT o_year,
+       floor(CAST(sum(CASE WHEN nation = 'NATION_9' THEN vol_c ELSE 0 END)
+                  AS DOUBLE)
+             / CAST(sum(vol_c) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mkt_share,
+       CAST(sum(vol_c) AS BIGINT) AS total_c
+FROM (
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+           CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                AS BIGINT) AS vol_c,
+           n2.n_name AS nation
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'AMERICA'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1998-01-01'
+      AND p_type = 'PROMO'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@query("sql_tpch_q8", oracle=_TPCH_Q8_SQL)
+def sql_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share: one supplier nation's share of a
+    region's part-type revenue by order year), literals adapted to the
+    fixture vocabulary (share nation NATION_9, region AMERICA, p_type
+    PROMO — share lands 0.03-0.12 across fixture SFs, never 0 or 1), as
+    ONE verbatim SQL string for both engines. The widest verbatim join
+    in the tier: 8 relations with nation joined twice for two different
+    ROLES (customer's nation restricts via region; supplier's nation
+    feeds the CASE numerator). The share is a ratio of two exact
+    integer-cent sums — one IEEE divide on identical operands, rounded
+    with the shared floor(x·1e6+0.5)/1e6 discipline (6 dp because
+    shares are small).
+
+    Shape at 100 TB: region→nation→customer is the broadcast
+    restriction chain; part's p_type filter pushes to its scan and
+    broadcasts into lineitem; the fact chain shuffles on partkey /
+    orderkey / custkey; 2 output groups — the aggregate is free,
+    the joins are the query.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q8_SQL)
