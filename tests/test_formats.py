@@ -298,3 +298,95 @@ def test_avro_writer_honors_null_first_branch_order():
         names, blocks = A.read_ocf(fh.read())
     assert names == ["i", "s"]
     assert [r for blk in blocks for r in blk] == rows
+
+
+def _one_big_ocf(tmp_path, n_rows=20000, codec="deflate"):
+    """One multi-block OCF with nulls, a huge int64, and NaN/NULL
+    doubles — the worst-case payload for a byte-range scan."""
+    from vector_search_playground_spark.sources import avro as A
+
+    schema = A.make_schema(
+        "big", [("i", "long"), ("s", "string"), ("d", "double")]
+    )
+    rows = []
+    for k in range(n_rows):
+        if k % 997 == 0:
+            rows.append((None, None, None))
+        elif k % 613 == 0:
+            rows.append((9007199254740993 + k, "x" * 40, float("nan")))
+        else:
+            rows.append((k, f"row {k} {'pad' * (k % 7)}", k / 3.0))
+    d = tmp_path / "bigavro"
+    d.mkdir(parents=True)
+    path = str(d / "part-00000.avro")
+    A.write_ocf(path, schema, iter(rows), sync=b"SYNCsyncSYNCsync",
+                codec=codec)
+    return str(d), path, rows
+
+
+def test_avro_split_scan_equals_whole_file(spark, tmp_path):
+    """scan_avro_dataset_split over ONE big OCF cut into many byte
+    ranges must return exactly the rows of the file — every block
+    decoded once (no loss at range boundaries, no double-decode where
+    a block straddles a cut), across both codecs and with a split size
+    smaller than, comparable to, and larger than the file."""
+    import math
+
+    from vector_search_playground_spark.sources import avro as A
+
+    for codec in ("deflate", "null"):
+        base, path, rows = _one_big_ocf(
+            tmp_path / codec, n_rows=12000, codec=codec
+        )
+        size = os.path.getsize(path)
+        for split_bytes in (size // 13 + 1, size // 3 + 1, size * 2):
+            n_splits = len(A.plan_avro_splits(path, split_bytes))
+            got = A.scan_avro_dataset_split(
+                spark, base, "i long, s string, d double",
+                split_bytes=split_bytes,
+            ).collect()
+            assert len(got) == len(rows), (codec, split_bytes, n_splits)
+
+            def key(t):
+                i, s, d = t
+                return (
+                    i if i is not None else -1,
+                    s or "",
+                    "nan" if (d is not None and math.isnan(d))
+                    else d,
+                )
+
+            assert sorted(map(key, ((r["i"], r["s"], r["d"]) for r in got))) \
+                == sorted(map(key, rows)), (codec, split_bytes)
+        assert len(A.plan_avro_splits(path, size // 13 + 1)) >= 10, (
+            "small split size must actually fan out"
+        )
+
+
+def test_avro_split_plan_covers_data_section_exactly(tmp_path):
+    """Ranges tile [header_end, file_size) with no gap or overlap."""
+    from vector_search_playground_spark.sources import avro as A
+
+    _, path, _ = _one_big_ocf(tmp_path, n_rows=5000)
+    _, _, _, header_end = A.read_header(path)
+    splits = A.plan_avro_splits(path, 10000)
+    assert splits[0][0] == header_end
+    assert splits[-1][1] == os.path.getsize(path)
+    for (s0, e0), (s1, e1) in zip(splits, splits[1:]):
+        assert e0 == s1
+        assert s0 < e0
+
+
+def test_avro_split_block_bigger_than_split_not_duplicated(spark, tmp_path):
+    """A block larger than split_bytes spans several ranges: only the
+    range owning its first byte may decode it, the others must come up
+    empty — row counts expose any double-decode instantly."""
+    from vector_search_playground_spark.sources import avro as A
+
+    base, path, rows = _one_big_ocf(tmp_path, n_rows=3000, codec="null")
+    # BLOCK_ROWS=1000 → 3 blocks; uncompressed blocks are tens of KB,
+    # so a 4 KiB split is far below one block
+    got = A.scan_avro_dataset_split(
+        spark, base, "i long, s string, d double", split_bytes=4096
+    )
+    assert got.count() == len(rows)

@@ -376,6 +376,68 @@ def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan_avro_dataset(spark, base, result_schema)
 
 
+@query(
+    "scan_avro_split",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def scan_avro_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro ingest through the BYTE-RANGE split path
+    (sources/avro.py::scan_avro_dataset_split): the documents table is
+    written as ONE deflate OCF (the single-huge-file layout the plain
+    ``scan_avro`` path honestly documents as its boundary — binaryFile
+    serializes such a file through one 2 GB-capped task), then scanned
+    back with split_bytes sized to cut the file into several ranges;
+    each task seeks into its range, resynchronizes on the 16-byte sync
+    marker, and decodes exactly the blocks whose first byte it owns —
+    the Hadoop AvroInputFormat split discipline, implemented in the
+    Python decode task. The oracle is the original relation, so the
+    certificate is value-for-value: every block decoded exactly once
+    across range boundaries, no loss where a block straddles a cut.
+
+    Shape at 100 TB: driver work is one small header read per file (a
+    parquet-footer-scale metadata pass); the (file, start, end) range
+    rows fan out like parquet row-groups, so one multi-GB OCF
+    parallelizes across the cluster; task memory is one block.
+    """
+    import os
+
+    from vector_search_playground_spark.queries.llm_pipeline import (
+        SCRATCH,
+        _fixture_fingerprint,
+    )
+    from vector_search_playground_spark.sources.avro import (
+        scan_avro_dataset_split,
+        write_avro_dataset,
+    )
+
+    fields = [
+        ("doc_id", "long"),
+        ("text", "string"),
+        ("lang", "string"),
+        ("source", "string"),
+        ("n_chars", "long"),
+    ]
+    result_schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    fp = _fixture_fingerprint(sf_dir, "documents")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(SCRATCH, f"documents_avro1_{tag}_{fp}")
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents")
+        write_avro_dataset(docs, base, "document", fields, n_files=1)
+    fsize = max(
+        os.path.getsize(os.path.join(base, f))
+        for f in os.listdir(base)
+        if f.endswith(".avro")
+    )
+    # cut the one file into ~8 ranges so the split machinery (resync,
+    # ownership, boundary blocks) actually exercises at fixture scale
+    return scan_avro_dataset_split(
+        spark, base, result_schema, split_bytes=max(1, fsize // 8 + 1)
+    )
+
+
 # --- embedding_pca ----------------------------------------------------------
 
 _PCA_ROUND = 6

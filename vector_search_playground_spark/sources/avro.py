@@ -24,15 +24,20 @@ Scale posture:
   bounded by one block, never the partition. On a real cluster the target
   directory is shared storage; the task writes to a temp name and renames,
   so speculative/retried tasks never interleave bytes.
-- The READER ingests via Spark's ``binaryFile`` source (whole-file
-  parallelism) and decodes in ``mapInPandas``, yielding ONE pandas batch
-  per Avro block — so the DECODED side is block-sized. The raw payload
-  is file-sized: ``binaryFile`` materializes each file as one row (hard
-  2 GB cap), so the scan's scale unit is the file, and datasets must be
-  sharded into many moderate files — exactly the layout the writer's
-  one-OCF-per-partition output produces. Splitting a single huge OCF at
-  its sync markers would need a custom Hadoop InputFormat (JVM-side),
-  which is out of scope for a from-scratch Python codec.
+- The READER has two scan paths. ``scan_avro_dataset`` ingests via
+  Spark's ``binaryFile`` source (whole-file parallelism) and decodes in
+  ``mapInPandas``, yielding ONE pandas batch per Avro block — so the
+  DECODED side is block-sized, but the raw payload is file-sized
+  (``binaryFile`` materializes each file as one row, hard 2 GB cap):
+  right for the writer's own many-moderate-files layout.
+  ``scan_avro_dataset_split`` (round 9) removes the
+  one-file-one-task boundary: the driver parses only each file's
+  HEADER, plans byte ranges, and each task seeks into its range and
+  resynchronizes on the 16-byte sync marker — the same split
+  discipline Hadoop's AvroInputFormat implements JVM-side, here as
+  seek+scan in the Python decode task. Task memory is one block
+  (direct block-by-block reads, never the whole range), so one
+  multi-GB OCF fans out across the cluster.
 """
 
 from __future__ import annotations
@@ -453,6 +458,220 @@ def scan_avro_dataset(spark, path: str, result_schema: str):
         .select("content")
     )
     return files.mapInPandas(_decode, result_schema)
+
+
+def read_header(path: str) -> tuple[dict, bytes, str, int]:
+    """Parse ONE OCF header from the file's first bytes without reading
+    the data section: returns (schema, sync, codec, header_end_offset).
+    Reads 64 KiB chunks and retries on 'truncated' only while the file
+    still has bytes, so a genuinely corrupt header stays loud."""
+    with open(path, "rb") as fh:
+        buf = fh.read(65536)
+        while True:
+            try:
+                r = _Reader(buf)
+                if r.r_raw(4) != MAGIC:
+                    raise ValueError(
+                        "not an avro object container file"
+                    ) from None
+                meta: dict[str, bytes] = {}
+                while True:
+                    n = r.r_long()
+                    if n == 0:
+                        break
+                    if n < 0:
+                        n = -n
+                        r.r_long()
+                    for _ in range(n):
+                        key = r.r_str()
+                        meta[key] = r.r_bytes()
+                sync = r.r_raw(16)
+                break
+            except ValueError as exc:
+                if "truncated" not in str(exc):
+                    raise
+                more = fh.read(65536)
+                if not more:
+                    raise
+                buf += more
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro codec {codec!r}")
+    return schema, sync, codec, r.pos
+
+
+def plan_avro_splits(path: str, split_bytes: int) -> list[tuple[int, int]]:
+    """Byte ranges [(start, end), ...] covering one OCF's data section.
+    Ranges are arbitrary byte offsets — ownership of blocks is resolved
+    at read time by sync-marker resynchronization (``_decode_range``),
+    so the plan needs only the header length and the file size."""
+    if split_bytes <= 0:
+        raise ValueError("split_bytes must be positive")
+    _, _, _, header_end = read_header(path)
+    size = os.path.getsize(path)
+    return [
+        (s, min(s + split_bytes, size))
+        for s in range(header_end, size, split_bytes)
+    ]
+
+
+def _decode_range(
+    path: str,
+    start: int,
+    end: int,
+    fields: list[tuple[str, str, bool]],
+    null_branch: dict[str, int],
+    sync: bytes,
+    codec: str,
+) -> Iterator[list[tuple]]:
+    """Decode every block OWNED by byte range [start, end) of one OCF.
+
+    Ownership rule (Hadoop's): a block belongs to the range containing
+    its first byte. Block starts sit immediately after a sync marker
+    (the header's trailing sync for block 0), so the task searches
+    [start-16, end-16) for the sync pattern, takes the first match, and
+    decodes sequential blocks while their start offset stays < end —
+    the LAST owned block may extend past ``end`` (read to completion),
+    and a block starting exactly AT ``end`` belongs to the next range,
+    whose own search window begins at end-16. Every block is decoded
+    exactly once, with no coordination between tasks. Memory: one
+    block's prologue+payload at a time, never the range."""
+    with open(path, "rb") as fh:
+        # resynchronize: find the first block start p with start <= p < end
+        fh.seek(max(0, start - 16))
+        window = fh.read(max(0, (end - 16) - (start - 16) + 15))
+        # a sync STARTING at index i (absolute a = start-16+i) puts a
+        # block at p = a+16; require p < end ⇔ i < (end-16)-(start-16);
+        # the +15 read slack lets a sync straddling the cutoff be seen
+        # and rejected by the position test below
+        i = window.find(sync)
+        if i < 0 or (start - 16 + i) + 16 >= end:
+            return  # no block starts inside this range
+        pos = (start - 16 + i) + 16
+        while pos < end:
+            fh.seek(pos)
+            head = fh.read(24)  # two varints: <=10 bytes each + slack
+            if not head:
+                return  # clean EOF: previous block was the file's last
+            hr = _Reader(head)
+            try:
+                n_obj = hr.r_long()
+                n_bytes = hr.r_long()
+            except ValueError as exc:
+                # a valid OCF is header + whole blocks: any bytes after
+                # the last sync that don't parse as a prologue are
+                # corruption, not slack
+                raise ValueError(
+                    "truncated avro block prologue"
+                ) from exc
+            body_at = pos + hr.pos
+            fh.seek(body_at)
+            payload = fh.read(n_bytes)
+            if len(payload) != n_bytes:
+                raise ValueError("truncated avro block")
+            if fh.read(16) != sync:
+                raise ValueError("sync marker mismatch (corrupt block)")
+            if codec == "deflate":
+                payload = zlib.decompressobj(_RAW_DEFLATE).decompress(
+                    payload
+                )
+            br = _Reader(payload)
+            rows: list[tuple] = []
+            for _ in range(n_obj):
+                vals = []
+                for name, typ, nullable in fields:
+                    if nullable and br.r_long() == null_branch[name]:
+                        vals.append(None)
+                    else:
+                        vals.append(_decode_value(br, typ))
+                rows.append(tuple(vals))
+            yield rows
+            pos = body_at + n_bytes + 16
+
+
+def scan_avro_dataset_split(
+    spark,
+    path: str,
+    result_schema: str,
+    split_bytes: int = 128 * 1024 * 1024,
+):
+    """Distributed Avro scan WITHOUT the one-file-one-task boundary:
+    the driver reads only each file's header (schema/sync/codec + a
+    stat), plans ``split_bytes`` ranges, and ships (file, start, end)
+    rows to executors; each task seeks into its range, resynchronizes
+    on the sync marker, and decodes exactly the blocks whose first
+    byte it owns — so ONE multi-GB OCF parallelizes like parquet
+    row-groups instead of serializing through a single 2 GB-capped
+    binaryFile row. Driver work is one small header read per file:
+    metadata-scale, like a parquet footer pass."""
+    import pandas as pd
+
+    cols = [c.strip().split() for c in result_schema.split(",")]
+    want = [c[0] for c in cols]
+    int_cols = {c[0] for c in cols if c[1].lower() in ("long", "int",
+                                                       "bigint")}
+    float_cols = {c[0] for c in cols if c[1].lower() in ("double",
+                                                         "float")}
+
+    def _col(c: str, vals: list):
+        if c in int_cols:
+            return pd.array(vals, dtype="Int64")
+        if c in float_cols:
+            import numpy as np
+
+            mask = np.array([v is None for v in vals], dtype=bool)
+            data = np.array(
+                [0.0 if v is None else float(v) for v in vals],
+                dtype=np.float64,
+            )
+            return pd.arrays.FloatingArray(data, mask)
+        return vals
+
+    ranges: list[tuple[str, int, int, str, str, str]] = []
+    for fname in sorted(os.listdir(path)):
+        if not fname.endswith(".avro"):
+            continue
+        fpath = os.path.join(path, fname)
+        schema, sync, codec, _ = read_header(fpath)
+        sjson = json.dumps(schema, separators=(",", ":"))
+        for s, e in plan_avro_splits(fpath, split_bytes):
+            ranges.append((fpath, s, e, sjson, sync.hex(), codec))
+    if not ranges:
+        raise ValueError(f"no .avro files under {path}")
+
+    def _decode(batches) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                schema = json.loads(r["schema_json"])
+                fields = _field_types(schema)
+                null_branch = {
+                    f["name"]: f["type"].index("null")
+                    for f in schema["fields"]
+                    if isinstance(f["type"], list)
+                }
+                idx = {n: i for i, (n, _, _) in enumerate(fields)}
+                missing = [c for c in want if c not in idx]
+                if missing:
+                    raise ValueError(f"avro file lacks fields {missing}")
+                for rows in _decode_range(
+                    r["path"], int(r["start"]), int(r["end"]),
+                    fields, null_branch,
+                    bytes.fromhex(r["sync_hex"]), r["codec"],
+                ):
+                    yield pd.DataFrame(
+                        {
+                            c: _col(c, [row[idx[c]] for row in rows])
+                            for c in want
+                        }
+                    )
+
+    rdf = spark.createDataFrame(
+        ranges,
+        "path string, start long, end long, schema_json string, "
+        "sync_hex string, codec string",
+    ).repartition(len(ranges))
+    return rdf.mapInPandas(_decode, result_schema)
 
 
 def read_ocf(content: bytes) -> tuple[list[str], Iterator[list[tuple]]]:
