@@ -379,14 +379,21 @@ def embed_minilm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict: double-embedding the full corpus made this the bench's
     slowest query; determinism is a per-row property, so a fixed ~10%
     witness set certifies it at a tenth of the second pass — NULL
-    self_cos marks the unsampled rows, never a skipped check).
+    self_cos marks the unsampled rows, never a skipped check). The
+    full-corpus pass rides ``fan_out``: the fixture scan is ONE parquet
+    split, which would serialize every forward pass through a single
+    task regardless of core count (r9 bench archaeology: the
+    transformer stage, not the certificate, was 70% of the old wall) —
+    at production scale the scan has natural splits and fan_out is a
+    no-op.
     """
     from vector_search_playground_spark.functions.minilm import (
         minilm_factory,
     )
+    from vector_search_playground_spark.sources import fan_out
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    a = embed_batch(docs, "text", "ea", model=minilm_factory)
+    a = embed_batch(fan_out(docs), "text", "ea", model=minilm_factory)
     sample = docs.where(
         F.pmod(F.xxhash64("doc_id"), F.lit(_MINILM_SELF_COS_MOD)) == 0
     )
