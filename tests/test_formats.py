@@ -390,3 +390,18 @@ def test_avro_split_block_bigger_than_split_not_duplicated(spark, tmp_path):
         spark, base, "i long, s string, d double", split_bytes=4096
     )
     assert got.count() == len(rows)
+
+
+def test_avro_split_scan_empty_dataset_is_empty_not_error(spark, tmp_path):
+    """Header-only OCFs (a legitimately empty write) must scan as an
+    empty relation through the split path, not a 'no files' error."""
+    from vector_search_playground_spark.sources import avro as A
+
+    d = tmp_path / "empty_avro"
+    d.mkdir()
+    schema = A.make_schema("e", [("i", "long")])
+    A.write_ocf(str(d / "part-00000.avro"), schema, iter([]),
+                sync=b"0123456789abcdef")
+    got = A.scan_avro_dataset_split(spark, str(d), "i long")
+    assert got.count() == 0
+    assert got.columns == ["i"]

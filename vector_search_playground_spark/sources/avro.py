@@ -629,16 +629,22 @@ def scan_avro_dataset_split(
         return vals
 
     ranges: list[tuple[str, int, int, str, str, str]] = []
+    n_files = 0
     for fname in sorted(os.listdir(path)):
         if not fname.endswith(".avro"):
             continue
+        n_files += 1
         fpath = os.path.join(path, fname)
         schema, sync, codec, _ = read_header(fpath)
         sjson = json.dumps(schema, separators=(",", ":"))
         for s, e in plan_avro_splits(fpath, split_bytes):
             ranges.append((fpath, s, e, sjson, sync.hex(), codec))
-    if not ranges:
+    if not n_files:
         raise ValueError(f"no .avro files under {path}")
+    if not ranges:
+        # header-only files (zero rows): a valid empty dataset, not an
+        # error — surface it as an empty relation of the asked schema
+        return spark.createDataFrame([], result_schema)
 
     def _decode(batches) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
