@@ -405,3 +405,83 @@ def test_avro_split_scan_empty_dataset_is_empty_not_error(spark, tmp_path):
     got = A.scan_avro_dataset_split(spark, str(d), "i long")
     assert got.count() == 0
     assert got.columns == ["i"]
+
+
+def test_avro_range_ownership_exact_at_every_block_boundary(tmp_path):
+    """Adversarial certificate for _decode_range's ownership rule: for
+    cut points exactly AT each block start, one byte before, one byte
+    after, and mid-sync, the two ranges [(header_end, cut), (cut, size)]
+    must decode every block exactly once — no loss, no double-decode.
+    Driven directly (no Spark) so every boundary is exercised."""
+    from vector_search_playground_spark.sources import avro as A
+
+    d = tmp_path / "bnd"
+    d.mkdir()
+    schema = A.make_schema("b", [("i", "long"), ("s", "string")])
+    rows = [(k, f"v{k}" * (1 + k % 5)) for k in range(5000)]  # 5 blocks
+    path = str(d / "f.avro")
+    sync = b"0123456789abcdef"
+    A.write_ocf(path, schema, iter(rows), sync=sync, codec="null")
+    size = os.path.getsize(path)
+    schema_r, sync_r, codec, header_end = A.read_header(path)
+    fields = A._field_types(schema_r)
+    null_branch = {
+        f["name"]: f["type"].index("null")
+        for f in schema_r["fields"]
+        if isinstance(f["type"], list)
+    }
+    # locate true block starts: positions right after each sync
+    blob = open(path, "rb").read()
+    starts = []
+    p = blob.find(sync, 4)  # header's trailing sync
+    while p != -1:
+        if p + 16 < size:
+            starts.append(p + 16)
+        p = blob.find(sync, p + 1)
+    assert len(starts) == 5, "expected 5 block starts"
+
+    def run(s, e):
+        return [
+            r
+            for blk in A._decode_range(
+                path, s, e, fields, null_branch, sync_r, codec
+            )
+            for r in blk
+        ]
+
+    total = run(header_end, size)
+    assert total == rows, "single full range must decode everything"
+    cuts = {header_end, size}
+    for b in starts:
+        cuts.update((b - 17, b - 16, b - 1, b, b + 1, b + 7))
+    for cut in sorted(cuts):
+        cut = min(max(cut, header_end), size)
+        got = run(header_end, cut) + run(cut, size)
+        assert len(got) == len(rows), f"cut at {cut}: {len(got)} rows"
+        assert got == rows, f"cut at {cut}: wrong rows"
+    # three-way cuts across two adjacent boundaries
+    got = (
+        run(header_end, starts[2])
+        + run(starts[2], starts[3] + 1)
+        + run(starts[3] + 1, size)
+    )
+    assert got == rows
+
+
+def test_avro_block_flush_is_byte_bounded(tmp_path):
+    """A handful of huge rows must flush by BYTES, not wait for
+    BLOCK_ROWS — otherwise one block (and the decoder's batch) grows
+    with row width unboundedly."""
+    from vector_search_playground_spark.sources import avro as A
+
+    big = "x" * (4 * 1024 * 1024)  # 4 MiB per row, BLOCK_BYTES = 16 MiB
+    rows = [(k, big) for k in range(12)]
+    path = str(tmp_path / "big_rows.avro")
+    schema = A.make_schema("w", [("i", "long"), ("s", "string")])
+    A.write_ocf(path, schema, iter(rows), sync=b"fedcba9876543210",
+                codec="null")
+    with open(path, "rb") as fh:
+        names, blocks = A.read_ocf(fh.read())
+    sizes = [len(blk) for blk in blocks]
+    assert sum(sizes) == 12
+    assert max(sizes) <= 4, f"block of {max(sizes)} huge rows never flushed"

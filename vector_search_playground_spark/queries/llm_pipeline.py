@@ -651,7 +651,7 @@ SCRATCH = "/root/repo/.scratch"
 # fingerprint invalidates every derived cache at once — without it, a writer
 # bug fix (e.g. round 3's timestamp-unit error) would keep serving the stale
 # materialization because the fixture itself never changed.
-CACHE_VERSION = "r4"
+CACHE_VERSION = "r9"  # bumped with the avro writer's byte-bounded block flush
 
 
 def _fixture_fingerprint(sf_dir: str, table: str) -> str:

@@ -51,6 +51,11 @@ from collections.abc import Iterator
 
 MAGIC = b"Obj\x01"
 BLOCK_ROWS = 1000
+# Byte-bound companion to the row bound: 1000 rows of megabyte texts
+# would otherwise make one block (and the decoder's per-block batch)
+# arbitrarily large — whichever bound trips first flushes. 16 MiB keeps
+# the decode-side pandas batch comfortably inside executor memory.
+BLOCK_BYTES = 16 * 1024 * 1024
 _RAW_DEFLATE = -15  # zlib wbits: RFC 1951 stream, no zlib header/checksum
 
 
@@ -286,7 +291,7 @@ def write_ocf(
                 _encode_value(block, typ, v)
             block_n += 1
             n_rows += 1
-            if block_n >= BLOCK_ROWS:
+            if block_n >= BLOCK_ROWS or len(block) >= BLOCK_BYTES:
                 flush()
         flush()
     os.rename(tmp, path)
