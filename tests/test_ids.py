@@ -58,3 +58,29 @@ def test_dense_ids_all_equal_heavy_duplication(spark):
     documents a unique order column; near-constant inputs still rank)."""
     df = spark.createDataFrame([(i,) for i in range(100)], "k: long")
     _check_ranks(df.where(F.col("k") < 50), "k")
+
+
+def test_atomic_build_loser_discards_and_serves_winner(tmp_path):
+    """Two builders racing to the same fingerprint-keyed cache path must
+    never interleave files: the second rename loses, discards its temp
+    build, and the winner's artifact serves both (observed r9: a warm-up
+    session and the suite both building lsh_index_sf0.001_* collided
+    inside one directory via Spark's shared _temporary staging)."""
+    import os
+
+    from vector_search_playground_spark.sources import atomic_build
+
+    path = str(tmp_path / "artifact")
+
+    def build(marker):
+        def write_to(p):
+            os.makedirs(p)
+            with open(os.path.join(p, "data"), "w") as fh:
+                fh.write(marker)
+        return write_to
+
+    atomic_build(build("winner"), path)
+    atomic_build(build("loser"), path)  # rename fails -> discarded
+    assert open(os.path.join(path, "data")).read() == "winner"
+    leftovers = [f for f in os.listdir(tmp_path) if ".build-" in f]
+    assert not leftovers, leftovers

@@ -51,7 +51,14 @@ def build_ivf(
         .withColumnRenamed("prediction", "centroid_id")
         .drop("__features")
     )
-    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    from vector_search_playground_spark.sources import atomic_build
+
+    atomic_build(
+        lambda p: assigned.write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(p),
+        path,
+    )
     return [c.tolist() for c in model.clusterCenters()]
 
 

@@ -982,9 +982,15 @@ def lsh_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         dim = len(emb.where(F.col("vec_id") == 0).first()["embedding"])
         planes = hyperplanes(dim, nbits=8, seed=42)
-        build_lsh(emb, planes).write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(path)
+        from vector_search_playground_spark.sources import atomic_build
+
+        atomic_build(
+            lambda p: build_lsh(emb, planes)
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(p),
+            path,
+        )
         tmp = f"{meta}.tmp"
         with open(tmp, "w") as f:
             json.dump({"dim": dim, "nbits": 8, "seed": 42}, f)

@@ -1390,9 +1390,14 @@ def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(sf_dir.rstrip("/"))
     path = os.path.join(SCRATCH, f"rollup_hourly_{tag}_{fp}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        hourly(
-            ev.where(F.col("ts_us") < F.lit(SPLIT_US))
-        ).write.mode("overwrite").parquet(path)
+        from vector_search_playground_spark.sources import atomic_build
+
+        atomic_build(
+            lambda p: hourly(
+                ev.where(F.col("ts_us") < F.lit(SPLIT_US))
+            ).write.mode("overwrite").parquet(p),
+            path,
+        )
     history = spark.read.parquet(path)
     tail = hourly(ev.where(F.col("ts_us") >= F.lit(SPLIT_US)))
     return history.unionByName(tail).select(
@@ -1816,9 +1821,14 @@ def rollup_merge_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(sf_dir.rstrip("/"))
     path = os.path.join(SCRATCH, f"rollup_partials_{tag}_{fp}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        partials(
-            ev.where(F.col("ts_us") < F.lit(SPLIT_US))
-        ).write.mode("overwrite").parquet(path)
+        from vector_search_playground_spark.sources import atomic_build
+
+        atomic_build(
+            lambda p: partials(
+                ev.where(F.col("ts_us") < F.lit(SPLIT_US))
+            ).write.mode("overwrite").parquet(p),
+            path,
+        )
     hist = spark.read.parquet(path)
     fresh = partials(ev.where(F.col("ts_us") >= F.lit(SPLIT_US)))
     merged = (

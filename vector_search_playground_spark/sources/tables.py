@@ -100,6 +100,33 @@ def fan_out(df: DataFrame) -> DataFrame:
     return df
 
 
+def atomic_build(write_to, path: str) -> None:
+    """Build a fingerprint-keyed cached artifact directory via
+    build-to-temp + atomic rename, so two sessions racing to build the
+    SAME cache key never interleave files into one directory (Spark
+    jobs from different JVMs share the destination's ``_temporary``
+    staging dir — observed as TASK_WRITE_FAILED when a warm-up session
+    and the test suite both built ``lsh_index_sf0.001_*``). The rename
+    is the commit point: the loser's finished build is discarded and
+    the winner's — byte-equivalent, the build is deterministic per
+    key — serves both. Same discipline as the avro sink's
+    attempt-suffixed temp files, one level up.
+
+    ``write_to(tmp_path)`` must produce the complete directory at
+    ``tmp_path``.
+    """
+    import shutil
+    import uuid
+
+    tmp = f"{path}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    write_to(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # lost the race — a complete artifact already sits at `path`
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every fixture table as a temp view; returns the DataFrames.
 
