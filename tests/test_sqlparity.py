@@ -213,3 +213,13 @@ def test_q18_every_order_clears_threshold(spark, sf_smoke):
         assert r["sum_qty"] > 250, r["o_orderkey"]
     prices = [r["totalprice_c"] for r in rows]
     assert prices == sorted(prices, reverse=True)
+
+
+def test_q8_dimension_chain_broadcasts_and_no_cartesian(spark, sf_smoke):
+    """The 8-relation Q8 join must resolve every dimension probe as a
+    broadcast at fixture scale and never degenerate into a cartesian or
+    nested-loop plan."""
+    plan = _plan(Q["sql_tpch_q8"](spark, sf_smoke))
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
