@@ -84,3 +84,60 @@ def test_atomic_build_loser_discards_and_serves_winner(tmp_path):
     assert open(os.path.join(path, "data")).read() == "winner"
     leftovers = [f for f in os.listdir(tmp_path) if ".build-" in f]
     assert not leftovers, leftovers
+
+
+def test_atomic_build_overwrite_replaces_existing(tmp_path):
+    """Rebuild semantics (ADVICE r9 high): with overwrite=True a build
+    to an occupied path must REPLACE the artifact, not silently keep
+    the stale one — the r9 bug served an index built from a different
+    corpus while returning fresh centroids."""
+    import os
+
+    from vector_search_playground_spark.sources import atomic_build
+
+    path = str(tmp_path / "artifact")
+
+    def build(marker):
+        def write_to(p):
+            os.makedirs(p)
+            with open(os.path.join(p, "data"), "w") as fh:
+                fh.write(marker)
+        return write_to
+
+    atomic_build(build("stale"), path)
+    atomic_build(build("fresh"), path, overwrite=True)
+    assert open(os.path.join(path, "data")).read() == "fresh"
+    leftovers = [
+        f for f in os.listdir(tmp_path)
+        if ".build-" in f or ".old-" in f
+    ]
+    assert not leftovers, leftovers
+
+
+def test_atomic_build_genuine_rename_failure_raises(tmp_path):
+    """A rename that fails for any reason OTHER than a complete artifact
+    already occupying the destination must re-raise, not silently
+    discard the finished build (ADVICE r9 medium). Here the destination
+    is a stale regular FILE — no complete directory artifact exists, so
+    swallowing the error would leave a wrong path that only surfaces
+    later as a read failure."""
+    import os
+
+    import pytest
+
+    from vector_search_playground_spark.sources import atomic_build
+
+    path = str(tmp_path / "artifact")
+    with open(path, "w") as fh:
+        fh.write("stale file, not a directory")
+
+    def write_to(p):
+        os.makedirs(p)
+        with open(os.path.join(p, "data"), "w") as fh:
+            fh.write("built")
+
+    with pytest.raises(OSError):
+        atomic_build(write_to, path)
+    # the finished-but-undeliverable temp build must not linger
+    leftovers = [f for f in os.listdir(tmp_path) if ".build-" in f]
+    assert not leftovers, leftovers

@@ -78,6 +78,34 @@ def test_ivf_partition_pruning_in_plan(spark, emb, qvec, ivf):
     assert "PartitionFilters" in plan and "centroid_id" in plan
 
 
+def test_ivf_rebuild_over_different_corpus_replaces_index(
+    spark, emb, qvec, tmp_path
+):
+    """Regression for ADVICE r9 (high): a rebuild at an occupied path
+    must serve the NEW corpus. Under cache-build atomic_build semantics
+    the second build was silently discarded, so search_ivf returned
+    vec_ids from the previous corpus while the caller held freshly
+    fitted centroids."""
+    path = str(tmp_path / "ivf_rebuild")
+    # corpus A: vec_ids offset by +500000 so any stale hit is unmistakable
+    corpus_a = emb.withColumn(
+        "vec_id", (F.col("vec_id") + F.lit(500000)).cast("bigint")
+    )
+    build_ivf(corpus_a, path, k=16, seed=42, overwrite=True)
+    # corpus B: the real fixture — the rebuild must replace A's index
+    centroids = build_ivf(emb, path, k=16, seed=42, overwrite=True)
+    got = {
+        r["vec_id"]
+        for r in search_ivf(
+            spark, path, centroids, qvec, k=10, nprobe=16
+        ).collect()
+    }
+    assert got, "full-probe search returned nothing"
+    assert all(v < 500000 for v in got), (
+        f"stale index: search returned corpus-A ids {sorted(got)[:5]}"
+    )
+
+
 def _planted(spark, emb, qvec, n=5):
     """Corpus plus n slightly-perturbed copies of the query vector."""
     import numpy as np

@@ -34,9 +34,16 @@ def build_ivf(
     k: int = 16,
     seed: int = 42,
     vec_col: str = "embedding",
+    overwrite: bool = False,
 ) -> list[list[float]]:
     """Fit k-means, write the corpus partitioned by centroid_id, return
-    the centroid list (model metadata — k rows, lives with the driver)."""
+    the centroid list (model metadata — k rows, lives with the driver).
+
+    ``overwrite=False`` (cache-build semantics): if ``path`` already
+    holds a complete artifact, a racing rebuild is discarded — callers
+    MUST key ``path`` by corpus fingerprint so "already built" implies
+    "same content". ``overwrite=True`` (rebuild semantics): the new
+    index atomically replaces whatever sat at ``path``."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -58,6 +65,7 @@ def build_ivf(
         .partitionBy("centroid_id")
         .parquet(p),
         path,
+        overwrite=overwrite,
     )
     return [c.tolist() for c in model.clusterCenters()]
 

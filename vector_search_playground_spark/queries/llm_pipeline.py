@@ -758,14 +758,24 @@ def _recall_at_k(approx: DataFrame, emb: DataFrame,
 def index_build_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the IVF index (k-means → centroid_id-partitioned parquet)
     and run a pruned top-10 search for vec 0's embedding (plans/ivf.py).
-    Recall vs exact knn is property-tested, not hashed."""
+    Recall vs exact knn is property-tested, not hashed.
+
+    The destination is keyed by fixture tag + fingerprint AND the build
+    runs with ``overwrite=True``: this ID deliberately re-measures the
+    one-off build each call, and a rebuild must actually replace the
+    artifact — the r9 cache-semantics atomic_build silently kept a
+    stale index (built from a DIFFERENT corpus at the shared
+    un-fingerprinted path) while returning fresh centroids, so
+    search_ivf read the wrong corpus (ADVICE r9, high)."""
     import os
 
     from vector_search_playground_spark.plans.ivf import build_ivf, search_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
-    path = os.path.join(SCRATCH, "ivf_index")
-    centroids = build_ivf(emb, path, k=16, seed=42)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    fp = _fixture_fingerprint(sf_dir, "embeddings")
+    path = os.path.join(SCRATCH, f"ivf_index_build_{tag}_{fp}")
+    centroids = build_ivf(emb, path, k=16, seed=42, overwrite=True)
     qvec = [
         float(x)
         for x in emb.where(F.col("vec_id") == 0).first()["embedding"]

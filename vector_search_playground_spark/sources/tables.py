@@ -100,7 +100,7 @@ def fan_out(df: DataFrame) -> DataFrame:
     return df
 
 
-def atomic_build(write_to, path: str) -> None:
+def atomic_build(write_to, path: str, *, overwrite: bool = False) -> None:
     """Build a fingerprint-keyed cached artifact directory via
     build-to-temp + atomic rename, so two sessions racing to build the
     SAME cache key never interleave files into one directory (Spark
@@ -112,19 +112,60 @@ def atomic_build(write_to, path: str) -> None:
     key — serves both. Same discipline as the avro sink's
     attempt-suffixed temp files, one level up.
 
+    ``overwrite=True`` is for REBUILD callers (same path, possibly new
+    content — e.g. an index rebuilt over a different corpus): the
+    existing artifact is renamed aside, the new build renamed in, and
+    only then is the old one deleted — a reader never observes a
+    missing or half-written directory, and a failed swap restores the
+    original.
+
+    Only a rename that failed because a complete artifact already sits
+    at ``path`` is treated as "lost the race"; any other failure
+    (permissions, EXDEV, a stale non-directory) re-raises so a broken
+    build surfaces HERE, not later as a confusing read error.
+
     ``write_to(tmp_path)`` must produce the complete directory at
     ``tmp_path``.
     """
+    import errno
     import shutil
     import uuid
 
     tmp = f"{path}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     write_to(tmp)
+    if overwrite:
+        old = None
+        if os.path.exists(path):
+            old = f"{path}.old-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+            os.rename(path, old)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            if old is not None and not os.path.exists(path):
+                os.rename(old, path)  # restore the displaced artifact
+                old = None
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)
+        return
     try:
         os.rename(tmp, path)
-    except OSError:
-        # lost the race — a complete artifact already sits at `path`
+    except OSError as exc:
+        lost_race = exc.errno in (
+            errno.EEXIST,
+            errno.ENOTEMPTY,
+            errno.EISDIR,
+        )
+        # verify the winner actually left a complete artifact: a
+        # non-empty directory (Spark writes _SUCCESS last for static
+        # writes; dynamic partition overwrite leaves only data dirs,
+        # so "non-empty" is the portable completeness floor)
+        if lost_race and os.path.isdir(path) and os.listdir(path):
+            shutil.rmtree(tmp, ignore_errors=True)
+            return
         shutil.rmtree(tmp, ignore_errors=True)
+        raise
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
