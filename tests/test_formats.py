@@ -468,6 +468,97 @@ def test_avro_range_ownership_exact_at_every_block_boundary(tmp_path):
     assert got == rows
 
 
+def test_avro_split_scan_reads_jvm_written_multiblock_file(spark, tmp_path):
+    """Cross-implementation certificate for the SPLIT path (r9 verdict
+    #3): a multi-block deflate OCF written by the OFFICIAL
+    org.apache.avro DataFileWriter — null-FIRST unions and the JVM's
+    deflate, the opposite conventions from our writer — read through
+    scan_avro_dataset_split with split_bytes cutting mid-file must
+    equal both the whole-file scan and the appended records."""
+    from vector_search_playground_spark.sources import avro as A
+
+    jvm = spark._jvm
+    sch_json = (
+        '{"type":"record","name":"jsplit","fields":['
+        '{"name":"doc_id","type":["null","long"]},'
+        '{"name":"text","type":["null","string"]},'
+        '{"name":"val","type":["null","double"]}]}'
+    )
+    schema = jvm.org.apache.avro.Schema.Parser().parse(sch_json)
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter()
+    )
+    writer.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    writer.setSyncInterval(512)  # tiny blocks → many real boundaries
+    d = tmp_path / "jvm_split"
+    d.mkdir()
+    path = str(d / "part-00000.avro")
+    writer.create(schema, jvm.java.io.File(path))
+    expected = []
+    for k in range(800):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+        if k % 97 == 0:
+            expected.append((None, None, None))  # all-null row
+        else:
+            did = 2**40 + k  # > 2^31 so py4j ships a java.lang.Long
+            txt = f"jvm row {k} " + "pad" * (k % 5)
+            val = k / 7.0
+            rec.put("doc_id", did)
+            rec.put("text", txt)
+            rec.put("val", val)
+            expected.append((did, txt, val))
+        writer.append(rec)
+    writer.close()
+
+    size = os.path.getsize(path)
+    splits = A.plan_avro_splits(path, size // 7 + 1)
+    assert len(splits) == 7, "split size must cut mid-file"
+
+    def key(t):
+        i, s, v = t
+        return (i if i is not None else -1, s or "", v)
+
+    got = A.scan_avro_dataset_split(
+        spark, str(d), "doc_id long, text string, val double",
+        split_bytes=size // 7 + 1,
+    ).collect()
+    assert sorted(key((r["doc_id"], r["text"], r["val"])) for r in got) \
+        == sorted(map(key, expected))
+    whole = A.scan_avro_dataset(
+        spark, str(d), "doc_id long, text string, val double"
+    ).collect()
+    assert sorted(key((r["doc_id"], r["text"], r["val"])) for r in got) \
+        == sorted(key((r["doc_id"], r["text"], r["val"])) for r in whole)
+
+
+def test_avro_split_scan_many_files_distributed_header_pass(spark, tmp_path):
+    """At ≥ _HEADER_FANOUT_MIN files the header pass runs as a Spark job
+    (r9 verdict #7 — the driver must not serialize 100k header opens);
+    the result must equal the serial path's, across mixed codecs, a
+    header-only file, and ranges cutting inside blocks."""
+    from vector_search_playground_spark.sources import avro as A
+
+    d = tmp_path / "many"
+    d.mkdir()
+    schema = A.make_schema("m", [("i", "long"), ("s", "string")])
+    expected: list[tuple] = []
+    n_files = max(40, A._HEADER_FANOUT_MIN + 7)
+    for f in range(n_files):
+        rows = [] if f == 3 else [
+            (f * 1000 + k, f"r{f}_{k}" * (1 + k % 3)) for k in range(50)
+        ]
+        A.write_ocf(
+            str(d / f"part-{f:05d}.avro"), schema, iter(rows),
+            sync=bytes([f % 256]) * 16,
+            codec="deflate" if f % 2 else "null",
+        )
+        expected += rows
+    got = A.scan_avro_dataset_split(
+        spark, str(d), "i long, s string", split_bytes=700
+    ).collect()
+    assert sorted((r["i"], r["s"]) for r in got) == sorted(expected)
+
+
 def test_avro_block_flush_is_byte_bounded(tmp_path):
     """A handful of huge rows must flush by BYTES, not wait for
     BLOCK_ROWS — otherwise one block (and the decoder's batch) grows

@@ -506,18 +506,82 @@ def read_header(path: str) -> tuple[dict, bytes, str, int]:
     return schema, sync, codec, r.pos
 
 
+def _plan_ranges(
+    header_end: int, size: int, split_bytes: int
+) -> list[tuple[int, int]]:
+    """Byte ranges tiling [header_end, size) — pure arithmetic, no I/O,
+    so a distributed header pass can plan splits from collected
+    (header_end, size) metadata without touching the files again."""
+    if split_bytes <= 0:
+        raise ValueError("split_bytes must be positive")
+    return [
+        (s, min(s + split_bytes, size))
+        for s in range(header_end, size, split_bytes)
+    ]
+
+
 def plan_avro_splits(path: str, split_bytes: int) -> list[tuple[int, int]]:
     """Byte ranges [(start, end), ...] covering one OCF's data section.
     Ranges are arbitrary byte offsets — ownership of blocks is resolved
     at read time by sync-marker resynchronization (``_decode_range``),
     so the plan needs only the header length and the file size."""
-    if split_bytes <= 0:
-        raise ValueError("split_bytes must be positive")
     _, _, _, header_end = read_header(path)
-    size = os.path.getsize(path)
+    return _plan_ranges(header_end, os.path.getsize(path), split_bytes)
+
+
+def _header_tuple(fpath: str) -> tuple[str, str, str, str, int, int]:
+    """One file's split-planning metadata: (path, schema_json, sync_hex,
+    codec, header_end, size) — the avro analogue of a parquet footer."""
+    schema, sync, codec, header_end = read_header(fpath)
+    return (
+        fpath,
+        json.dumps(schema, separators=(",", ":")),
+        sync.hex(),
+        codec,
+        header_end,
+        os.path.getsize(fpath),
+    )
+
+
+# Below this file count the header pass runs serially on the driver (a
+# Spark job costs more than a handful of 64 KiB reads); at or above it
+# the pass fans out so a 100k-file dataset never serializes 100k opens
+# through the driver — the parquet footer-pass shape.
+_HEADER_FANOUT_MIN = 33
+
+
+def _read_headers_distributed(spark, files: list[str]):
+    """Header pass as a Spark job over the file list: executors read the
+    headers, and only one metadata-scale row per file (schema/sync/
+    codec/header_end/size) comes back to the driver."""
+    import pandas as pd
+
+    def _read(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                [_header_tuple(p) for p in pdf["path"]],
+                columns=[
+                    "path", "schema_json", "sync_hex", "codec",
+                    "header_end", "size",
+                ],
+            )
+
+    p = spark.sparkContext.defaultParallelism
+    fdf = spark.createDataFrame(
+        [(f,) for f in files], "path string"
+    ).repartition(min(len(files), p))
+    rows = fdf.mapInPandas(
+        _read,
+        "path string, schema_json string, sync_hex string, codec string, "
+        "header_end long, size long",
+    ).collect()
+    rows.sort(key=lambda r: r["path"])
     return [
-        (s, min(s + split_bytes, size))
-        for s in range(header_end, size, split_bytes)
+        (r["path"], r["schema_json"], r["sync_hex"], r["codec"],
+         r["header_end"], r["size"])
+        for r in rows
     ]
 
 
@@ -543,17 +607,40 @@ def _decode_range(
     exactly once, with no coordination between tasks. Memory: one
     block's prologue+payload at a time, never the range."""
     with open(path, "rb") as fh:
-        # resynchronize: find the first block start p with start <= p < end
-        fh.seek(max(0, start - 16))
-        window = fh.read(max(0, (end - 16) - (start - 16) + 15))
-        # a sync STARTING at index i (absolute a = start-16+i) puts a
-        # block at p = a+16; require p < end ⇔ i < (end-16)-(start-16);
-        # the +15 read slack lets a sync straddling the cutoff be seen
-        # and rejected by the position test below
-        i = window.find(sync)
-        if i < 0 or (start - 16 + i) + 16 >= end:
+        # resynchronize: find the first block start p with start <= p < end.
+        # The search scans [start-16, end-1) INCREMENTALLY — 1 MiB chunks
+        # with a 15-byte carry so a sync straddling a chunk edge is still
+        # seen — and stops at the first match, so task memory is one chunk
+        # (then one block), never the range. A sync STARTING at absolute
+        # offset a puts a block at p = a+16; p ≥ start is guaranteed by
+        # the window's left edge, p < end is tested below (the trailing
+        # 15-byte slack past end-16 lets a sync straddling the cutoff be
+        # seen and REJECTED by that test, mirroring the next range's own
+        # left edge at end-16). The sync byte pattern recurring inside a
+        # compressed payload would surface as a loud sync-mismatch error,
+        # at probability 2^-128 per offset — the same exposure Hadoop's
+        # AvroInputFormat accepts.
+        lo = max(0, start - 16)
+        next_abs = lo  # absolute offset of the next unread byte
+        remaining = max(0, (end - 1) - lo)
+        carry = b""
+        a = -1
+        fh.seek(lo)
+        while remaining > 0:
+            chunk = fh.read(min(1 << 20, remaining))
+            if not chunk:
+                break  # data section ends before the window does
+            remaining -= len(chunk)
+            buf = carry + chunk
+            j = buf.find(sync)
+            if j != -1:
+                a = next_abs - len(carry) + j
+                break
+            carry = buf[-15:]
+            next_abs += len(chunk)
+        if a < 0 or a + 16 >= end:
             return  # no block starts inside this range
-        pos = (start - 16 + i) + 16
+        pos = a + 16
         while pos < end:
             fh.seek(pos)
             head = fh.read(24)  # two varints: <=10 bytes each + slack
@@ -608,8 +695,10 @@ def scan_avro_dataset_split(
     on the sync marker, and decodes exactly the blocks whose first
     byte it owns — so ONE multi-GB OCF parallelizes like parquet
     row-groups instead of serializing through a single 2 GB-capped
-    binaryFile row. Driver work is one small header read per file:
-    metadata-scale, like a parquet footer pass."""
+    binaryFile row. The header pass is metadata-scale, like a parquet
+    footer pass — serial on the driver for small file counts, fanned
+    out as a Spark job from ``_HEADER_FANOUT_MIN`` files up (only one
+    small metadata row per file returns to the driver)."""
     import pandas as pd
 
     cols = [c.strip().split() for c in result_schema.split(",")]
@@ -633,38 +722,50 @@ def scan_avro_dataset_split(
             return pd.arrays.FloatingArray(data, mask)
         return vals
 
-    ranges: list[tuple[str, int, int, str, str, str]] = []
-    n_files = 0
-    for fname in sorted(os.listdir(path)):
-        if not fname.endswith(".avro"):
-            continue
-        n_files += 1
-        fpath = os.path.join(path, fname)
-        schema, sync, codec, _ = read_header(fpath)
-        sjson = json.dumps(schema, separators=(",", ":"))
-        for s, e in plan_avro_splits(fpath, split_bytes):
-            ranges.append((fpath, s, e, sjson, sync.hex(), codec))
-    if not n_files:
+    files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".avro")
+    )
+    if not files:
         raise ValueError(f"no .avro files under {path}")
+    if len(files) >= _HEADER_FANOUT_MIN:
+        headers = _read_headers_distributed(spark, files)
+    else:
+        headers = [_header_tuple(f) for f in files]
+    ranges: list[tuple[str, int, int, str, str, str]] = []
+    for fpath, sjson, sync_hex, codec, header_end, size in headers:
+        for s, e in _plan_ranges(header_end, size, split_bytes):
+            ranges.append((fpath, s, e, sjson, sync_hex, codec))
     if not ranges:
         # header-only files (zero rows): a valid empty dataset, not an
         # error — surface it as an empty relation of the asked schema
         return spark.createDataFrame([], result_schema)
 
     def _decode(batches) -> Iterator["pd.DataFrame"]:
+        # schema_json is identical for every range of one file (and
+        # usually across files) — parse once per distinct schema, not
+        # per range row
+        parsed: dict[str, tuple] = {}
         for pdf in batches:
             for _, r in pdf.iterrows():
-                schema = json.loads(r["schema_json"])
-                fields = _field_types(schema)
-                null_branch = {
-                    f["name"]: f["type"].index("null")
-                    for f in schema["fields"]
-                    if isinstance(f["type"], list)
-                }
-                idx = {n: i for i, (n, _, _) in enumerate(fields)}
-                missing = [c for c in want if c not in idx]
-                if missing:
-                    raise ValueError(f"avro file lacks fields {missing}")
+                sj = r["schema_json"]
+                if sj not in parsed:
+                    schema = json.loads(sj)
+                    fields = _field_types(schema)
+                    null_branch = {
+                        f["name"]: f["type"].index("null")
+                        for f in schema["fields"]
+                        if isinstance(f["type"], list)
+                    }
+                    idx = {n: i for i, (n, _, _) in enumerate(fields)}
+                    missing = [c for c in want if c not in idx]
+                    if missing:
+                        raise ValueError(
+                            f"avro file lacks fields {missing}"
+                        )
+                    parsed[sj] = (fields, null_branch, idx)
+                fields, null_branch, idx = parsed[sj]
                 for rows in _decode_range(
                     r["path"], int(r["start"]), int(r["end"]),
                     fields, null_branch,
