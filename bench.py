@@ -54,14 +54,21 @@ def main() -> None:
     # Per-query session floor: the fixed JVM/Py4J/scheduler cost any query
     # pays regardless of plan (round-4 judge: ~40 s of a 72 s total at
     # sf0.1 was floor, not plan cost — the 2× gate should compare plan
-    # work). Measured as the median of a no-op action repeated 5×;
-    # floor_seconds = floor × n_queries is the subtractable overhead.
+    # work). r10: the old median-of-5 sat inside the JIT warm-up decay
+    # (no-op cost falls 0.10 → 0.036 s over the first ~25 invocations),
+    # so the recorded floor measured WHERE the JIT was, not the session
+    # constant — the r8→r9 floor "drift" (0.0625 → 0.0964) was exactly
+    # this transient. Now: 10 untimed warm-up no-ops, then min of 15
+    # (min pairs with the min headline stat — interference only ever
+    # inflates a rep).
+    for _ in range(10):
+        spark.range(1).write.format("noop").mode("overwrite").save()
     floor_runs: list[float] = []
-    for _ in range(5):
+    for _ in range(15):
         t0 = time.perf_counter()
         spark.range(1).write.format("noop").mode("overwrite").save()
         floor_runs.append(time.perf_counter() - t0)
-    floor = statistics.median(floor_runs)
+    floor = min(floor_runs)
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     # Round-6 verdict: 3-rep medians flap 2-3× between same-code runs on

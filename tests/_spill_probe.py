@@ -28,7 +28,81 @@ import json
 import sys
 import urllib.request
 
-PROBE_QUERIES = ("knn_search", "ids_dense", "semdedup")
+PROBE_QUERIES_X100 = ("knn_search", "ids_dense", "semdedup")
+# r9 verdict #4: the ANN searches that carry the 100-TB claim and the
+# MinHash band join — rows-only IDs, so the probe asserts their in-row
+# quality certificates + a content digest instead of an oracle hash.
+# Probed at x10: the x100 1M-doc MinHash corpus exceeds the 1500m heap
+# outright (OutOfMemoryError, not spill), while x10 exercises the same
+# spill paths within the budget.
+PROBE_QUERIES_ANN = ("ivf_search", "pq_search", "dedup_near")
+PROBE_QUERIES = PROBE_QUERIES_X100 + PROBE_QUERIES_ANN
+
+
+def rows_digest(columns, rows) -> tuple[int, str]:
+    """(n_rows, order-insensitive content digest) of a collected result.
+
+    The probe records this under pressure and the parent test recomputes
+    it from a comfortable-memory run of the SAME registered query in its
+    own JVM — the rows-only analogue of the oracle hash: spilling (and
+    every plan difference pressure induces, e.g. SMJ instead of
+    broadcast) may change where bytes live, never what the query
+    returns. Exactness is safe because every probed rows-only query is
+    deterministic given its fingerprint-keyed index/codebook cache and
+    per-row float kernels (fixed fold order, 6-dp rounding in-plan)."""
+    import hashlib
+
+    canon = sorted(repr(tuple(r[c] for c in columns)) for r in rows)
+    h = hashlib.blake2b("\n".join(canon).encode(), digest_size=16)
+    return len(rows), h.hexdigest()
+
+
+def _check_ivf_search(spark, fixture_dir, rows):
+    """Pruned IVF search under spill: full top-10 emitted, in-row recall
+    certificate (vs exact KNN, computed inside the query) not collapsed."""
+    assert len(rows) == 10, f"expected top-10, got {len(rows)} rows"
+    recall = rows[0]["recall_at_k"]
+    assert 0.0 <= recall <= 1.0
+    assert recall >= 0.2, f"ivf_search recall collapsed under spill: {recall}"
+
+
+def _check_pq_search(spark, fixture_dir, rows):
+    """ADC shortlist + rerank under spill: top-10 emitted, in-row recall
+    certificate not collapsed (the absolute level is a property of the
+    8×16 codebooks on the rotated x100 corpus — ~0.3 — not of memory
+    pressure; equality-with-comfortable-run is the sharp check)."""
+    assert len(rows) == 10, f"expected top-10, got {len(rows)} rows"
+    recall = rows[0]["recall_at_k"]
+    assert 0.0 <= recall <= 1.0
+    assert recall >= 0.1, f"pq_search recall collapsed under spill: {recall}"
+
+
+def _check_dedup_near(spark, fixture_dir, rows):
+    """MinHash band join under spill: the planted perturbed copies
+    (doc_id = original + 1_000_000, shingle Jaccard ≈ 0.95) must still
+    surface — 8×4 LSH banding detects Jaccard-0.95 pairs w.p. ≈ 1, so
+    losing them means the band join dropped candidates while spilling."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(
+        os.path.join(fixture_dir, "documents.parquet")
+    ).num_rows
+    planted = {r["doc_id"] for r in rows if r["doc_id"] >= 1_000_000}
+    assert all(r["doc_id"] != r["rep_id"] for r in rows)
+    frac = len(planted) / float(n_docs)
+    assert frac >= 0.8, (
+        f"only {len(planted)}/{n_docs} planted near-dups surfaced "
+        f"under spill ({frac:.2f})"
+    )
+
+
+ROWS_ONLY_CHECKS = {
+    "ivf_search": _check_ivf_search,
+    "pq_search": _check_pq_search,
+    "dedup_near": _check_dedup_near,
+}
 
 SPILL_CONF = {
     # small, real memory budget (vs the factory's 16g default)
@@ -77,7 +151,13 @@ def _stats_since(spark, mark: int) -> dict:
 
 
 def main() -> None:
+    """argv: fixture_dir out_path [qid ...] — the optional qid list lets
+    the caller probe tiers at different fixture scales (the ANN/dedup
+    tier runs at x10: at x100 the 1M-doc MinHash corpus exceeds the
+    1500m heap OUTRIGHT — a genuine can't-fit, not a spill scenario —
+    while x10 exercises the same spill paths inside the budget)."""
     fixture_dir, out_path = sys.argv[1], sys.argv[2]
+    qids = tuple(sys.argv[3:]) or PROBE_QUERIES
 
     from vector_search_playground_spark import registry
     from vector_search_playground_spark.session import get_spark
@@ -95,11 +175,21 @@ def main() -> None:
     con = duck_connect(fixture_dir)
 
     results: dict[str, dict] = {}
-    for qid in PROBE_QUERIES:
+    for qid in qids:
         mark = _watermark(spark)
         df = registry.QUERIES[qid](spark, fixture_dir)
-        compare(df, con, registry.ORACLES[qid], qid)  # raises on mismatch
-        stats = _stats_since(spark, mark)
+        stats: dict = {}
+        if qid in registry.ORACLES:
+            compare(df, con, registry.ORACLES[qid], qid)  # raises on mismatch
+        else:
+            # rows-only ID: in-row quality certificate + content digest
+            # (the parent test compares the digest against its own
+            # comfortable-memory run of the same query)
+            rows = df.collect()
+            ROWS_ONLY_CHECKS[qid](spark, fixture_dir, rows)
+            n, dig = rows_digest(df.columns, rows)
+            stats["n_rows"], stats["rows_digest"] = n, dig
+        stats.update(_stats_since(spark, mark))
         stats["oracle_match"] = True
         results[qid] = stats
         spark.catalog.clearCache()

@@ -411,6 +411,108 @@ def test_stream_index_append_equals_batch_index(spark, sf_smoke):
     ]
 
 
+def test_stream_index_append_crash_recovery_exactly_once(
+    spark, sf_smoke, tmp_path
+):
+    """r10 (verdict #6): crash-recovery certificate for the one
+    side-effecting streaming sink. Phase 1 commits micro-batch 0 (the
+    even half of the corpus). The crash is then simulated at its
+    sharpest point: a batch-1 task WROTE its bucket parquet files but
+    died before the sink's _spark_metadata commit — injected as poison
+    rows (the query vector itself under fake ids, which would rank #1
+    if visible) appended to the index dir outside the metadata log.
+    Phase 2 restarts from the same checkpoint with the odd half added:
+    the recovered index must hold every corpus row exactly once, the
+    orphan files must stay invisible to reads and to search, and the
+    search must equal the batch-built index over the full corpus."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from vector_search_playground_spark.plans.lsh import (
+        bucket_expr,
+        build_lsh,
+        hyperplanes,
+        search_lsh,
+    )
+    from vector_search_playground_spark.queries.llm_pipeline import (
+        SCRATCH as LLM_SCRATCH,
+        _fixture_fingerprint,
+    )
+    from vector_search_playground_spark.streaming import jobs
+
+    d = tmp_path / "emb"
+    d.mkdir()
+    tbl = pq.read_table(_os.path.join(sf_smoke, "embeddings.parquet"))
+    even = pc.equal(pc.bit_wise_and(tbl["vec_id"], 1), 0)
+    # the even half IS embeddings.parquet (vec 0 included, so the query
+    # vector and the scratch fingerprint stay stable across phases)
+    pq.write_table(tbl.filter(even), str(d / "embeddings.parquet"))
+
+    # phase 1: batch 0 ingests the even half and commits
+    jobs.stream_index_append(spark, str(d)).collect()
+    tag = _os.path.basename(str(d))
+    fp = _fixture_fingerprint(str(d), "embeddings")
+    root = _os.path.join(LLM_SCRATCH, f"stream_lsh_{tag}_{fp}")
+    idx = _os.path.join(root, "index")
+    ckpt = _os.path.join(root, "ckpt")
+    assert _os.path.exists(_os.path.join(ckpt, "commits", "0")), (
+        "batch 0 must have committed in phase 1"
+    )
+    assert not _os.path.exists(_os.path.join(ckpt, "commits", "1"))
+
+    # simulated mid-batch-1 crash: bucket files on disk, no metadata
+    # commit. Poison embedding = the query vector => dist 0, rank #1 if
+    # any read path trusts the directory listing over the commit log.
+    emb_a = spark.read.parquet(str(d / "embeddings.parquet"))
+    qvec = [
+        float(x)
+        for x in emb_a.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    planes = hyperplanes(len(qvec), nbits=8, seed=42)
+    poison = spark.createDataFrame(
+        [(9_000_000 + i, qvec, -1) for i in range(3)],
+        "vec_id: bigint, embedding: array<float>, label: int",
+    ).withColumn("bucket", bucket_expr(F.col("embedding"), planes))
+    n_files_before = len(
+        _glob.glob(_os.path.join(idx, "bucket=*", "*.parquet"))
+    )
+    poison.write.mode("append").partitionBy("bucket").parquet(idx)
+    n_files_after = len(
+        _glob.glob(_os.path.join(idx, "bucket=*", "*.parquet"))
+    )
+    assert n_files_after > n_files_before, "poison injection was vacuous"
+
+    # phase 2: the odd half arrives; restart from the SAME checkpoint
+    pq.write_table(
+        tbl.filter(pc.invert(even)), str(d / "embeddings_b.parquet")
+    )
+    streamed = jobs.stream_index_append(spark, str(d)).collect()
+
+    # exactly-once content: every corpus row once, orphans invisible
+    got_ids = sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(idx).select("vec_id").collect()
+    )
+    want_ids = sorted(v.as_py() for v in tbl["vec_id"])
+    assert got_ids == want_ids, (
+        f"recovered index holds {len(got_ids)} rows vs corpus "
+        f"{len(want_ids)} (dup, loss, or orphan visibility)"
+    )
+
+    # search through the recovered index == batch index over the corpus
+    assert all(r["vec_id"] < 9_000_000 for r in streamed), (
+        "uncommitted poison rows surfaced in search results"
+    )
+    emb_all = spark.read.schema(emb_a.schema).parquet(str(d))
+    batch = search_lsh(build_lsh(emb_all, planes), planes, qvec, k=10)
+    assert [(r["vec_id"], r["dist"]) for r in streamed] == [
+        (r["vec_id"], r["dist"]) for r in batch.collect()
+    ]
+
+
 def test_cdc_apply_multibatch_equals_batch(
     spark, sf_smoke, tmp_path, monkeypatch
 ):
