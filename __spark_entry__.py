@@ -131,6 +131,14 @@ RECERTIFY_IF_AT_OR_BEFORE = {
     "index_build_lsh": 8,
     "scan_avro": 8,
     "multimodal_features": 8,
+    # round-10: index_build_ivf's destination became fingerprint-keyed
+    # with overwrite-rebuild semantics (the r9 ADVICE stale-index fix) —
+    # the executed build path changed; scan_avro_split's decode task
+    # changed (incremental chunked sync search, memoized schema parse)
+    # and its header pass can now run distributed. scan_avro itself is
+    # untouched (binaryFile + read_ocf path).
+    "index_build_ivf": 9,
+    "scan_avro_split": 9,
 }
 
 
