@@ -114,6 +114,55 @@ def test_atomic_build_overwrite_replaces_existing(tmp_path):
     assert not leftovers, leftovers
 
 
+def test_atomic_build_overwrite_race_loser_serves_winner(
+    tmp_path, monkeypatch
+):
+    """Two overwrite rebuilds racing at the same fingerprint-keyed path:
+    the loser (whose commit rename finds the destination re-occupied by
+    the winner's finished artifact) must keep the winner's build, clean
+    up both its temp build and the copy it displaced, and return —
+    same-key rebuilds are byte-equivalent, so raising would turn a
+    benign race into a flake."""
+    import os
+
+    from vector_search_playground_spark.sources import atomic_build
+
+    path = str(tmp_path / "artifact")
+
+    def build(marker):
+        def write_to(p):
+            os.makedirs(p)
+            with open(os.path.join(p, "data"), "w") as fh:
+                fh.write(marker)
+        return write_to
+
+    atomic_build(build("v1"), path)
+
+    real_rename = os.rename
+    state = {"n": 0}
+
+    def racing_rename(src, dst):
+        state["n"] += 1
+        if state["n"] == 2:
+            # between the loser's displace (call 1) and its commit
+            # (call 2), the winner lands its artifact at the path
+            os.makedirs(dst)
+            with open(os.path.join(dst, "data"), "w") as fh:
+                fh.write("winner")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", racing_rename)
+    atomic_build(build("loser"), path, overwrite=True)  # must not raise
+    monkeypatch.undo()
+
+    assert open(os.path.join(path, "data")).read() == "winner"
+    leftovers = [
+        f for f in os.listdir(tmp_path)
+        if ".build-" in f or ".old-" in f
+    ]
+    assert not leftovers, leftovers
+
+
 def test_atomic_build_genuine_rename_failure_raises(tmp_path):
     """A rename that fails for any reason OTHER than a complete artifact
     already occupying the destination must re-raise, not silently

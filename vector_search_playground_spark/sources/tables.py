@@ -140,7 +140,19 @@ def atomic_build(write_to, path: str, *, overwrite: bool = False) -> None:
             os.rename(path, old)
         try:
             os.rename(tmp, path)
-        except OSError:
+        except OSError as exc:
+            race = exc.errno in (
+                errno.EEXIST, errno.ENOTEMPTY, errno.EISDIR
+            )
+            if race and os.path.isdir(path) and os.listdir(path):
+                # a racing rebuild of the same key won between our
+                # displace and our rename — its artifact serves both
+                # (rebuild paths are fingerprint-keyed, so same key ⇒
+                # same content); our displaced copy is now garbage
+                if old is not None:
+                    shutil.rmtree(old, ignore_errors=True)
+                shutil.rmtree(tmp, ignore_errors=True)
+                return
             if old is not None and not os.path.exists(path):
                 os.rename(old, path)  # restore the displaced artifact
                 old = None
