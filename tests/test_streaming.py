@@ -622,6 +622,104 @@ def test_stream_moments_exact_across_batches(
     assert got == want
 
 
+def test_stateful_crash_recovery_reloads_committed_state_version(
+    spark, scratch
+):
+    """r10: crash-recovery certificate for the STATE-STORE path — the
+    third pillar beside the foreachBatch table (stream_cdc_apply) and
+    the file sink (stream_index_append). Drives the EXACT production
+    state function (jobs.running_totals_fn, the one stream_stateful
+    runs) through a restartable foreachBatch sink: batch 0 commits its
+    state-store version; batch 1 is killed by an injected executor
+    crash on a marker user present only in file B; the restart against
+    the same checkpoint must reload the batch-0 store version and
+    replay batch 1 in full. Per-user counts then equal the batch
+    group-by exactly — they double if batch 0's state is reapplied
+    (version not rolled back) and undercount if it is lost (version
+    not reloaded)."""
+    import pytest as _pytest
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from vector_search_playground_spark.streaming import jobs
+
+    src = os.path.join(scratch, "src")
+    ckpt = os.path.join(scratch, "ckpt")
+    upd = os.path.join(scratch, "updates")
+    marker_user = 999_999
+
+    def write_file(rows):
+        """One events file of (event_id, user_id, value) rows."""
+        data = [
+            (eid, BASE_US + eid * HOUR_US, uid, "click", val, "{}")
+            for eid, uid, val in rows
+        ]
+        spark.createDataFrame(data, schemas.EVENTS_RAW).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def drain(fail_user):
+        out = _stream(spark, src).groupBy("user_id").applyInPandasWithState(
+            jobs.running_totals_fn(fail_user),
+            outputStructType=(
+                "user_id long, n_events long, sum_value double"
+            ),
+            stateStructType="cnt long, tot double",
+            outputMode="Update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            out.writeStream.foreachBatch(
+                lambda b, _id: b.write.mode("append").parquet(upd)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # phase 1: batch 0 (file A) drains cleanly and commits its state
+    write_file([(1, 1, 1.0), (2, 2, 2.0)])
+    drain(fail_user=None)
+    assert os.path.exists(os.path.join(ckpt, "commits", "0"))
+
+    # phase 2: file B arrives (user 2 spans both batches — the sharp
+    # cross-batch state edge; the marker user exists only here) and the
+    # injected crash kills batch 1 mid-flight
+    write_file([(3, 2, 3.0), (4, 3, 4.0), (5, marker_user, 1.0)])
+    with _pytest.raises(Exception) as ei:
+        drain(fail_user=marker_user)
+    assert "injected crash" in str(ei.value)
+    assert not os.path.exists(os.path.join(ckpt, "commits", "1")), (
+        "the crashed batch must not have committed"
+    )
+
+    # phase 3: restart against the same checkpoint; batch 1 replays in
+    # full on top of the RELOADED batch-0 state version
+    drain(fail_user=None)
+    assert os.path.exists(os.path.join(ckpt, "commits", "1"))
+
+    # latest update per user across all committed batches (n_events is
+    # strictly increasing per user, so max_by picks the final total)
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(upd)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_value", "n_events").alias("sum_value"),
+        )
+        .collect()
+    }
+    want = {
+        1: (1, 1.0),
+        2: (2, 5.0),  # 3 if batch 0's state is reapplied, 1 if lost
+        3: (1, 4.0),
+        marker_user: (1, 1.0),
+    }
+    assert got == want, got
+
+
 def test_cdc_apply_crash_recovery_from_checkpoint(
     spark, sf_smoke, tmp_path, monkeypatch
 ):

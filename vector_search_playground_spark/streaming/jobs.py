@@ -67,6 +67,18 @@ _STREAM_SHUFFLE_PARTITIONS = 8
 _CDC_FAIL_AT_BATCH: int | None = None
 _CDC_KEEP_STATE = False
 
+# Crash-recovery test seams for the STATE-STORE path (r10 — the
+# applyInPandasWithState analogue of the CDC pair): when
+# _STATEFUL_FAIL_ON_USER is set, stream_stateful's state function
+# raises on first sight of that user_id — an executor crash mid-batch,
+# AFTER earlier batches committed their state-store versions (the
+# in-flight batch's store version is never committed, so a restart must
+# reload the last committed version and replay the batch in full); when
+# _KEEP_CKPT is True, run_available_now skips its fresh-run checkpoint
+# wipe so a restart RESUMES instead of starting over.
+_STATEFUL_FAIL_ON_USER: int | None = None
+_KEEP_CKPT = False
+
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as an unbounded source (same schema/normalization as
@@ -177,7 +189,8 @@ def run_available_now(
     # the time we return, so the memory-sink table name can be reused too.
     qname = f"s_{name or 'q'}"
     ckpt = os.path.join(SCRATCH, f"ckpt_{qname}")
-    shutil.rmtree(ckpt, ignore_errors=True)
+    if not _KEEP_CKPT:
+        shutil.rmtree(ckpt, ignore_errors=True)
     spark = df.sparkSession
     # Stateful operators allocate one state store per shuffle partition
     # per micro-batch; a session sized for batch scans (or the driver's
@@ -408,6 +421,36 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(dd, output_mode="append", name="dedup")
 
 
+def running_totals_fn(fail_user: int | None = None):
+    """stream_stateful's state function — module-level so the state-store
+    crash-recovery test drives the EXACT production function through a
+    restartable sink (the registered query's memory sink cannot recover
+    from a checkpoint). ``fail_user`` is the injected-crash seam: raise
+    on first sight of that user_id, an executor death mid-batch."""
+
+    def running_totals(key, pdfs, state):
+        import pandas as pd
+
+        if fail_user is not None and key[0] == fail_user:
+            raise RuntimeError(
+                f"injected crash in state function (user {key[0]})"
+            )
+        cnt, tot = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            tot += float(pdf["value"].sum())
+        state.update((cnt, tot))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [cnt],
+                "sum_value": [round(tot, ROUND_MONEY)],
+            }
+        )
+
+    return running_totals
+
+
 @query(
     "stream_stateful",
     oracle=f"""
@@ -422,24 +465,9 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     state per user). After draining the fixture the latest update per
     user equals the batch aggregate. Multi-batch accumulation semantics
     are asserted in tests/test_streaming.py."""
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
-    def running_totals(key, pdfs, state: GroupState):
-        import pandas as pd
-
-        cnt, tot = state.get if state.exists else (0, 0.0)
-        for pdf in pdfs:
-            cnt += len(pdf)
-            tot += float(pdf["value"].sum())
-        state.update((cnt, tot))
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_events": [cnt],
-                "sum_value": [round(tot, ROUND_MONEY)],
-            }
-        )
-
+    running_totals = running_totals_fn(_STATEFUL_FAIL_ON_USER)
     ev = read_events_stream(spark, sf_dir)
     out = ev.groupBy("user_id").applyInPandasWithState(
         running_totals,
