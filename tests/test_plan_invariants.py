@@ -55,3 +55,29 @@ def test_no_row_at_a_time_python(plans, qid):
     # InPandas) is the sanctioned escape hatch; BatchEvalPython is the
     # per-row pickle path and must not appear anywhere else.
     assert "BatchEvalPython" not in plans[qid], plans[qid]
+
+
+def test_partition_sensitive_oracled_queries_have_layout_certificate(plans):
+    """Closure over the layout-independence certificate: every ORACLED
+    query whose plan evaluates Python per input partition (or mints
+    layout-dependent ids) must be listed in
+    tests/test_partition_independence.py's TARGETS, where it is re-run
+    under an adversarial partition layout and compared value-for-value.
+    Fails when a new/changed query gains a partition-sensitive plan
+    without gaining the certificate (the staleness direction is covered
+    by test_target_is_still_partition_sensitive over there)."""
+    import __spark_entry__ as entrymod
+
+    from tests.test_partition_independence import MARKERS, TARGETS
+
+    oracles = entrymod.oracle_sql()
+    sensitive = {
+        qid
+        for qid in PLAN_CHECKED
+        if qid in oracles and any(m in plans[qid] for m in MARKERS)
+    }
+    missing = sorted(sensitive - set(TARGETS))
+    assert not missing, (
+        f"oracled partition-sensitive queries without a layout-independence "
+        f"certificate: {missing}"
+    )
