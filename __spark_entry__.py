@@ -145,6 +145,13 @@ RECERTIFY_IF_AT_OR_BEFORE = {
     # a restartable sink) — semantically identical, but the executed
     # code changed, so the green stamp re-earns itself
     "stream_stateful": 9,
+    # round-10 (late): mannwhitney_u's tie-group prefix sum moved off
+    # the unpartitioned Window.orderBy (a single-partition sort of the
+    # distinct-value relation — the one unbounded case the
+    # SinglePartition plan audit found) onto the shared
+    # operators/prefix.bucketed_cumsum; identical exact-int64 values,
+    # but the executed plan changed, so the r6 green re-earns itself
+    "mannwhitney_u": 9,
 }
 
 

@@ -28,6 +28,58 @@ ROW_PYTHON_OK = {"udf_scalar", "udf_table"}
 # data-relation cartesian. The intended shape, not an accident.
 CARTESIAN_OK = {"als_recommend"}
 
+# Queries whose plan is ALLOWED a Sort/Window directly over an
+# Exchange SinglePartition: each windows a relation that is BOUNDED by
+# construction (audited via tools/plan_audit.py --dump, round 10), so
+# the single task holds metadata, never the corpus. A final HashAggregate
+# merge over SinglePartition (the common case) is always fine — only
+# Sort/Window consumers are gated here.
+SINGLE_PARTITION_SORT_OK = {
+    # |resamples| rows: the B-row bootstrap sum relation (B = 1000)
+    "bootstrap_ci",
+    # |days| rows: daily CUSUM series
+    "changepoint_cusum",
+    # |cat_a|x|cat_b| rows: the contingency-cell relation
+    "corr_categorical",
+    # |distinct degrees| rows: distribution support, not the edge list
+    "degree_distribution",
+    # |hash buckets| rows (1024): the DSIR model table
+    "dsir_weights",
+    # |days| rows: per-day minimum-price thresholds
+    "pareto_frontier",
+    # |days| rows: calendar day spine
+    "running_distinct",
+    # |distinct durations| rows: calendar-bounded KM table
+    "survival_km",
+    # 10 rows: the decile spine
+    "vocab_growth",
+}
+
+
+def _single_partition_sort_window(plan: str) -> list[str]:
+    """Op names of every Sort/Window that DIRECTLY consumes an
+    Exchange SinglePartition (nearest ancestor by tree indentation)."""
+    import re
+
+    def indent(line: str) -> int:
+        m = re.match(r"^[\s:+\-*()0-9]*", line)
+        return len(m.group(0)) if m else 0
+
+    lines = plan.splitlines()
+    hits = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        my = indent(line)
+        for j in range(i - 1, -1, -1):
+            if indent(lines[j]) < my:
+                m = re.search(r"([A-Za-z][A-Za-z0-9]+)", lines[j])
+                op = m.group(1) if m else ""
+                if op in ("Sort", "Window"):
+                    hits.append(op)
+                break
+    return hits
+
 
 @pytest.fixture(scope="module")
 def plans(spark, sf_smoke):
@@ -55,6 +107,31 @@ def test_no_row_at_a_time_python(plans, qid):
     # InPandas) is the sanctioned escape hatch; BatchEvalPython is the
     # per-row pickle path and must not appear anywhere else.
     assert "BatchEvalPython" not in plans[qid], plans[qid]
+
+
+@pytest.mark.parametrize("qid", PLAN_CHECKED)
+def test_no_unbounded_single_partition_sort_or_window(plans, qid):
+    """A Sort or Window consuming an Exchange SinglePartition runs the
+    whole relation on ONE task — the easiest way for a query to stop
+    scaling while staying correct. Allowed only where the exchanged
+    relation is bounded by construction (audited allowlist above);
+    everything data-sized must use a partitioned window or the shared
+    bucketed two-pass prefix sum (operators/prefix.bucketed_cumsum —
+    see mannwhitney_u's round-10 fix for the template)."""
+    hits = _single_partition_sort_window(plans[qid])
+    if qid in SINGLE_PARTITION_SORT_OK:
+        assert hits, (
+            f"{qid} is allowlisted for a single-partition Sort/Window but "
+            f"its plan no longer has one; remove it from "
+            f"SINGLE_PARTITION_SORT_OK"
+        )
+        return
+    assert not hits, (
+        f"{qid} runs {hits} over Exchange SinglePartition — a one-task "
+        f"sort/window of the full relation. Re-shape (partitioned window "
+        f"or bucketed_cumsum) or, if the input is bounded by construction, "
+        f"allowlist it with the boundedness rationale.\n{plans[qid]}"
+    )
 
 
 def test_partition_sensitive_oracled_queries_have_layout_certificate(plans):

@@ -1413,21 +1413,39 @@ def mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 dp.
 
     Shape at 100 TB: one hash-agg to the distinct-value relation (the
-    same collapse ks_2sample uses), ranks from a prefix window over it
-    — bucketed two-pass at scale — and a single reduce. Driver sees one
-    row.
+    same collapse ks_2sample uses), then the running tie-group weight
+    from ``operators/prefix.bucketed_cumsum`` — the quantile-bucketed
+    two-pass prefix sum shared with ``weighted_median`` — NOT a global
+    ``sum() OVER (ORDER BY v)`` window: the distinct-value relation is
+    |distinct balances|, which at corpus scale approaches |customers|,
+    and an unpartitioned window would sort it on one task. The oracle
+    keeps the declarative window (DuckDB evaluates it efficiently);
+    both sides reduce to the same exact-int64 rank sums. Driver sees
+    one row.
     """
+    from vector_search_playground_spark.operators.prefix import (
+        bucketed_cumsum,
+    )
+
     cust = load_table(spark, sf_dir, "customer").where(
         F.col("c_mktsegment").isin(_KS_A, _KS_B)
     )
-    s = cust.groupBy(F.col("c_acctbal").alias("v")).agg(
-        F.count(F.when(F.col("c_mktsegment") == _KS_A, 1)).alias("ca"),
-        F.count(F.when(F.col("c_mktsegment") == _KS_B, 1)).alias("cb"),
+    s = (
+        cust.groupBy(F.col("c_acctbal").alias("v"))
+        .agg(
+            F.count(F.when(F.col("c_mktsegment") == _KS_A, 1)).alias("ca"),
+            F.count(F.when(F.col("c_mktsegment") == _KS_B, 1)).alias("cb"),
+        )
+        .withColumn("cnt", F.col("ca") + F.col("cb"))
+        .cache()
     )
-    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    r = s.withColumn("cnt", F.col("ca") + F.col("cb")).withColumn(
-        "cumb", F.coalesce(F.sum(F.col("cnt")).over(w_prev), F.lit(0))
+    # cum is the INCLUSIVE running cnt in v order (v is unique after the
+    # group-by, so it is its own tiebreak); the average-rank formula
+    # wants the EXCLUSIVE prefix.
+    ranked, _n, _total = bucketed_cumsum(
+        s, "v", "cnt", tiebreak_col="v", descending=False
     )
+    r = ranked.withColumn("cumb", F.col("cum") - F.col("cnt"))
     agg = r.agg(
         F.sum("ca").alias("na"),
         F.sum("cb").alias("nb"),
@@ -1450,7 +1468,7 @@ def mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("ties").cast("double") / ((na + nb) * (na + nb - 1.0))
         )
     )
-    return agg.select(
+    out = agg.select(
         na.cast("long").alias("n_a"),
         nb.cast("long").alias("n_b"),
         u2a.cast("long").alias("u2_a"),
@@ -1460,6 +1478,12 @@ def mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e4
         ).alias("z"),
     )
+    # both bucketed_cumsum passes consumed the cache; materialize the
+    # single result row so the cache can be released before returning
+    # (the weighted_median discipline)
+    row = out.first()
+    s.unpersist()
+    return spark.createDataFrame([row], out.schema)
 
 
 # --- sla_compliance ---------------------------------------------------------
