@@ -23,9 +23,16 @@ tiny, AQE's post-shuffle coalescing disabled so the ugly layout survives
 order-insensitive normalized row multiset) BIT-IDENTICALLY to the
 default-layout run.
 
-Rows-only queries are excluded: several are layout-dependent BY CONTRACT
-(``ids_fast`` mints ``monotonically_increasing_id``; ``embed_batch``
-batches by partition), and their in-row certificates cover the rest.
+Rows-only queries (no SQL oracle) get the same cross-layout equality
+check wherever their CONTRACT is deterministic output — which is all of
+them except ``ids_fast``, whose ``monotonically_increasing_id`` values
+are layout-dependent by design (its contract is uniqueness + density,
+certified in its own tests). The transformer tier is the sharpest case:
+``embed_minilm``/``embed_batch`` process rows in per-partition Arrow
+batches, and a batch-size-dependent float path (e.g. a reduction whose
+accumulation order follows the batch dimension) would ship different
+embeddings from different layouts; per-row determinism across layouts
+is asserted here value-for-value.
 
 Reference parity: the reference executes in one Postgres process
 (`/root/reference/docker-compose.yaml:3-10`) where "layout" doesn't
@@ -61,6 +68,18 @@ TARGETS = [
     "window_funnel",
 ]
 
+# Rows-only (no SQL oracle) partition-sensitive queries whose output is
+# nonetheless deterministic by contract: certified by cross-layout
+# equality alone. ids_fast is the one exclusion — its ids are
+# layout-dependent BY DESIGN (contract = unique + dense, own tests).
+ROWS_ONLY_TARGETS = [
+    "dedup_simhash",
+    "embed_batch",
+    "embed_minilm",
+    "eval_minhash",
+    "multimodal_features",
+]
+
 MARKERS = (
     "MapInPandas",
     "FlatMapGroupsInPandas",
@@ -90,7 +109,7 @@ def adversarial_layout(spark):
             spark.conf.set(k, v)
 
 
-@pytest.mark.parametrize("qid", TARGETS)
+@pytest.mark.parametrize("qid", TARGETS + ROWS_ONLY_TARGETS)
 def test_layout_independent_result(spark, sf_correct, qid, adversarial_layout):
     baseline = spark_result(QUERIES[qid](spark, sf_correct))
     adversarial_layout()
@@ -106,7 +125,7 @@ def test_layout_independent_result(spark, sf_correct, qid, adversarial_layout):
         )
 
 
-@pytest.mark.parametrize("qid", TARGETS)
+@pytest.mark.parametrize("qid", TARGETS + ROWS_ONLY_TARGETS)
 def test_target_is_still_partition_sensitive(spark, sf_smoke, qid):
     """An entry whose plan no longer contains a partition-sensitive op is
     stale — prune it (and let the closure test confirm the registry side)."""

@@ -145,16 +145,37 @@ def test_partition_sensitive_oracled_queries_have_layout_certificate(plans):
     by test_target_is_still_partition_sensitive over there)."""
     import __spark_entry__ as entrymod
 
-    from tests.test_partition_independence import MARKERS, TARGETS
+    from tests.test_partition_independence import (
+        MARKERS,
+        ROWS_ONLY_TARGETS,
+        TARGETS,
+    )
+
+    # ids_fast's monotonically_increasing_id values are layout-dependent
+    # BY DESIGN (contract = unique + dense, certified in test_ids.py).
+    LAYOUT_DEPENDENT_BY_CONTRACT = {"ids_fast"}
 
     oracles = entrymod.oracle_sql()
     sensitive = {
         qid
         for qid in PLAN_CHECKED
-        if qid in oracles and any(m in plans[qid] for m in MARKERS)
+        if any(m in plans[qid] for m in MARKERS)
     }
-    missing = sorted(sensitive - set(TARGETS))
-    assert not missing, (
+    missing_oracled = sorted(
+        q for q in sensitive if q in oracles and q not in TARGETS
+    )
+    assert not missing_oracled, (
         f"oracled partition-sensitive queries without a layout-independence "
-        f"certificate: {missing}"
+        f"certificate: {missing_oracled}"
+    )
+    missing_rows_only = sorted(
+        q
+        for q in sensitive
+        if q not in oracles
+        and q not in ROWS_ONLY_TARGETS
+        and q not in LAYOUT_DEPENDENT_BY_CONTRACT
+    )
+    assert not missing_rows_only, (
+        f"rows-only partition-sensitive queries neither layout-certified "
+        f"nor declared layout-dependent by contract: {missing_rows_only}"
     )
