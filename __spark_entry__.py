@@ -152,6 +152,15 @@ RECERTIFY_IF_AT_OR_BEFORE = {
     # operators/prefix.bucketed_cumsum; identical exact-int64 values,
     # but the executed plan changed, so the r6 green re-earns itself
     "mannwhitney_u": 9,
+    # round-10 (late): the low-cardinality window-key audit (the whale
+    # the SinglePartition plan gate can't see — the exchange looks
+    # partitioned) moved gini_index's per-segment ranks and
+    # shuffle_global's per-shard positions onto the new
+    # operators/prefix.grouped_bucketed_rank; identical exact ranks,
+    # changed executed plans. (win_ntile got the same fix but its
+    # newest row is r4 — already first in the oldest-green rotation.)
+    "gini_index": 9,
+    "shuffle_global": 9,
 }
 
 

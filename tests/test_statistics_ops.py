@@ -423,3 +423,55 @@ def test_bucketed_cumsum_rank_is_dense_permutation(spark, sf_smoke):
     assert stats["c"] == n and stats["lo"] == 1 and stats["hi"] == n
     assert stats["d"] == n
     assert stats["mx"] == total
+
+
+def test_grouped_bucketed_rank_equals_plain_window(spark):
+    """Exact equivalence with row_number() OVER (PARTITION BY g ORDER BY
+    v, tb) on an adversarial synthetic relation: skewed group sizes
+    (one group holds ~90% of rows), heavy order-value ties (values
+    drawn from 13 distinct levels so ties straddle would-be bucket
+    boundaries if bucketing were value-inconsistent), plus grp_n = the
+    group's row count. The plain window is the ORACLE here, run on the
+    same tiny relation where one task is fine; production callers
+    (win_ntile, gini_index, shuffle_global) use the grouped bucketed
+    rank precisely because their groups are corpus-sized."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vector_search_playground_spark.operators.prefix import (
+        grouped_bucketed_rank,
+    )
+
+    # deterministic congruential stream; group 0 takes ~90% of rows
+    df = (
+        spark.range(4000)
+        .select(
+            F.col("id").alias("tb"),
+            F.when((F.col("id") * 7919 % 10) < 9, 0)
+            .otherwise(1 + F.col("id") % 3)
+            .cast("int")
+            .alias("g"),
+            ((F.col("id") * 104729) % 13).cast("double").alias("v"),
+        )
+        .cache()
+    )
+    got = {
+        (r["g"], r["tb"]): (r["rk"], r["grp_n"])
+        for r in grouped_bucketed_rank(
+            df, ["g"], "v", tiebreak_col="tb", num_buckets=8
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "tb")
+    want_rows = df.select(
+        "g",
+        "tb",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("grp_n"),
+    ).collect()
+    df.unpersist()
+    assert len(got) == len(want_rows) == 4000
+    for r in want_rows:
+        assert got[(r["g"], r["tb"])] == (r["rk"], r["grp_n"]), (
+            r["g"],
+            r["tb"],
+        )

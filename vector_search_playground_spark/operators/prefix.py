@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def bucketed_cumsum(
@@ -90,3 +91,87 @@ def bucketed_cumsum(
         map_s[F.col("__bkt")] + F.sum(F.col(weight_col).cast("long")).over(w),
     )
     return out, n_rows, total
+
+
+def grouped_bucketed_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    *,
+    tiebreak_col: str,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """df + [``rk`` (1-based exact rank within its group by
+    (order_col asc, tiebreak_col asc)), ``grp_n`` (group row count)] —
+    the scale-safe replacement for ``row_number() OVER (PARTITION BY
+    low_card_key ORDER BY ...)``, which sorts corpus/|groups| rows on
+    ONE task (a whale wearing a hash exchange: the SinglePartition plan
+    gate can't see it because the exchange looks partitioned).
+
+    Same discipline as ``bucketed_cumsum``, grouped: global
+    approxQuantile boundaries on ``order_col`` bucket every row; ONE
+    hash-agg counts (group, bucket) partials; the driver prefixes the
+    |groups|·|buckets| partials per group (metadata — callers must have
+    LOW-cardinality groups, which is exactly the whale case) and
+    broadcast-joins the offsets back; the rank window then runs within
+    (group, bucket) — 1/num_buckets of a group per task. Equal order
+    values never straddle buckets (bucketing is a pure function of the
+    value), so the (order, tiebreak) window order within a bucket
+    completes a total order. ``order_col`` must be non-null (the
+    boundary probe ignores nulls).
+
+    The input is scanned by all three passes (boundary probe, partials,
+    rank window): callers should ``.cache()`` ``df`` around the call.
+    """
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    bounds = sorted(
+        set(
+            df.select(F.col(order_col).cast("double").alias("__v"))
+            .approxQuantile("__v", probs, 1.0 / (4 * num_buckets))
+        )
+    )
+
+    def bucket_of(c: Column) -> Column:
+        v = c.cast("double")
+        expr = F.lit(0)
+        for b in bounds:
+            expr = expr + F.when(v > F.lit(b), 1).otherwise(0)
+        return expr.cast("int")
+
+    bucketed = df.withColumn("__bkt", bucket_of(F.col(order_col)))
+    parts = (
+        bucketed.groupBy(*group_cols, "__bkt")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    per_group: dict[tuple, dict[int, int]] = {}
+    for r in parts:
+        g = tuple(r[c] for c in group_cols)
+        per_group.setdefault(g, {})[r["__bkt"]] = r["__n"]
+    rows = []
+    for g, buckets in per_group.items():
+        total = sum(buckets.values())
+        off = 0
+        for b in sorted(buckets):
+            rows.append((*g, b, off, total))
+            off += buckets[b]
+    schema = T.StructType(
+        [df.schema[c] for c in group_cols]
+        + [
+            T.StructField("__bkt", T.IntegerType(), False),
+            T.StructField("__off", T.LongType(), False),
+            T.StructField("grp_n", T.LongType(), False),
+        ]
+    )
+    offsets = df.sparkSession.createDataFrame(rows, schema)
+    w = (
+        Window.partitionBy(*group_cols, "__bkt")
+        .orderBy(F.asc(order_col), F.asc(tiebreak_col))
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), [*group_cols, "__bkt"])
+        .withColumn("rk", F.col("__off") + F.count(F.lit(1)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ))
+        .drop("__bkt", "__off")
+    )

@@ -167,19 +167,47 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-status price quartiles via NTILE — the equal-frequency
-    bucketing verb (data binning for drift monitors, spend tiers).
-    Deterministic because the window order carries the o_orderkey
-    tiebreak: NTILE's bucket boundaries depend on row order, so an
-    untied ORDER BY is the difference between a hashable result and a
-    flaky one. One shuffle on the partition key."""
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
-    return o.select(
-        "o_orderkey",
-        "o_custkey",
-        F.ntile(4).over(w).cast("long").alias("price_quartile"),
+    """Per-status price quartiles with NTILE semantics — the
+    equal-frequency bucketing verb (data binning for drift monitors,
+    spend tiers). Deterministic because the rank order carries the
+    o_orderkey tiebreak: NTILE's bucket boundaries depend on row order,
+    so an untied ORDER BY is the difference between a hashable result
+    and a flaky one.
+
+    Shape at 100 TB: NOT ``ntile() OVER (PARTITION BY status)`` — with
+    3 statuses that window sorts a third of the corpus on one task (a
+    whale the SinglePartition plan gate can't see: the exchange looks
+    partitioned). Instead ``operators/prefix.grouped_bucketed_rank``
+    gives the exact (rank, group size) pair per order — quantile
+    buckets × statuses in parallel, 1/64th of a status per task — and
+    NTILE's bucket arithmetic is row-local integer math on (rk, n):
+    with q = n div 4 and r = n mod 4, the first r buckets hold q+1 rows
+    (the SQL-standard split both engines implement)."""
+    from vector_search_playground_spark.operators.prefix import (
+        grouped_bucketed_rank,
     )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    ).cache()
+    try:
+        ranked = grouped_bucketed_rank(
+            o, ["o_orderstatus"], "o_totalprice", tiebreak_col="o_orderkey"
+        )
+        return ranked.select(
+            "o_orderkey",
+            "o_custkey",
+            F.expr(
+                """CASE WHEN rk <= (grp_n % 4) * (grp_n DIV 4 + 1)
+                        THEN (rk - 1) DIV (grp_n DIV 4 + 1) + 1
+                        ELSE grp_n % 4
+                             + (rk - (grp_n % 4) * (grp_n DIV 4 + 1) - 1)
+                               DIV greatest(grp_n DIV 4, 1) + 1
+                   END"""
+            ).cast("long").alias("price_quartile"),
+        )
+    finally:
+        o.unpersist()
 
 
 @query(

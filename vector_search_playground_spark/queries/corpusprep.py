@@ -188,21 +188,31 @@ def shuffle_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reading shards 0..S-1 sequentially, each in pos order, visits the
     corpus in a reproducible pseudorandom permutation — the exact
-    contract a dataloader needs. Crucially there is NO global window:
-    the hash is uniform, so shards are balanced by construction, and
-    the rank windows run per-shard in parallel. One shuffle on shard.
-    """
+    contract a dataloader needs. Crucially there is NO global window —
+    and no per-shard whale either: with S fixed at {s}, a
+    ``row_number() OVER (PARTITION BY shard)`` would sort corpus/{s}
+    docs on one task, so the within-shard position comes from
+    ``operators/prefix.grouped_bucketed_rank`` instead — the uniform
+    60-bit key space is quantile-bucketed and each (shard, bucket)
+    slice ranks in parallel, offsets broadcast back as metadata.
+    """.format(s=SHUFFLE_SHARDS)
+    from vector_search_playground_spark.operators.prefix import (
+        grouped_bucketed_rank,
+    )
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     keyed = docs.select(
         "doc_id",
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
         .cast("long")
         .alias("knum"),
-    ).withColumn("shard", (F.col("knum") % SHUFFLE_SHARDS).cast("int"))
-    w = Window.partitionBy("shard").orderBy("knum", "doc_id")
-    return keyed.select(
-        "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
-    )
+    ).withColumn("shard", (F.col("knum") % SHUFFLE_SHARDS).cast("int")).cache()
+    try:
+        return grouped_bucketed_rank(
+            keyed, ["shard"], "knum", tiebreak_col="doc_id"
+        ).select("doc_id", "shard", F.col("rk").cast("long").alias("pos"))
+    finally:
+        keyed.unpersist()
 
 
 # --- quality_gopher ---------------------------------------------------------

@@ -1049,11 +1049,18 @@ def gini_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-up floored at 6 dp.
 
     Shape at 100 TB: one fact hash-agg to per-customer cents (broadcast
-    dim join), then rank windows PARTITIONED BY SEGMENT — bounded
-    partitions (customers spread over segments), not a global sort; a
-    skewed segment would swap in the bucketed prefix-sum operator the
-    revenue_concentration path uses. Driver sees |segments| rows.
+    dim join), then EXACT per-segment ranks from
+    ``operators/prefix.grouped_bucketed_rank`` — with only |segments|
+    partitions, a plain ``row_number() OVER (PARTITION BY segment)``
+    sorts a fifth of all customers on one task; the grouped bucketed
+    rank runs quantile-bucket × segment slices in parallel and the
+    rank-weighted moment folds in the same hash-agg. Driver sees
+    |segments| rows.
     """
+    from vector_search_playground_spark.operators.prefix import (
+        grouped_bucketed_rank,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     cust_dim = load_table(spark, sf_dir, "customer").select(
         "c_custkey", F.col("c_mktsegment").alias("segment")
@@ -1066,17 +1073,19 @@ def gini_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("cents")
         )
+        .cache()
     )
-    w = Window.partitionBy("segment").orderBy("cents", "o_custkey")
-    agg = (
-        cust.withColumn("rk", F.row_number().over(w))
-        .groupBy("segment")
-        .agg(
+    try:
+        ranked = grouped_bucketed_rank(
+            cust, ["segment"], "cents", tiebreak_col="o_custkey"
+        )
+        agg = ranked.groupBy("segment").agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("cents").alias("s"),
             F.sum(F.col("rk") * F.col("cents")).alias("s1"),
         )
-    )
+    finally:
+        cust.unpersist()
     return agg.select(
         "segment",
         F.col("n").cast("long").alias("n_customers"),
