@@ -5,7 +5,8 @@ argued from plan shape; this suite adds a measured datapoint: a
 deterministic 10× blow-up of the sf0.01 documents/embeddings fixtures
 (each doc replicated with a one-token perturbation — realistic near-dup
 clusters of 10; each vector replicated under fresh ids — 10× bucket
-density) and a one-shot run of the five nominated queries at both
+density; customers/orders replicated under fresh keys for the
+grouped-rank tier) and a one-shot run of the nominated queries at both
 scales, asserting
 
 1. wall time grows ≲ linearly: t(10×)/t(1×) far below the ~100× a
@@ -36,7 +37,23 @@ _TABLES = (
     "documents embeddings"
 ).split()
 
-_QUERIES = ["dedup_ngram", "dedup_near", "semdedup", "ivf_search", "pq_search"]
+_QUERIES = [
+    "dedup_ngram",
+    "dedup_near",
+    "semdedup",
+    "ivf_search",
+    "pq_search",
+    # the grouped-bucketed-rank tier (round-10 re-shapes): ranks under
+    # low-cardinality groups must grow linearly with the corpus and
+    # keep their (group, bucket)-parallel plan at 10x
+    "win_ntile",
+    "gini_index",
+    "shuffle_global",
+    # bucketed_cumsum over the distinct-value relation (round-10
+    # re-shape): |distinct balances| grows 10x with the perturbed
+    # customer replicas
+    "mannwhitney_u",
+]
 
 # single-run wall ratios flap with sandbox noise; a quadratic operator
 # at 10× data shows ~100×, linear shows ~10× — the bound sits between
@@ -83,20 +100,56 @@ def _replicate(con, base: str, out: str, factor: int) -> None:
         ) TO '{out}/embeddings.parquet' (FORMAT parquet)
         """
     )
+    # the relational side for the grouped-rank tier: customers
+    # replicated under fresh keys with cent-stepped balances (so the
+    # DISTINCT-value relation mannwhitney_u ranks grows with the data,
+    # not just the row count), orders replicated under fresh keys
+    # pointing at the replica customers (per-customer revenue stays a
+    # customer-sized relation — |customers| is what grows 10x)
+    con.execute(
+        f"""
+        COPY (
+            SELECT c.* REPLACE (
+                r.k * 10000000 + c.c_custkey AS c_custkey,
+                c.c_acctbal + r.k * 0.01 AS c_acctbal)
+            FROM read_parquet('{base}/customer.parquet') c
+            CROSS JOIN (SELECT unnest(range({factor})) AS k) r
+        ) TO '{out}/customer.parquet' (FORMAT parquet)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+            SELECT o.* REPLACE (
+                r.k * 100000000 + o.o_orderkey AS o_orderkey,
+                r.k * 10000000 + o.o_custkey AS o_custkey)
+            FROM read_parquet('{base}/orders.parquet') o
+            CROSS JOIN (SELECT unnest(range({factor})) AS k) r
+        ) TO '{out}/orders.parquet' (FORMAT parquet)
+        """
+    )
 
 
 def _build_dirs() -> dict[int, str]:
     base = "/root/testdata/sf0.01"
     root = _scratch_root()
     dirs = {f: os.path.join(root, f"x{f}") for f in (1, 10, 100)}
-    if os.path.exists(os.path.join(root, "_READY")):
-        return dirs
+    # marker content versions the fixture: v2 added the customer/orders
+    # replication for the grouped-rank tier — v1 dirs rebuild
+    marker = os.path.join(root, "_READY")
+    try:
+        with open(marker) as fh:
+            if fh.read().strip() == "v2":
+                return dirs
+    except OSError:
+        pass
     shutil.rmtree(root, ignore_errors=True)
     con = duckdb.connect()
     for f, d in dirs.items():
         os.makedirs(d)
         for t in _TABLES:
-            if f == 1 or t not in ("documents", "embeddings"):
+            replicated = ("documents", "embeddings", "customer", "orders")
+            if f == 1 or t not in replicated:
                 shutil.copy(
                     os.path.join(base, f"{t}.parquet"),
                     os.path.join(d, f"{t}.parquet"),
@@ -105,7 +158,7 @@ def _build_dirs() -> dict[int, str]:
             _replicate(con, base, d, f)
     con.close()
     with open(os.path.join(root, "_READY"), "w") as fh:
-        fh.write("ok")
+        fh.write("v2")
     return dirs
 
 
