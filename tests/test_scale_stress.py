@@ -240,9 +240,19 @@ def test_tenfold_scaleup_stays_linear_and_keeps_plan_shape(
 
 # Second decade (round-7 VERDICT #4): one decade separates O(n) from
 # O(n²); two separate O(n) from O(n·log n) drift and surface memory
-# ceilings. The ANN tier only — the queries whose 100-TB story is
-# "pruning keeps the scanned fraction constant".
-_ANN_QUERIES = ["ivf_search", "pq_search", "semdedup"]
+# ceilings. The ANN tier — the queries whose 100-TB story is "pruning
+# keeps the scanned fraction constant" — plus the grouped-bucketed-rank
+# tier (round 10), whose story is "quantile buckets keep per-task slices
+# a constant fraction of a group".
+_ANN_QUERIES = [
+    "ivf_search",
+    "pq_search",
+    "semdedup",
+    "win_ntile",
+    "gini_index",
+    "shuffle_global",
+    "mannwhitney_u",
+]
 
 # t(100x)/t(10x) on another 10x of data: linear ≈ 10, quadratic ≈ 100.
 # Same generous noise margin as _MAX_RATIO (single runs flap 2-3x).
