@@ -36,7 +36,12 @@ PROBE_QUERIES_X100 = ("knn_search", "ids_dense", "semdedup")
 # outright (OutOfMemoryError, not spill), while x10 exercises the same
 # spill paths within the budget.
 PROBE_QUERIES_ANN = ("ivf_search", "pq_search", "dedup_near")
-PROBE_QUERIES = PROBE_QUERIES_X100 + PROBE_QUERIES_ANN
+# r10: the grouped-bucketed-rank representative — oracled, so the probe
+# hash-compares the exact NTILE ranks directly while the per-(status,
+# bucket) window partitions (far beyond the 256-row window spill
+# threshold at x10) go through their disk path.
+PROBE_QUERIES_RANK = ("win_ntile",)
+PROBE_QUERIES = PROBE_QUERIES_X100 + PROBE_QUERIES_ANN + PROBE_QUERIES_RANK
 
 
 def rows_digest(columns, rows) -> tuple[int, str]:

@@ -315,13 +315,17 @@ def test_forced_spill_preserves_oracle_equality(spark, scale_dirs, tmp_path):
     import subprocess
     import sys
 
-    from tests._spill_probe import PROBE_QUERIES_ANN, PROBE_QUERIES_X100
+    from tests._spill_probe import (
+        PROBE_QUERIES_ANN,
+        PROBE_QUERIES_RANK,
+        PROBE_QUERIES_X100,
+    )
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     stats: dict = {}
     for fixture, qids, tmo in (
         (scale_dirs[100], PROBE_QUERIES_X100, 900),
-        (scale_dirs[10], PROBE_QUERIES_ANN, 900),
+        (scale_dirs[10], PROBE_QUERIES_ANN + PROBE_QUERIES_RANK, 900),
     ):
         out = str(tmp_path / f"spill_stats_{os.path.basename(fixture)}.json")
         proc = subprocess.run(
@@ -358,6 +362,12 @@ def test_forced_spill_preserves_oracle_equality(spark, scale_dirs, tmp_path):
     # spill volume
     assert stats["semdedup"]["spill_bytes"] > 0, "bucket join never spilled"
     assert stats["ids_dense"]["spill_bytes"] > 0, "window never spilled"
+    # the grouped-bucketed-rank representative: its per-(status, bucket)
+    # window partitions far exceed the 256-row spill threshold at x10,
+    # and its exact NTILE ranks must hash-match DuckDB while spilling
+    assert stats["win_ntile"]["spill_bytes"] > 0, (
+        "grouped-rank window never spilled"
+    )
     assert stats["dedup_near"]["spill_bytes"] > 0, (
         "MinHash band join never spilled"
     )
