@@ -475,3 +475,36 @@ def test_grouped_bucketed_rank_equals_plain_window(spark):
             r["g"],
             r["tb"],
         )
+
+
+def test_grouped_bucketed_rank_all_ties_degenerate_case(spark):
+    """A group whose order values are ALL equal collapses to one bucket
+    (ties are indivisible under value bucketing — the docstring's stated
+    parallelism bound); ranks must still be the exact tiebreak order."""
+    from pyspark.sql import functions as F
+
+    from vector_search_playground_spark.operators.prefix import (
+        grouped_bucketed_rank,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("tb"),
+        (F.col("id") % 2).cast("int").alias("g"),
+        # group 0: one indivisible tie run; group 1: distinct values
+        F.when(F.col("id") % 2 == 0, F.lit(7.0))
+        .otherwise(F.col("id").cast("double"))
+        .alias("v"),
+    )
+    rows = grouped_bucketed_rank(
+        df, ["g"], "v", tiebreak_col="tb", num_buckets=8
+    ).collect()
+    for g in (0, 1):
+        grp = sorted(
+            ((r["v"], r["tb"]) for r in rows if r["g"] == g)
+        )
+        by_tb = {
+            r["tb"]: (r["rk"], r["grp_n"]) for r in rows if r["g"] == g
+        }
+        assert all(n == len(grp) for _, n in by_tb.values())
+        for want_rk, (_, tb) in enumerate(grp, start=1):
+            assert by_tb[tb][0] == want_rk, (g, tb)

@@ -120,6 +120,15 @@ def grouped_bucketed_rank(
     completes a total order. ``order_col`` must be non-null (the
     boundary probe ignores nulls).
 
+    Parallelism bound, stated honestly: ties are indivisible under
+    value bucketing — a group whose order values are heavily repeated
+    parallelizes only up to its |distinct values| (the all-equal
+    degenerate case collapses that group to one bucket and ranks it
+    sequentially — still CORRECT, just serial, which is what any
+    sort-based split does with an indivisible tie run). The production
+    callers order by near-continuous columns (prices, cents, 60-bit
+    hash keys) where tie runs are tiny.
+
     The input is scanned by all three passes (boundary probe, partials,
     rank window): callers should ``.cache()`` ``df`` around the call.
     """
