@@ -159,8 +159,20 @@ RECERTIFY_IF_AT_OR_BEFORE = {
     # operators/prefix.grouped_bucketed_rank; identical exact ranks,
     # changed executed plans. (win_ntile got the same fix but its
     # newest row is r4 — already first in the oldest-green rotation.)
-    "gini_index": 9,
-    "shuffle_global": 9,
+    # [both driver-cleared in r10; thresholds superseded by the r11
+    # entries below]
+    # round-11: the r10 ADVICE fixes — grouped_bucketed_rank gained the
+    # null-group and max-partials guards (changing the executed path of
+    # all three callers), gini_index now materializes its |segments|-row
+    # moment table while the cache is alive, shuffle_global's docstring
+    # became a real docstring (the .format() call WAS an executed
+    # statement), and mannwhitney_u's materialize/unpersist moved into
+    # try/finally. Exactly the 4 spare slots r11's rotation leaves after
+    # the 46-ID r5 tail.
+    "win_ntile": 10,
+    "gini_index": 10,
+    "shuffle_global": 10,
+    "mannwhitney_u": 10,
 }
 
 

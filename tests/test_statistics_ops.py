@@ -508,3 +508,48 @@ def test_grouped_bucketed_rank_all_ties_degenerate_case(spark):
         assert all(n == len(grp) for _, n in by_tb.values())
         for want_rk, (_, tb) in enumerate(grp, start=1):
             assert by_tb[tb][0] == want_rk, (g, tb)
+
+
+def test_grouped_bucketed_rank_rejects_null_group_key(spark):
+    """NULL group keys must RAISE, not silently drop rows: the offsets
+    rejoin on group equality and NULL never equals NULL (the r10 ADVICE
+    finding — a row_number() window would have ranked the null
+    partition, so losing it quietly breaks the drop-in contract)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vector_search_playground_spark.operators.prefix import (
+        grouped_bucketed_rank,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("tb"),
+        F.when(F.col("id") % 10 == 0, F.lit(None)).otherwise("a").alias("g"),
+        F.col("id").cast("double").alias("v"),
+    )
+    with pytest.raises(ValueError, match="NULL group key"):
+        grouped_bucketed_rank(df, ["g"], "v", tiebreak_col="tb")
+
+
+def test_grouped_bucketed_rank_rejects_high_cardinality_groups(spark):
+    """A caller violating the low-cardinality-group contract must get a
+    diagnostic, not a driver OOM: the (group, bucket) partials collect
+    is bounded by max_partials and exceeding it raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vector_search_playground_spark.operators.prefix import (
+        grouped_bucketed_rank,
+    )
+
+    # 200 distinct groups x up to 4 buckets > max_partials=100
+    df = spark.range(800).select(
+        F.col("id").alias("tb"),
+        (F.col("id") % 200).cast("int").alias("g"),
+        F.col("id").cast("double").alias("v"),
+    )
+    with pytest.raises(ValueError, match="low-cardinality"):
+        grouped_bucketed_rank(
+            df, ["g"], "v", tiebreak_col="tb", num_buckets=4,
+            max_partials=100,
+        ).collect()

@@ -100,6 +100,7 @@ def grouped_bucketed_rank(
     *,
     tiebreak_col: str,
     num_buckets: int = 64,
+    max_partials: int = 65536,
 ) -> DataFrame:
     """df + [``rk`` (1-based exact rank within its group by
     (order_col asc, tiebreak_col asc)), ``grp_n`` (group row count)] —
@@ -118,7 +119,18 @@ def grouped_bucketed_rank(
     values never straddle buckets (bucketing is a pure function of the
     value), so the (order, tiebreak) window order within a bucket
     completes a total order. ``order_col`` must be non-null (the
-    boundary probe ignores nulls).
+    boundary probe ignores nulls), and ``group_cols`` values must be
+    non-null too: the offsets come back through an inner equi-join, and
+    SQL equality never matches NULL = NULL — a null-keyed group would
+    silently drop its rows where the ``row_number()`` window it replaces
+    would rank the null partition. Both contracts are ENFORCED (raise,
+    not silent wrong answers) from the collected partials.
+
+    The |groups|·|buckets| partials are driver-collected and broadcast
+    back — the low-cardinality-group contract in numbers: the collect is
+    bounded by ``max_partials`` (default 65536 ≈ 1k groups at the
+    default 64 buckets) and exceeding it raises instead of quietly
+    OOMing the driver.
 
     Parallelism bound, stated honestly: ties are indivisible under
     value bucketing — a group whose order values are heavily repeated
@@ -151,11 +163,27 @@ def grouped_bucketed_rank(
     parts = (
         bucketed.groupBy(*group_cols, "__bkt")
         .agg(F.count(F.lit(1)).alias("__n"))
+        .limit(max_partials + 1)
         .collect()
     )
+    if len(parts) > max_partials:
+        raise ValueError(
+            f"grouped_bucketed_rank: >{max_partials} (group, bucket) "
+            "partials — the group key is not low-cardinality, so the "
+            "driver-side offset table would not be metadata-sized. "
+            "Use a plain partitioned window (high-cardinality keys "
+            "parallelize on their own) or raise max_partials knowingly."
+        )
     per_group: dict[tuple, dict[int, int]] = {}
     for r in parts:
         g = tuple(r[c] for c in group_cols)
+        if any(v is None for v in g):
+            raise ValueError(
+                "grouped_bucketed_rank: NULL group key — the offsets "
+                "rejoin on group equality and NULL never equals NULL, "
+                "so null-keyed rows would be silently dropped. Filter "
+                "or coalesce the group columns first."
+            )
         per_group.setdefault(g, {})[r["__bkt"]] = r["__n"]
     rows = []
     for g, buckets in per_group.items():

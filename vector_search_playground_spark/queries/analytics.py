@@ -182,7 +182,16 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets × statuses in parallel, 1/64th of a status per task — and
     NTILE's bucket arithmetic is row-local integer math on (rk, n):
     with q = n div 4 and r = n mod 4, the first r buckets hold q+1 rows
-    (the SQL-standard split both engines implement)."""
+    (the SQL-standard split both engines implement).
+
+    Cache scope, stated honestly: the ``.cache()`` serves the two EAGER
+    driver passes inside ``grouped_bucketed_rank`` (boundary probe +
+    partials); the rank window itself is lazy in the returned DataFrame
+    and re-derives from the source after the ``finally`` unpersist.
+    Deliberate: the source here is a parquet scan + 4-column project
+    (one cheap extra scan), and the corpus-sized result cannot be
+    materialized driver-side the way gini_index's |segments| rows can.
+    """
     from vector_search_playground_spark.operators.prefix import (
         grouped_bucketed_rank,
     )

@@ -189,13 +189,19 @@ def shuffle_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reading shards 0..S-1 sequentially, each in pos order, visits the
     corpus in a reproducible pseudorandom permutation — the exact
     contract a dataloader needs. Crucially there is NO global window —
-    and no per-shard whale either: with S fixed at {s}, a
-    ``row_number() OVER (PARTITION BY shard)`` would sort corpus/{s}
+    and no per-shard whale either: with S fixed at 16 (SHUFFLE_SHARDS),
+    a ``row_number() OVER (PARTITION BY shard)`` would sort corpus/16
     docs on one task, so the within-shard position comes from
     ``operators/prefix.grouped_bucketed_rank`` instead — the uniform
     60-bit key space is quantile-bucketed and each (shard, bucket)
     slice ranks in parallel, offsets broadcast back as metadata.
-    """.format(s=SHUFFLE_SHARDS)
+
+    Cache scope, stated honestly: the ``.cache()`` serves the two EAGER
+    driver passes inside ``grouped_bucketed_rank``; the rank window is
+    lazy in the returned DataFrame and re-derives the (scan + md5-key)
+    projection after the ``finally`` unpersist — one cheap extra scan,
+    chosen over leaking a corpus-sized cache past the return.
+    """
     from vector_search_playground_spark.operators.prefix import (
         grouped_bucketed_rank,
     )

@@ -1480,9 +1480,12 @@ def mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # both bucketed_cumsum passes consumed the cache; materialize the
     # single result row so the cache can be released before returning
-    # (the weighted_median discipline)
-    row = out.first()
-    s.unpersist()
+    # (the weighted_median discipline). try/finally so a failing action
+    # can't leak the cached distinct-value relation for the session.
+    try:
+        row = out.first()
+    finally:
+        s.unpersist()
     return spark.createDataFrame([row], out.schema)
 
 

@@ -1075,6 +1075,11 @@ def gini_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
+    # Materialize the |segments|-row moment table WHILE the cache is
+    # alive (the mannwhitney_u discipline): the rank window is the
+    # third pass over `cust`, and unpersisting before it runs would
+    # recompute the whole fact join + hash-agg instead of reading the
+    # cache. try/finally so a failing action can't leak the cache.
     try:
         ranked = grouped_bucketed_rank(
             cust, ["segment"], "cents", tiebreak_col="o_custkey"
@@ -1084,9 +1089,10 @@ def gini_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("s"),
             F.sum(F.col("rk") * F.col("cents")).alias("s1"),
         )
+        rows = agg.collect()
     finally:
         cust.unpersist()
-    return agg.select(
+    return spark.createDataFrame(rows, agg.schema).select(
         "segment",
         F.col("n").cast("long").alias("n_customers"),
         F.col("s").cast("long").alias("total_cents"),
