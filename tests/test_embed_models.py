@@ -178,3 +178,65 @@ def test_embed_minilm_query_certificates(spark, sf_smoke):
         assert r["self_cos"] == 1.0, (
             f"doc {r['doc_id']}: partitioning changed the embedding"
         )
+
+
+def test_minilm_parity_tool_injection_is_exact():
+    """tools/minilm_parity.py's tier-1 machinery, proven in-sandbox: the
+    post-embedding-state injection (tok_emb rows := states, pos_emb :=
+    0, ids := [0..t-1]) must drive the PRODUCTION ``_forward`` to a
+    bit-identical output — that reconstruction exactness is what makes
+    the real-environment certificate a statement about the production
+    code object rather than a reimplementation."""
+    import numpy as np
+
+    from tools.minilm_parity import run_layerstack
+    from vector_search_playground_spark.functions import minilm
+
+    enc = minilm.MiniEncoder()
+    for text in ("alpha beta gamma", "one", "x " * 50):
+        ids = np.array(minilm.tokenize(text), dtype=np.int64)
+        t = len(ids)
+        mask = np.ones(t, dtype=bool)
+        want = enc._forward(ids[None, :], mask[None, :])[0]
+        states = enc.tok_emb[ids] + enc.pos_emb[:t]
+        got = run_layerstack(states, mask, enc.layers, minilm.HEADS)
+        assert np.array_equal(got, want)
+    # the patch of module config globals must be restored
+    assert minilm.DIM == 32 and minilm.HEADS == 2
+
+
+def test_minilm_golden_vectors_if_present():
+    """Skip-unless-golden consumer of tools/minilm_parity.py --real:
+    when a full environment has produced tests/golden/minilm_golden.json
+    against the actual AllMiniLM-L6-v2 checkpoint, re-assert the
+    certificate from the stored vectors — per-sentence cosine between
+    the production-forward layer-stack output and the real model's
+    sentence embedding >= the recorded bar, unit norms, width 384."""
+    import json
+    import os
+
+    import numpy as np
+    import pytest
+
+    from tools.minilm_parity import GOLDEN_PATH
+
+    if not os.path.exists(GOLDEN_PATH):
+        pytest.skip(
+            "no golden file: run tools/minilm_parity.py --real in an "
+            "environment with transformers+torch"
+        )
+    with open(GOLDEN_PATH) as f:
+        g = json.load(f)
+    assert g["pass"] is True
+    bar = g["cos_bar"]
+    real = np.array(g["real"], dtype=np.float64)
+    ours = np.array(g["numpy_layerstack"], dtype=np.float64)
+    assert real.shape == ours.shape == (len(g["sentences"]), g["dim"])
+    norms = np.linalg.norm(real, axis=1)
+    assert np.abs(norms - 1.0).max() < 1e-3
+    cos = (real * ours).sum(1) / (
+        np.linalg.norm(real, axis=1) * np.linalg.norm(ours, axis=1)
+    )
+    assert cos.min() >= bar, f"stored vectors violate the bar: {cos.min()}"
+    # the recorded per-sentence cosines must match what the vectors say
+    assert np.abs(cos - np.array(g["cos_layerstack"])).max() < 1e-4
