@@ -309,30 +309,40 @@ def test_forced_spill_preserves_oracle_equality(spark, scale_dirs, tmp_path):
     (OutOfMemoryError, a can't-fit, not a spill scenario). Those three
     are rows-only, so the certificate is (a) in-row quality under
     pressure and (b) a content digest that must EQUAL this
-    comfortable-memory session's run of the same query."""
+    comfortable-memory session's run of the same query.
+
+    r11 (verdict #4) adds the remaining wall-time heads:
+    join_fuzzy_blocked (PassJoin candidate-verify through SMJ buffers,
+    hash-oracled, probed at x1 — x10's candidate working set is a
+    can't-fit for the 1500m heap) and als_recommend (MLlib ALS in-block
+    buffers at x10; layout-sensitive, so its digest control arm is a
+    second probe JVM with identical cores/partitions and comfortable
+    memory — isolating the memory variable)."""
     import json
     import os
     import subprocess
     import sys
 
     from tests._spill_probe import (
+        PROBE_QUERIES_ALS,
         PROBE_QUERIES_ANN,
+        PROBE_QUERIES_FUZZY,
         PROBE_QUERIES_RANK,
         PROBE_QUERIES_X100,
     )
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    stats: dict = {}
-    for fixture, qids, tmo in (
-        (scale_dirs[100], PROBE_QUERIES_X100, 900),
-        (scale_dirs[10], PROBE_QUERIES_ANN + PROBE_QUERIES_RANK, 900),
-    ):
-        out = str(tmp_path / f"spill_stats_{os.path.basename(fixture)}.json")
+
+    def run_probe(fixture, qids, tmo, out_name, comfortable=False):
+        out = str(tmp_path / out_name)
+        env = {**os.environ, "PYTHONPATH": here}
+        if comfortable:
+            env["SPILL_PROBE_COMFORTABLE"] = "1"
         proc = subprocess.run(
             [sys.executable, os.path.join(here, "tests", "_spill_probe.py"),
              fixture, out, *qids],
             cwd=here,
-            env={**os.environ, "PYTHONPATH": here},
+            env=env,
             capture_output=True,
             text=True,
             timeout=tmo,
@@ -342,7 +352,19 @@ def test_forced_spill_preserves_oracle_equality(spark, scale_dirs, tmp_path):
             f"stdout: {proc.stdout[-2000:]}\nstderr: {proc.stderr[-2000:]}"
         )
         with open(out) as fh:
-            stats.update(json.load(fh))
+            return json.load(fh)
+
+    stats: dict = {}
+    for fixture, qids, tmo in (
+        (scale_dirs[100], PROBE_QUERIES_X100, 900),
+        (scale_dirs[10],
+         PROBE_QUERIES_ANN + PROBE_QUERIES_RANK + PROBE_QUERIES_ALS, 900),
+        (scale_dirs[1], PROBE_QUERIES_FUZZY, 900),
+    ):
+        stats.update(run_probe(
+            fixture, qids, tmo,
+            f"spill_stats_{os.path.basename(fixture)}.json",
+        ))
     from tests._spill_probe import PROBE_QUERIES
 
     assert set(stats) == set(PROBE_QUERIES)
@@ -371,6 +393,11 @@ def test_forced_spill_preserves_oracle_equality(spark, scale_dirs, tmp_path):
     assert stats["dedup_near"]["spill_bytes"] > 0, (
         "MinHash band join never spilled"
     )
+    # the PassJoin fuzzy join: its candidate-verify SMJ buffers must hit
+    # the disk path while the result still hash-matches DuckDB exactly
+    assert stats["join_fuzzy_blocked"]["spill_bytes"] > 0, (
+        "PassJoin candidate-verify join never spilled"
+    )
     # rows-only probes: the result under pressure must EQUAL the result
     # this comfortable-memory session computes for the same query — the
     # rows-only analogue of the oracle hash (both JVMs share the
@@ -381,9 +408,26 @@ def test_forced_spill_preserves_oracle_equality(spark, scale_dirs, tmp_path):
     from vector_search_playground_spark import registry
 
     for qid in ROWS_ONLY_CHECKS:
+        if qid == "als_recommend":
+            continue  # layout-sensitive: compared probe-vs-probe below
         df = registry.QUERIES[qid](spark, scale_dirs[10])
         n, dig = rows_digest(df.columns, df.collect())
         assert (stats[qid]["n_rows"], stats[qid]["rows_digest"]) == (n, dig), (
             f"{qid}: result under forced spill diverged from the "
             f"comfortable-memory result ({stats[qid]['n_rows']} rows vs {n})"
         )
+    # als_recommend: MLlib ALS results depend on the core/partition
+    # layout (seeded per-block init), so the across-memory-budgets
+    # control arm is a SECOND probe JVM with the identical layout and
+    # the comfortable memory confs — only the budget differs, and the
+    # recommendation slate + scorecard must be byte-identical
+    comfy = run_probe(
+        scale_dirs[10], PROBE_QUERIES_ALS, 900,
+        "spill_stats_als_comfortable.json", comfortable=True,
+    )
+    a, b = stats["als_recommend"], comfy["als_recommend"]
+    assert (a["n_rows"], a["rows_digest"]) == (b["n_rows"], b["rows_digest"]), (
+        f"als_recommend: result under forced spill diverged from the "
+        f"same-layout comfortable-memory result "
+        f"({a['n_rows']} rows vs {b['n_rows']})"
+    )
