@@ -151,7 +151,8 @@ RECERTIFY_IF_AT_OR_BEFORE = {
     # SinglePartition plan audit found) onto the shared
     # operators/prefix.bucketed_cumsum; identical exact-int64 values,
     # but the executed plan changed, so the r6 green re-earns itself
-    "mannwhitney_u": 9,
+    # [driver-cleared in r10; threshold superseded by the r11 entry
+    # below]
     # round-10 (late): the low-cardinality window-key audit (the whale
     # the SinglePartition plan gate can't see — the exchange looks
     # partitioned) moved gini_index's per-segment ranks and
