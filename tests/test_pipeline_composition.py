@@ -197,3 +197,53 @@ def test_pipeline_composed_search_plan_prunes_partitions(
     plan = found._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pipeline_composed_second_decade(spark, tmp_path_factory):
+    """The composed chain at x10 AND x100 (r11 extension): the
+    certificate above proves composed == stepwise; this proves the
+    composed DAG's scale posture — wall grows sublinearly vs the decade
+    bound, the pre-index plan is exchange-stable across the decade, and
+    search quality holds at 10x the corpus. The x100 fixture is 100
+    replicas per document, so the dedup tier collapses ~100x and the
+    index corpus stays representative-sized — the pipeline's own
+    defense against replicated data is part of what scales."""
+    import time
+
+    from tests.test_scale_stress import _MAX_RATIO_DECADE2
+
+    tmp = tmp_path_factory.mktemp("pipeline_composition_decade")
+    dirs = _build_dirs()
+
+    def run(sf_dir, name):
+        t0 = time.perf_counter()
+        chunks = _chunks(spark, sf_dir)
+        corpus = _rep_corpus(_embedded(chunks), chunks)
+        plan = corpus._jdf.queryExecution().executedPlan().toString()
+        found, qvec = _search(spark, corpus, str(tmp / name))
+        rows = found.collect()
+        wall = time.perf_counter() - t0
+        exact = {
+            r["vec_id"]
+            for r in knn(
+                corpus, qvec, threshold=None, k=TOP_K, tiebreak="vec_id"
+            ).collect()
+        }
+        got = {r["vec_id"] for r in rows}
+        return wall, plan, len(exact & got) / float(TOP_K)
+
+    run(dirs[10], "warm")  # warm code paths / shuffles
+    t10, plan10, rec10 = run(dirs[10], "ivf_x10")
+    t100, plan100, rec100 = run(dirs[100], "ivf_x100")
+    ratio = t100 / max(t10, 1e-6)
+    print(f"# pipeline_decade: x10={t10:.2f}s x100={t100:.2f}s "
+          f"ratio={ratio:.1f} recall {rec10}->{rec100}")
+    assert ratio < _MAX_RATIO_DECADE2, (
+        f"composed pipeline cost {ratio:.1f}x wall on 10x data"
+    )
+    assert plan100.count("Exchange") <= plan10.count("Exchange"), (
+        "composed pipeline grew a new shuffle at 100x"
+    )
+    assert rec100 >= RECALL_BAR, (
+        f"composed-pipeline recall at x100 fell to {rec100}"
+    )
