@@ -103,12 +103,6 @@ RECERTIFY_IF_AT_OR_BEFORE = {
     # full value oracle — MMR re-based on the certified int8-quantized
     # similarity space, greedy unrolled as MATERIALIZED CTEs
     "topk_diverse": 6,
-    # round-8: the media rotation gained JPEG 4:2:0 chroma subsampling
-    # (images alternate 4:4:4/4:2:0), the Motion-JPEG MP4 track (videos
-    # rotate y4m / v308 / mjpeg), and stereo+LPC FLAC (audio alternates
-    # mono/stereo) after the r7 row — the executed path materially
-    # changed again, so the execution proof re-runs
-    "multimodal_features": 7,
     # round-8: lttb_downsample graduated from rows-only (its r5 row) to a
     # full value oracle — exact-integer quantized LTTB (seconds/cents),
     # greedy unrolled as 18 MATERIALIZED CTEs (the topk_diverse
@@ -126,7 +120,10 @@ RECERTIFY_IF_AT_OR_BEFORE = {
     # bounds checks, NaN-vs-NULL double transport, schema-declared
     # union branch order); multimodal_features' FLAC encoder now prices
     # subframes with the exact per-partition Rice cost, changing the
-    # emitted bitstream the decode path re-reads
+    # emitted bitstream the decode path re-reads (this supersedes the
+    # round-8 media-rotation entry for multimodal_features — JPEG 4:2:0,
+    # the Motion-JPEG MP4 track, stereo+LPC FLAC — whose threshold-7
+    # entry was shadowed by this one anyway; r8's driver row cleared it)
     "embed_minilm": 8,
     "index_build_lsh": 8,
     "scan_avro": 8,
@@ -170,10 +167,18 @@ RECERTIFY_IF_AT_OR_BEFORE = {
     # statement), and mannwhitney_u's materialize/unpersist moved into
     # try/finally. Exactly the 4 spare slots r11's rotation leaves after
     # the 46-ID r5 tail.
-    "win_ntile": 10,
-    "gini_index": 10,
-    "shuffle_global": 10,
     "mannwhitney_u": 10,
+    # round-12: the r11 ADVICE fix — grouped_bucketed_rank's partials
+    # hash-agg now carries a per-(group, bucket) null-order count and
+    # RAISES on null order values (previously documented as enforced
+    # but not checked), changing the executed partials plan of all
+    # three callers; their r11 rows (threshold-10 entries above,
+    # driver-cleared in r11) re-earn once more. bucketed_cumsum is
+    # untouched (its docstring never claimed enforcement), so
+    # mannwhitney_u does not re-earn.
+    "win_ntile": 11,
+    "gini_index": 11,
+    "shuffle_global": 11,
 }
 
 

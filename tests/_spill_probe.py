@@ -175,6 +175,17 @@ SPILL_CONF = {
     "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
 }
 
+# The comfortable control arm relaxes ONLY the memory budget; the
+# plan-shape confs (broadcast-disable, force-spill thresholds) stay on
+# in BOTH arms so the two sessions pick identical join strategies and
+# upstream layouts — otherwise the ALS digest comparison would confound
+# memory pressure with a broadcast-vs-SMJ layout difference on the
+# train relation (r11 ADVICE).
+_MEMORY_BUDGET_CONFS = ("spark.driver.memory", "spark.memory.fraction")
+COMFORTABLE_CONF = {
+    k: v for k, v in SPILL_CONF.items() if k not in _MEMORY_BUDGET_CONFS
+}
+
 
 def _stages(spark) -> list[dict]:
     base = spark.sparkContext.uiWebUrl
@@ -216,17 +227,19 @@ def main() -> None:
     from tests.oracle_harness import compare, duck_connect
 
     # SPILL_PROBE_COMFORTABLE=1 runs the SAME queries in the SAME
-    # core/partition layout but with the factory's comfortable memory
-    # confs — the control arm of the across-memory-budgets comparison
-    # (needed where the result depends on layout, e.g. MLlib ALS's
-    # seeded per-block init: comparing against a different-layout
-    # session would confound layout with memory pressure).
+    # core/partition layout AND the same plan-shape confs (broadcast
+    # disabled, force-spill thresholds) but with the factory's
+    # comfortable memory budget — the control arm of the
+    # across-memory-budgets comparison (needed where the result depends
+    # on layout, e.g. MLlib ALS's seeded per-block init: a control with
+    # broadcast re-enabled would take a different join strategy on the
+    # train relation, confounding layout with memory pressure).
     comfortable = bool(os.environ.get("SPILL_PROBE_COMFORTABLE"))
     spark = get_spark(
         app_name="spill-probe",
         master="local[8]",
         shuffle_partitions=8,
-        extra_conf={} if comfortable else SPILL_CONF,
+        extra_conf=COMFORTABLE_CONF if comfortable else SPILL_CONF,
     )
     spark.sparkContext.setLogLevel("ERROR")
     registry.load_all()

@@ -473,9 +473,14 @@ _STREAM_CKPT = {
 def _ckpt_stats(name: str) -> dict:
     """(micro-batches, state-store bytes) from the drained checkpoint —
     the durable artifacts a streaming run leaves behind (offsets = one
-    file per micro-batch; state/ = the keyed state store files)."""
-    root = "/root/repo/.scratch/streaming"
-    ck = os.path.join(root, name)
+    file per micro-batch; state/ = the keyed state store files).
+
+    The checkpoint root is imported from the production module (not
+    hardcoded) so the test cannot silently report n_batches=0 if the
+    drain helper's location ever moves (r11 ADVICE)."""
+    from vector_search_playground_spark.streaming.jobs import SCRATCH
+
+    ck = os.path.join(SCRATCH, name)
     offsets = os.path.join(ck, "offsets")
     n_batches = (
         len([f for f in os.listdir(offsets) if not f.startswith(".")])

@@ -531,6 +531,30 @@ def test_grouped_bucketed_rank_rejects_null_group_key(spark):
         grouped_bucketed_rank(df, ["g"], "v", tiebreak_col="tb")
 
 
+def test_grouped_bucketed_rank_rejects_null_order_values(spark):
+    """NULL order values must RAISE, not silently land in bucket 0 (the
+    when/otherwise fallthrough happens to mimic asc-nulls-first, but
+    that was never a stated contract — r11 ADVICE: the docstring said
+    ENFORCED while nothing checked). The null count rides the same
+    partials hash-agg, so enforcement costs no extra pass."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vector_search_playground_spark.operators.prefix import (
+        grouped_bucketed_rank,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("tb"),
+        F.lit("a").alias("g"),
+        F.when(F.col("id") % 10 == 0, F.lit(None))
+        .otherwise(F.col("id").cast("double"))
+        .alias("v"),
+    )
+    with pytest.raises(ValueError, match="NULL order-column"):
+        grouped_bucketed_rank(df, ["g"], "v", tiebreak_col="tb")
+
+
 def test_grouped_bucketed_rank_rejects_high_cardinality_groups(spark):
     """A caller violating the low-cardinality-group contract must get a
     diagnostic, not a driver OOM: the (group, bucket) partials collect

@@ -119,12 +119,16 @@ def grouped_bucketed_rank(
     values never straddle buckets (bucketing is a pure function of the
     value), so the (order, tiebreak) window order within a bucket
     completes a total order. ``order_col`` must be non-null (the
-    boundary probe ignores nulls), and ``group_cols`` values must be
+    boundary probe ignores nulls, and a null value would land in bucket
+    0 by the when/otherwise fallthrough — mimicking asc-nulls-first by
+    accident, not by contract), and ``group_cols`` values must be
     non-null too: the offsets come back through an inner equi-join, and
     SQL equality never matches NULL = NULL — a null-keyed group would
     silently drop its rows where the ``row_number()`` window it replaces
     would rank the null partition. Both contracts are ENFORCED (raise,
-    not silent wrong answers) from the collected partials.
+    not silent wrong answers) from the collected partials: the partials
+    hash-agg carries a per-(group, bucket) null-order count alongside
+    the row count, so the check costs no extra pass.
 
     The |groups|·|buckets| partials are driver-collected and broadcast
     back — the low-cardinality-group contract in numbers: the collect is
@@ -162,7 +166,10 @@ def grouped_bucketed_rank(
     bucketed = df.withColumn("__bkt", bucket_of(F.col(order_col)))
     parts = (
         bucketed.groupBy(*group_cols, "__bkt")
-        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count(F.when(F.col(order_col).isNull(), 1)).alias("__nulls"),
+        )
         .limit(max_partials + 1)
         .collect()
     )
@@ -173,6 +180,14 @@ def grouped_bucketed_rank(
             "driver-side offset table would not be metadata-sized. "
             "Use a plain partitioned window (high-cardinality keys "
             "parallelize on their own) or raise max_partials knowingly."
+        )
+    if any(r["__nulls"] for r in parts):
+        raise ValueError(
+            "grouped_bucketed_rank: NULL order-column value — the "
+            "quantile boundary probe ignores nulls, so a null would "
+            "land in bucket 0 by when/otherwise fallthrough rather "
+            "than by a stated ordering contract. Filter or coalesce "
+            f"{order_col!r} first."
         )
     per_group: dict[tuple, dict[int, int]] = {}
     for r in parts:
