@@ -128,6 +128,23 @@ def _replicate(con, base: str, out: str, factor: int) -> None:
         ) TO '{out}/orders.parquet' (FORMAT parquet)
         """
     )
+    # the relational/join tier (v4, r11 verdict #2): lineitem replicated
+    # under fresh orderkeys ALIGNED with the orders replicas (same
+    # k*100000000 offset), so every replica order keeps its lineitems
+    # and the fact⋈fact joins (tpch q8/q17/q18, join_skew_salted) grow
+    # 10x in real join work. part/supplier/nation/region stay fixed —
+    # dims grow slower than facts on a real warehouse, and a fixed dim
+    # side is exactly what keeps the broadcast story honest at scale
+    con.execute(
+        f"""
+        COPY (
+            SELECT l.* REPLACE (
+                r.k * 100000000 + l.l_orderkey AS l_orderkey)
+            FROM read_parquet('{base}/lineitem.parquet') l
+            CROSS JOIN (SELECT unnest(range({factor})) AS k) r
+        ) TO '{out}/lineitem.parquet' (FORMAT parquet)
+        """
+    )
     # the streaming tier (v3): events replicated under fresh user keys
     # (matching the customer replicas, so stream-static enrichment stays
     # coherent) and fresh event ids; timestamps unchanged, so watermark
@@ -153,11 +170,12 @@ def _build_dirs() -> dict[int, str]:
     dirs = {f: os.path.join(root, f"x{f}") for f in (1, 10, 100)}
     # marker content versions the fixture: v2 added the customer/orders
     # replication for the grouped-rank tier, v3 the events replication
-    # for the streaming tier — older dirs rebuild
+    # for the streaming tier, v4 the lineitem replication for the
+    # relational/join tier — older dirs rebuild
     marker = os.path.join(root, "_READY")
     try:
         with open(marker) as fh:
-            if fh.read().strip() == "v3":
+            if fh.read().strip() == "v4":
                 return dirs
     except OSError:
         pass
@@ -167,7 +185,8 @@ def _build_dirs() -> dict[int, str]:
         os.makedirs(d)
         for t in _TABLES:
             replicated = (
-                "documents", "embeddings", "customer", "orders", "events"
+                "documents", "embeddings", "customer", "orders", "events",
+                "lineitem",
             )
             if f == 1 or t not in replicated:
                 shutil.copy(
@@ -178,7 +197,7 @@ def _build_dirs() -> dict[int, str]:
             _replicate(con, base, d, f)
     con.close()
     with open(os.path.join(root, "_READY"), "w") as fh:
-        fh.write("v3")
+        fh.write("v4")
     return dirs
 
 
@@ -309,6 +328,111 @@ def test_hundredfold_ann_scaleup_second_decade(spark, scale_dirs, qid):
     assert mem["spill_bytes"] == 0, (
         f"{qid}: spilled {mem['spill_bytes']} bytes at 100x fixture scale"
     )
+
+
+# r11 verdict #2: the relational/join tier. dedup/ANN/grouped-rank/
+# streaming/composed all carry measured decades; the TPC-H-shape heads
+# were argued from plan shape alone. They are vanilla Catalyst plans,
+# but "the plan you'd want at 100x" is an empirical claim everywhere
+# else in this repo, so it is one here too. The v4 fixture replicates
+# lineitem under orderkeys aligned with the orders replicas (facts grow
+# 10x/100x, dims stay fixed — the real warehouse shape), and all six
+# heads are hash-oracled, so each decade ALSO runs the driver's own
+# rows+schema+value-hash check against DuckDB on the scaled data —
+# correctness at x10/x100, not just wall clock.
+#
+# Plan guard, stated honestly: unlike the bucketed tiers we do NOT
+# freeze Exchange counts — a broadcast→SMJ flip when a side outgrows
+# the threshold is Catalyst doing its job, and pinning the x1 strategy
+# would assert the WRONG plan at scale. What must never appear with
+# growth: a CartesianProduct, or a new Exchange SinglePartition
+# (a whale hiding behind data growth).
+_RELATIONAL_X10 = [
+    "sql_tpch_q17",      # lineitem self-shape: per-part avg scalar join
+    "sql_tpch_q18",      # big-quantity orders: lineitem agg → orders → cust
+    "sql_tpch_q8",       # 8-table star join + market-share window
+    "join_skew_salted",  # salted fact⋈dim, broadcast dim fixed-size
+    "topk_per_group",    # windowed top-k, high-cardinality partitions
+    # PassJoin blocked fuzzy join: x10 is its decade here (x100's
+    # candidate working set is a can't-fit, the spill probe's own
+    # adjudication); this extends its spill certificate with a measured
+    # growth ratio + scaled-data hash check
+    "join_fuzzy_blocked",
+]
+_RELATIONAL_DECADE2 = [
+    q for q in _RELATIONAL_X10 if q != "join_fuzzy_blocked"
+]
+
+
+def _plan_whale_guard(qid: str, plan_small: str, plan_big: str) -> None:
+    assert "CartesianProduct" not in plan_big, (
+        f"{qid}: scale-up introduced a CartesianProduct"
+    )
+    small = plan_small.count("Exchange SinglePartition")
+    big = plan_big.count("Exchange SinglePartition")
+    assert big <= small, (
+        f"{qid}: scale-up introduced a new Exchange SinglePartition "
+        f"({small} -> {big})"
+    )
+
+
+@pytest.mark.parametrize("qid", _RELATIONAL_X10)
+def test_relational_tier_first_decade(spark, scale_dirs, qid):
+    from tests.oracle_harness import compare, duck_connect
+
+    x1, x10 = scale_dirs[1], scale_dirs[10]
+    _timed_run(spark, qid, x1)  # warm code paths
+    t1, plan1 = _timed_run(spark, qid, x1)
+    t10, plan10 = _timed_run(spark, qid, x10)
+    ratio = t10 / max(t1, 1e-6)
+    print(
+        f"# scale_stress_relational {qid}: x1={t1:.2f}s x10={t10:.2f}s "
+        f"ratio={ratio:.1f} exchanges={plan1.count('Exchange')}"
+        f"->{plan10.count('Exchange')}"
+    )
+    assert ratio < _MAX_RATIO, (
+        f"{qid}: 10x facts cost {ratio:.1f}x wall time — superlinear"
+    )
+    _plan_whale_guard(qid, plan1, plan10)
+    con = duck_connect(x10)
+    try:
+        compare(
+            registry.QUERIES[qid](spark, x10),
+            con, registry.ORACLES[qid], qid,
+        )
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("qid", _RELATIONAL_DECADE2)
+def test_relational_tier_second_decade(spark, scale_dirs, qid):
+    from tests.oracle_harness import compare, duck_connect
+
+    x10, x100 = scale_dirs[10], scale_dirs[100]
+    _timed_run(spark, qid, x10)  # warm
+    t10, plan10 = _timed_run(spark, qid, x10)
+    mark = _stage_watermark(spark)
+    t100, plan100 = _timed_run(spark, qid, x100)
+    mem = _stage_stats(spark, mark)
+    ratio = t100 / max(t10, 1e-6)
+    print(
+        f"# scale_stress_relational_decade2 {qid}: x10={t10:.2f}s "
+        f"x100={t100:.2f}s ratio={ratio:.1f} "
+        f"exchanges={plan10.count('Exchange')}->{plan100.count('Exchange')} "
+        f"spill={mem['spill_bytes']} peak_exec_mem={mem['peak_exec_mem']}"
+    )
+    assert ratio < _MAX_RATIO_DECADE2, (
+        f"{qid}: second decade cost {ratio:.1f}x wall — superlinear drift"
+    )
+    _plan_whale_guard(qid, plan10, plan100)
+    con = duck_connect(x100)
+    try:
+        compare(
+            registry.QUERIES[qid](spark, x100),
+            con, registry.ORACLES[qid], qid,
+        )
+    finally:
+        con.close()
 
 
 def test_forced_spill_preserves_oracle_equality(spark, scale_dirs, tmp_path):
