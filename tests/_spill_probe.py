@@ -49,12 +49,17 @@ PROBE_QUERIES_RANK = ("win_ntile",)
 # 1500m heap OUTRIGHT — OutOfMemoryError, a can't-fit, not a spill
 # scenario — the same reason the ANN tier probes at x10 not x100).
 # als_recommend is rows-only — the MLlib ALS factorization's in-block
-# buffers run under the forced thresholds at x10 and the certificate is
+# buffers run under the forced thresholds and the certificate is
 # the in-row scorecard + a content digest the parent test recomputes
 # from a comfortable-memory probe JVM with the SAME core/partition
 # layout (ALS results depend on layout via the seeded per-block init,
 # so only the memory budget may differ between the runs compared —
-# that isolation is the point of SPILL_PROBE_COMFORTABLE).
+# that isolation is the point of SPILL_PROBE_COMFORTABLE). Probed at
+# x1 since scale fixture v4: lineitem now truly replicates, so the x10
+# lineitem⋈orders training relation exceeds the 1500m heap OUTRIGHT
+# (OutOfMemoryError — a can't-fit, not a spill scenario); r11's
+# nominal-x10 probe trained on this same x1-sized relation anyway
+# (lineitem was unreplicated then).
 PROBE_QUERIES_ALS = ("als_recommend",)
 PROBE_QUERIES_FUZZY = ("join_fuzzy_blocked",)
 PROBE_QUERIES_HEAVY = PROBE_QUERIES_ALS + PROBE_QUERIES_FUZZY

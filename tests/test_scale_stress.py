@@ -459,9 +459,15 @@ def test_forced_spill_preserves_oracle_equality(spark, scale_dirs, tmp_path):
     join_fuzzy_blocked (PassJoin candidate-verify through SMJ buffers,
     hash-oracled, probed at x1 — x10's candidate working set is a
     can't-fit for the 1500m heap) and als_recommend (MLlib ALS in-block
-    buffers at x10; layout-sensitive, so its digest control arm is a
-    second probe JVM with identical cores/partitions and comfortable
-    memory — isolating the memory variable)."""
+    buffers; layout-sensitive, so its digest control arm is a second
+    probe JVM with identical cores/partitions and comfortable memory —
+    isolating the memory variable). ALS probes at x1 since fixture v4:
+    lineitem now truly replicates, so its x10 lineitem⋈orders training
+    relation (600k pairs) exceeds the 1500m heap OUTRIGHT — a can't-fit
+    like join_fuzzy_blocked's x10. r11's nominal "x10" ALS probe
+    trained on this same x1-sized relation anyway (lineitem was
+    unreplicated then, so only the k=0 orders replica matched), so x1
+    reproduces the r11-certified spill scenario exactly (1.29 GB)."""
     import json
     import os
     import subprocess
@@ -501,9 +507,8 @@ def test_forced_spill_preserves_oracle_equality(spark, scale_dirs, tmp_path):
     stats: dict = {}
     for fixture, qids, tmo in (
         (scale_dirs[100], PROBE_QUERIES_X100, 900),
-        (scale_dirs[10],
-         PROBE_QUERIES_ANN + PROBE_QUERIES_RANK + PROBE_QUERIES_ALS, 900),
-        (scale_dirs[1], PROBE_QUERIES_FUZZY, 900),
+        (scale_dirs[10], PROBE_QUERIES_ANN + PROBE_QUERIES_RANK, 900),
+        (scale_dirs[1], PROBE_QUERIES_FUZZY + PROBE_QUERIES_ALS, 900),
     ):
         stats.update(run_probe(
             fixture, qids, tmo,
@@ -566,7 +571,7 @@ def test_forced_spill_preserves_oracle_equality(spark, scale_dirs, tmp_path):
     # the comfortable memory confs — only the budget differs, and the
     # recommendation slate + scorecard must be byte-identical
     comfy = run_probe(
-        scale_dirs[10], PROBE_QUERIES_ALS, 900,
+        scale_dirs[1], PROBE_QUERIES_ALS, 900,
         "spill_stats_als_comfortable.json", comfortable=True,
     )
     a, b = stats["als_recommend"], comfy["als_recommend"]
