@@ -179,3 +179,28 @@ def test_partition_sensitive_oracled_queries_have_layout_certificate(plans):
         f"rows-only partition-sensitive queries neither layout-certified "
         f"nor declared layout-dependent by contract: {missing_rows_only}"
     )
+
+
+def test_partition_sensitive_queries_have_retry_certificate(plans):
+    """Closure over the task-retry determinism certificate (r11 verdict
+    #3): every query whose plan is partition-sensitive must be in
+    tests/test_task_retry_determinism.py's RETRY_ROSTER, where a probe
+    JVM replays every task's failed first attempt and compares digests.
+    Unlike the layout certificate, ids_fast is NOT exempt — its mono
+    ids are layout-dependent by contract but must still be replay-
+    stable within one fixed layout. The seeded index builds are in the
+    roster by the verdict's name even though their Python runs in
+    build jobs the returned plan doesn't show."""
+    from tests.test_partition_independence import MARKERS
+    from tests.test_task_retry_determinism import RETRY_ROSTER
+
+    sensitive = {
+        qid
+        for qid in PLAN_CHECKED
+        if any(m in plans[qid] for m in MARKERS)
+    }
+    missing = sorted(sensitive - set(RETRY_ROSTER))
+    assert not missing, (
+        f"partition-sensitive queries without a task-retry determinism "
+        f"certificate: {missing}"
+    )
