@@ -26,6 +26,8 @@ TOKENIZE_QUERIES = [
     "quality_gopher",
     "dsir_weights",
     "ngram_topk",
+    # r13: the paragraph splitter shares the explode_outer null guard
+    "dedup_paragraph",
 ]
 
 

@@ -476,3 +476,144 @@ def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree")
     )
+
+
+# --- graph_label_propagation -------------------------------------------------
+
+LP_ITERS = 8  # FIXED synchronous rounds — the certified recurrence, not
+# a convergence loop: the oracle unrolls exactly this many steps
+
+
+def _lp_oracle_sql() -> str:
+    """LP_ITERS unrolled min-label rounds as MATERIALIZED DuckDB CTEs
+    (the pagerank_topn discipline): l_i(v) = least(l_{i-1}(v),
+    min over in-neighbors u of l_{i-1}(u)). Pure BIGINT min/least —
+    commutative and idempotent, zero floating arithmetic anywhere, so
+    the certificate has no rounding knife edge at all."""
+    its = []
+    for i in range(1, LP_ITERS + 1):
+        its.append(f"""
+    l{i} AS MATERIALIZED (
+        SELECT p.node, least(p.label, m.nb) AS label
+        FROM l{i - 1} p
+        JOIN (SELECT e.dst AS node, min(q.label) AS nb
+              FROM sym e JOIN l{i - 1} q ON e.src = q.node
+              GROUP BY e.dst) m
+        ON p.node = m.node
+    )""")
+    return f"""
+    WITH edges AS MATERIALIZED ({_EDGES_SQL}),
+    sym AS MATERIALIZED (
+        SELECT a AS src, b AS dst FROM edges
+        UNION
+        SELECT b AS src, a AS dst FROM edges
+    ),
+    l0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, src AS label FROM sym
+    ),{",".join(its)}
+    SELECT node, label,
+           CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS comm_size
+    FROM l{LP_ITERS}
+    ORDER BY node
+    """
+
+
+@query("graph_label_propagation", oracle=_lp_oracle_sql())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous min-label propagation over the
+    high-value customer-supplier graph (the graph_components relation):
+    every node starts labelled with its own id; each round it adopts the
+    minimum of its label and its neighbors' labels; after LP_ITERS FIXED
+    rounds, nodes sharing a label form a community. Unlike
+    graph_components (which iterates to convergence), the fixed horizon
+    makes this a bounded-radius community probe — a node joins a
+    community only if a smaller id sits within LP_ITERS hops — and,
+    crucially, makes the whole iteration a finite exact-integer
+    recurrence the oracle can unroll CTE-for-CTE (min is commutative
+    AND idempotent: no summation-order hazard, no rounding, bit-equal
+    across engines and partitionings by construction).
+
+    Size-adaptive like pagerank_topn: below the measured edge cutoff the
+    EDGE LIST (never a corpus-scale relation) collects and numpy runs
+    the LP_ITERS scatter-min rounds driver-side; above it, the
+    distributed loop — per round one join of the symmetric edge relation
+    against the label vector plus one min hash-agg on the destination,
+    label state distributed throughout, localCheckpoint keeping the plan
+    constant-size. Both paths compute the identical integer recurrence;
+    the distributed path is pinned by its own test at a forced cutoff
+    of 0 (tests/test_r13_ops.py)."""
+    return _label_prop(spark, sf_dir)
+
+
+def _label_prop(
+    spark: SparkSession, sf_dir: str, small_graph_cutoff: int = 100_000
+) -> DataFrame:
+    edges = _edges(spark, sf_dir).persist()
+    n_edges = edges.count()
+    if n_edges <= small_graph_cutoff:
+        import numpy as np
+
+        pairs = [(r["a"], r["b"]) for r in edges.collect()]
+        edges.unpersist(blocking=False)
+        node_ids = sorted({x for p in pairs for x in p})
+        idx = {v: i for i, v in enumerate(node_ids)}
+        n = len(node_ids)
+        src = np.array(
+            [idx[a] for a, b in pairs] + [idx[b] for a, b in pairs],
+            dtype=np.int64,
+        )
+        dst = np.array(
+            [idx[b] for a, b in pairs] + [idx[a] for a, b in pairs],
+            dtype=np.int64,
+        )
+        labels = np.array(node_ids, dtype=np.int64)
+        for _ in range(LP_ITERS):
+            nb = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(nb, dst, labels[src])
+            labels = np.minimum(labels, nb)
+        counts: dict[int, int] = {}
+        for lab in labels:
+            counts[int(lab)] = counts.get(int(lab), 0) + 1
+        rows = [
+            (int(node_ids[i]), int(labels[i]), counts[int(labels[i])])
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows, "node long, label long, comm_size long"
+        ).orderBy("node")
+    sym = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges.unpersist(blocking=False)
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(LP_ITERS):
+        nb = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nb"))
+        )
+        # symmetrized graph: every node has >= 1 in-neighbor, so the
+        # inner join drops nothing (mirrors the oracle's inner join)
+        labels = (
+            labels.join(nb, labels.node == nb.dst)
+            .select("node", F.least("label", "nb").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("comm_size")
+    )
+    return (
+        labels.join(F.broadcast(sizes), "label")
+        .select("node", "label", "comm_size")
+        .orderBy("node")
+    )

@@ -1364,3 +1364,106 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_oov",
         )
     )
+
+
+# --- dedup_paragraph ----------------------------------------------------------
+
+PARA_TOKENS = 32  # disjoint paragraph width (tokens)
+PARA_ID_STRIDE = 1_000_000  # para_id = doc_id*STRIDE + index — collision-
+# free for documents up to PARA_TOKENS*STRIDE (32M) tokens; widen the
+# stride (or switch to a struct key) before any corpus exceeds that
+
+
+def paragraph_relation(docs: DataFrame) -> DataFrame:
+    """(doc_id=para_id, text) — disjoint PARA_TOKENS-token paragraphs of
+    every document, para_id = doc_id*PARA_ID_STRIDE + paragraph index.
+    Module-level so the coverage property test drives the exact
+    production splitter (tests/test_r13_ops.py)."""
+    w = F.col("w")
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .select(
+            "doc_id",
+            w,
+            F.explode_outer(
+                F.sequence(F.lit(1), F.size(w), F.lit(PARA_TOKENS))
+            ).alias("s"),
+        )
+        .where(F.col("s").isNotNull())  # null-doc guard (unnest semantics)
+        .select(
+            (
+                F.col("doc_id") * F.lit(PARA_ID_STRIDE)
+                + ((F.col("s") - 1) / F.lit(PARA_TOKENS)).cast("long")
+            ).alias("doc_id"),
+            F.array_join(F.slice(w, F.col("s"), PARA_TOKENS), " ").alias(
+                "text"
+            ),
+        )
+    )
+
+
+
+@query(
+    "dedup_paragraph",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    para AS (
+        SELECT doc_id * {PARA_ID_STRIDE}
+                 + CAST(s - 1 AS BIGINT) // {PARA_TOKENS} AS para_id,
+               w[s:s + {PARA_TOKENS} - 1] AS pw
+        FROM tok, unnest(range(1, len(w) + 1, {PARA_TOKENS})) AS t(s)
+    ),
+    sh AS (
+        SELECT para_id,
+               list_distinct(
+                 CASE WHEN len(pw) >= 3
+                      THEN list_transform(
+                             range(1, len(pw) - 1),
+                             i -> array_to_string(pw[i:i+2], ' '))
+                      ELSE pw END) AS s
+        FROM para
+    )
+    SELECT a.para_id AS keep_id, b.para_id AS dup_id,
+           ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                 6) AS jaccard
+    FROM sh a JOIN sh b ON a.para_id < b.para_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+    """,
+)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity exact dedup: split every document into
+    disjoint PARA_TOKENS-token paragraphs (the chunk_documents splitter
+    with stride = width), then find all paragraph pairs with 3-gram
+    shingle Jaccard >= 0.8 via the SAME prefix-filter kernel dedup_ngram
+    certified (operators/setjoin.py) — the granularity an LLM-corpus
+    pipeline actually dedups at, where boilerplate repeats inside
+    otherwise-distinct documents. Output (keep_id, dup_id, jaccard) with
+    keep_id = min(para_id) of the pair — the survivor under the
+    keep-smallest-id policy.
+
+    The oracle replicates the splitter arithmetically and brute-forces
+    the O(p^2) pair space with list_intersect (the dedup_ngram oracle
+    discipline): engine/oracle equality IS the prefix principle's
+    no-false-negatives proof at paragraph granularity, value-hashed.
+
+    Scale: the splitter is a pure row-local posexplode (zero shuffles,
+    expansion factor tokens/PARA_TOKENS bounded by construction); the
+    join inherits jaccard_join's plan — one vocabulary-sized frequency
+    shuffle, prefix self-join keyed on the RAREST shingles (skew-free
+    by frequency-ascending prefix order), exact verify only on surviving
+    candidates. Composition of two individually decade-certified stages;
+    the composed x10 certificate lives in tests/test_scale_stress.py."""
+    from vector_search_playground_spark.operators.dedup import shingle_sets
+    from vector_search_playground_spark.operators.setjoin import jaccard_join
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = jaccard_join(shingle_sets(paragraph_relation(docs)), threshold=0.8)
+    return pairs.select(
+        F.col("a_id").alias("keep_id"),
+        F.col("b_id").alias("dup_id"),
+        "jaccard",
+    )
