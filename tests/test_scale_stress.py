@@ -673,3 +673,102 @@ def test_streaming_second_decade(spark, scale_dirs, qid):
         assert ck100["state_bytes"] > ck10["state_bytes"] > 0, (
             f"{qid}: state store did not grow with keyed cardinality"
         )
+
+
+# r13 (r12 verdict #5): dedup_paragraph composes the paragraph splitter
+# with the prefix-filter exact-Jaccard kernel — two individually
+# decade-certified stages; this proves the COMPOSITION. The x10 fixture
+# is adversarial for paragraph granularity: replica docs differ only in
+# a one-token suffix, so every non-final paragraph becomes `factor`
+# bit-identical copies — the true pair count grows ~C(factor,2) per
+# clone group BY THE PROBLEM'S DEFINITION (49,739 pairs at x10 vs 59 at
+# x1), so the wall bound uses output-growth-aware slack, not _MAX_RATIO.
+# The hash check runs against an EXACT shared-shingle-blocked brute
+# force: J >= 0.8 requires intersection >= 1, so restricting the pair
+# space to pairs sharing any shingle provably loses nothing, while
+# cutting DuckDB's work from 57M to 1.18M pair evaluations (full
+# all-pairs measured 154 s vs 28 s during r13 design — same 49,739
+# pairs). No prefix/length/positional pruning in the oracle: the
+# engine's PPJoin filters are still certified against plain overlap
+# blocking. x100 is a can't-fit for any brute-force oracle (5.7G pairs
+# even before blocking fan-out) — the join_fuzzy_blocked adjudication.
+
+
+def _dedup_para_blocked_oracle() -> str:
+    from vector_search_playground_spark.queries.llm_pipeline import (
+        PARA_ID_STRIDE,
+        PARA_TOKENS,
+    )
+
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    para AS MATERIALIZED (
+        SELECT doc_id * {PARA_ID_STRIDE}
+                 + CAST(s - 1 AS BIGINT) // {PARA_TOKENS} AS para_id,
+               w[s:s + {PARA_TOKENS} - 1] AS pw
+        FROM tok, unnest(range(1, len(w) + 1, {PARA_TOKENS})) AS t(s)
+    ),
+    sh AS MATERIALIZED (
+        SELECT para_id,
+               list_distinct(
+                 CASE WHEN len(pw) >= 3
+                      THEN list_transform(
+                             range(1, len(pw) - 1),
+                             i -> array_to_string(pw[i:i+2], ' '))
+                      ELSE pw END) AS s
+        FROM para
+    ),
+    post AS MATERIALIZED (
+        SELECT para_id, unnest(s) AS g FROM sh
+    ),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT a.para_id AS ka, b.para_id AS kb
+        FROM post a JOIN post b ON a.g = b.g AND a.para_id < b.para_id
+    )
+    SELECT c.ka AS keep_id, c.kb AS dup_id,
+           ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                 6) AS jaccard
+    FROM cand c
+    JOIN sh a ON a.para_id = c.ka
+    JOIN sh b ON b.para_id = c.kb
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+    """
+
+
+def test_dedup_paragraph_composed_first_decade(spark, scale_dirs):
+    from tests.oracle_harness import compare, duck_connect
+
+    x1, x10 = scale_dirs[1], scale_dirs[10]
+    qid = "dedup_paragraph"
+    _timed_run(spark, qid, x1)  # warm code paths
+    t1, plan1 = _timed_run(spark, qid, x1)
+    t10, plan10 = _timed_run(spark, qid, x10)
+    ratio = t10 / max(t1, 1e-6)
+    n1 = registry.QUERIES[qid](spark, x1).count()
+    n10 = registry.QUERIES[qid](spark, x10).count()
+    print(
+        f"# scale_stress_composed {qid}: x1={t1:.2f}s x10={t10:.2f}s "
+        f"ratio={ratio:.1f} pairs={n1}->{n10} "
+        f"exchanges={plan1.count('Exchange')}->{plan10.count('Exchange')}"
+    )
+    # wall bound: linear in input PLUS linear in the (definitionally
+    # ~quadratic-in-factor) true output — the same shape the verify
+    # stage's work has; a plan defect (quadratic in INPUT rows) would
+    # show as ~100x regardless of output and still trips this
+    out_growth = max(n10 / max(n1, 1), 1.0)
+    assert ratio < _MAX_RATIO + out_growth / 10.0, (
+        f"{qid}: 10x docs cost {ratio:.1f}x wall with {n10}/{n1} pairs"
+    )
+    _plan_whale_guard(qid, plan1, plan10)
+    con = duck_connect(x10)
+    try:
+        compare(
+            registry.QUERIES[qid](spark, x10),
+            con, _dedup_para_blocked_oracle(), qid,
+        )
+    finally:
+        con.close()
