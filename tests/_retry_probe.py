@@ -138,7 +138,14 @@ def main() -> None:
     from vector_search_playground_spark import registry
     from vector_search_playground_spark.session import get_spark
 
-    from tests._spill_probe import rows_digest
+    from tests._spill_probe import normalized_plan, rows_digest
+
+    def arm_plan(df) -> str:
+        # node-identical modulo the pass-through function's NAME (the
+        # one intended difference between the arms)
+        return normalized_plan(df).replace(
+            "_poison_passthrough", "_passthrough"
+        ).replace("_identity_passthrough", "_passthrough")
 
     registry.load_all()
     spark = get_spark(
@@ -155,12 +162,14 @@ def main() -> None:
             arm["fn"] = _identity_passthrough
             df = registry.QUERIES[qid](spark, fixture_dir)
             df = df.mapInPandas(arm["fn"], df.schema)
+            p0 = arm_plan(df)
             n0, d0 = rows_digest(df.columns, df.collect())
 
             arm["fn"] = _poison_passthrough
             mark = _watermark(spark)
             df = registry.QUERIES[qid](spark, fixture_dir)
             df = df.mapInPandas(_poison_passthrough, df.schema)
+            p1 = arm_plan(df)
             n1, d1 = rows_digest(df.columns, df.collect())
             rec = {
                 "n_rows": n0,
@@ -168,6 +177,8 @@ def main() -> None:
                 "n_rows_poisoned": n1,
                 "digest_poisoned": d1,
                 "failed_tasks": _failed_since(spark, mark),
+                "plan": p0,
+                "plan_poisoned": p1,
             }
         except Exception as exc:  # noqa: BLE001
             rec = {"error": repr(exc)}

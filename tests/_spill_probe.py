@@ -71,6 +71,28 @@ PROBE_QUERIES = (
 )
 
 
+def normalized_plan(df) -> str:
+    """Executed-plan string with per-session counters stripped (expr
+    #ids, plan_id) — equal across two probe JVMs iff the plans are
+    node-identical. Recorded by both spill arms so the parent test can
+    ASSERT the held-equal-plan-shape claim instead of trusting it."""
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = re.sub(r"#\d+", "#", plan)
+    # HOF lambda variables carry a session-global counter in the NAME
+    # (lambda x_1 vs lambda x_13), not just the expr id after '#'
+    plan = re.sub(r"lambda ([a-zA-Z]+)_\d+", r"lambda \1_", plan)
+    # whole-stage-codegen ids, AQE query-stage numbers, JVM lambda
+    # object addresses/hashes — all per-session execution counters,
+    # none of them plan structure
+    plan = re.sub(r"\*\(\d+\)", "*(N)", plan)
+    plan = re.sub(r"QueryStage \d+", "QueryStage N", plan)
+    plan = re.sub(r"\$Lambda\$\d+/0x[0-9a-fA-F]+", "$Lambda$", plan)
+    plan = re.sub(r"@[0-9a-fA-F]{6,}", "@", plan)
+    return re.sub(r"plan_id=\d+", "plan_id=", plan)
+
+
 def rows_digest(columns, rows) -> tuple[int, str]:
     """(n_rows, order-insensitive content digest) of a collected result.
 
@@ -180,16 +202,21 @@ SPILL_CONF = {
     "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
 }
 
-# The comfortable control arm relaxes ONLY the memory budget; the
-# plan-shape confs (broadcast-disable, force-spill thresholds) stay on
-# in BOTH arms so the two sessions pick identical join strategies and
-# upstream layouts — otherwise the ALS digest comparison would confound
-# memory pressure with a broadcast-vs-SMJ layout difference on the
-# train relation (r11 ADVICE).
-_MEMORY_BUDGET_CONFS = ("spark.driver.memory", "spark.memory.fraction")
-COMFORTABLE_CONF = {
-    k: v for k, v in SPILL_CONF.items() if k not in _MEMORY_BUDGET_CONFS
-}
+# The comfortable control arm holds the PLAN-SHAPE confs equal — the
+# two broadcast thresholds, the only SPILL_CONF entries that change the
+# chosen join strategy — and relaxes the EXECUTION-TIME knobs along
+# with the memory budget (driver memory, memory fraction, force-spill
+# and SMJ/window buffer thresholds). The arms then share node-identical
+# plans while only the pressure differs, so the control is a genuine
+# no-forced-spill run: a deterministic value bug in the spill path
+# cannot hit both arms and pass (r12 ADVICE; the r11 arm kept the spill
+# thresholds on in the control, which made the ALS digest comparison a
+# heap-size-invariance check rather than spill-vs-no-spill).
+_PLAN_SHAPE_CONFS = (
+    "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold",
+)
+COMFORTABLE_CONF = {k: SPILL_CONF[k] for k in _PLAN_SHAPE_CONFS}
 
 
 def _stages(spark) -> list[dict]:
@@ -232,13 +259,14 @@ def main() -> None:
     from tests.oracle_harness import compare, duck_connect
 
     # SPILL_PROBE_COMFORTABLE=1 runs the SAME queries in the SAME
-    # core/partition layout AND the same plan-shape confs (broadcast
-    # disabled, force-spill thresholds) but with the factory's
-    # comfortable memory budget — the control arm of the
-    # across-memory-budgets comparison (needed where the result depends
-    # on layout, e.g. MLlib ALS's seeded per-block init: a control with
-    # broadcast re-enabled would take a different join strategy on the
-    # train relation, confounding layout with memory pressure).
+    # core/partition layout AND the same plan-shape confs (the two
+    # broadcast thresholds) but with the factory's comfortable memory
+    # budget and NO forced spill/buffer thresholds — the genuine
+    # no-forced-spill control arm of the across-memory-budgets
+    # comparison (needed where the result depends on layout, e.g. MLlib
+    # ALS's seeded per-block init: a control with broadcast re-enabled
+    # would take a different join strategy on the train relation,
+    # confounding layout with memory pressure).
     comfortable = bool(os.environ.get("SPILL_PROBE_COMFORTABLE"))
     spark = get_spark(
         app_name="spill-probe",
@@ -265,6 +293,7 @@ def main() -> None:
             ROWS_ONLY_CHECKS[qid](spark, fixture_dir, rows)
             n, dig = rows_digest(df.columns, rows)
             stats["n_rows"], stats["rows_digest"] = n, dig
+            stats["plan"] = normalized_plan(df)
         stats.update(_stats_since(spark, mark))
         stats["oracle_match"] = True
         results[qid] = stats

@@ -485,7 +485,8 @@ def test_forced_spill_preserves_oracle_equality(spark, scale_dirs, tmp_path):
 
     def run_probe(fixture, qids, tmo, out_name, comfortable=False):
         out = str(tmp_path / out_name)
-        env = {**os.environ, "PYTHONPATH": here}
+        env = {**os.environ, "PYTHONPATH": here + os.pathsep
+               + os.environ.get("PYTHONPATH", "")}
         if comfortable:
             env["SPILL_PROBE_COMFORTABLE"] = "1"
         proc = subprocess.run(
@@ -579,6 +580,14 @@ def test_forced_spill_preserves_oracle_equality(spark, scale_dirs, tmp_path):
         f"als_recommend: result under forced spill diverged from the "
         f"same-layout comfortable-memory result "
         f"({a['n_rows']} rows vs {b['n_rows']})"
+    )
+    # the held-equal-plan-shape claim, ASSERTED: both arms must have
+    # produced node-identical executed plans (normalized for session
+    # counters) — the spill-vs-no-spill comparison isolates the memory
+    # variable only if nothing else moved (r12 ADVICE)
+    assert a["plan"] == b["plan"], (
+        "als_recommend: spill and comfortable arms planned differently — "
+        "the digest comparison no longer isolates memory pressure"
     )
 
 

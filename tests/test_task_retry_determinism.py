@@ -80,7 +80,8 @@ def retry_stats(tmp_path_factory):
         [sys.executable, os.path.join(here, "tests", "_retry_probe.py"),
          FIXTURE, out, *RETRY_ROSTER],
         cwd=here,
-        env={**os.environ, "PYTHONPATH": here},
+        env={**os.environ, "PYTHONPATH": here + os.pathsep
+             + os.environ.get("PYTHONPATH", "")},
         capture_output=True,
         text=True,
         timeout=2400,
@@ -108,3 +109,21 @@ def test_replayed_tasks_produce_identical_bytes(retry_stats, qid):
         f"{qid}: result digest changed under task replay — a re-executed "
         "attempt produced different bytes"
     )
+    # the "two arms share one physical plan" claim, ASSERTED (r12
+    # ADVICE): normalized plans must be node-identical modulo the
+    # pass-through function's name — else the digest equality compared
+    # two different computations, not replay-vs-no-replay
+    assert rec["plan"] == rec["plan_poisoned"], (
+        f"{qid}: control and poison arms planned differently — the "
+        "replay comparison no longer isolates task retry"
+    )
+
+
+def test_model_builds_are_in_roster():
+    """_retry_probe.MODEL_BUILDS documents WHY the seeded builds are
+    probed (overwrite-rebuild drives the commit protocol's
+    discard-failed-attempt branch); this gate keeps that list and the
+    actual roster from drifting apart (r12 ADVICE)."""
+    from tests._retry_probe import MODEL_BUILDS
+
+    assert set(MODEL_BUILDS) <= set(RETRY_ROSTER)
