@@ -179,6 +179,13 @@ RECERTIFY_IF_AT_OR_BEFORE = {
     "win_ntile": 11,
     "gini_index": 11,
     "shuffle_global": 11,
+    # round-14: paragraph_relation gained the loud para_id-overflow
+    # guard (raise_error when the paragraph index reaches
+    # PARA_ID_STRIDE — the r13 ADVICE fix), changing dedup_paragraph's
+    # executed plan after its r13 green row. Values identical at any
+    # fixture scale (the guard never fires below 32M-token documents);
+    # re-proven by replica this round, re-earns its driver stamp.
+    "dedup_paragraph": 13,
 }
 
 

@@ -162,15 +162,19 @@ def main() -> None:
             arm["fn"] = _identity_passthrough
             df = registry.QUERIES[qid](spark, fixture_dir)
             df = df.mapInPandas(arm["fn"], df.schema)
-            p0 = arm_plan(df)
             n0, d0 = rows_digest(df.columns, df.collect())
+            # capture AFTER collect so the comparison covers the
+            # AQE-final physical plan (isFinalPlan=true), not the
+            # pre-execution draft — the _spill_probe discipline
+            # (r14 ADVICE)
+            p0 = arm_plan(df)
 
             arm["fn"] = _poison_passthrough
             mark = _watermark(spark)
             df = registry.QUERIES[qid](spark, fixture_dir)
             df = df.mapInPandas(_poison_passthrough, df.schema)
-            p1 = arm_plan(df)
             n1, d1 = rows_digest(df.columns, df.collect())
+            p1 = arm_plan(df)
             rec = {
                 "n_rows": n0,
                 "digest": d0,

@@ -60,6 +60,7 @@ TARGETS = [
     "holt_forecast",
     "knn_batch",
     "knn_classify",
+    "knn_graph",
     "lttb_downsample",
     "scan_avro",
     "scan_avro_split",

@@ -147,7 +147,12 @@ def test_dedup_paragraph_matches_bruteforce(spark, sf_smoke):
             union = len(sets[a]) + len(sets[b]) - inter
             j = inter / union
             if j >= 0.8:
-                brute.add((a, b, round(j, 6)))
+                # the engine's half-up idiom (F.round is HALF_UP), not
+                # Python round()'s half-to-even — keeps this cross-check
+                # rounding-identical to jaccard_join by construction
+                # even if PARA_TOKENS/shingle width ever change
+                # (r14 ADVICE)
+                brute.add((a, b, math.floor(j * 1e6 + 0.5) / 1e6))
     got = {
         (r["keep_id"], r["dup_id"], r["jaccard"])
         for r in registry.QUERIES["dedup_paragraph"](spark, sf_smoke).collect()

@@ -56,6 +56,7 @@ RETRY_ROSTER = [
     "ids_fast",
     "knn_batch",
     "knn_classify",
+    "knn_graph",
     "lttb_downsample",
     "multimodal_features",
     "scan_avro",

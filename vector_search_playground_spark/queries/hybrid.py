@@ -1173,3 +1173,118 @@ def rerank_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score",
         )
     )
+
+
+# --- knn_graph -----------------------------------------------------------------
+
+KNN_GRAPH_K = 5  # out-degree of the built graph
+
+
+def _knn_graph_oracle() -> str:
+    """All-pairs quantized cosine + a per-source rank window (rank<=K) —
+    the brute-force form of the graph build, affordable at sf0.01
+    (500 vectors -> 250k pairs). Ranking key is the exact micro-unit
+    integer floor(dist*1e6+0.5) with a dst tiebreak, the knn_batch
+    ordering discipline."""
+    return f"""
+    WITH qz AS MATERIALIZED (
+        SELECT vec_id, {_MMR_QE.format(col='embedding')} AS qv
+        FROM embeddings
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               ROUND(1 - {_MMR_QCOS.format(a='a.qv', b='b.qv')},
+                     {ROUND_DIST}) AS dist
+        FROM qz a JOIN qz b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT src, dst, dist,
+               row_number() OVER (
+                   PARTITION BY src
+                   ORDER BY floor(dist * 1e6 + 0.5) ASC, dst ASC) AS rank
+        FROM pairs
+    )
+    SELECT src, CAST(rank AS INT) AS rank, dst, dist
+    FROM ranked WHERE rank <= {KNN_GRAPH_K}
+    """
+
+
+@query("knn_graph", oracle=_knn_graph_oracle())
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN GRAPH build: the top-KNN_GRAPH_K neighbors of EVERY vector in
+    the certified int8-quantized cosine space — the construction step
+    every graph-based ANN index (HNSW/NSG/DiskANN) starts from, and the
+    one index family the IVF/LSH/PQ tier doesn't cover. Output one edge
+    row (src, rank, dst, dist) per (vector, neighbor), dist rounded
+    ROUND_DIST before ranking with a dst tiebreak so the edge set is
+    engine-independent.
+
+    Kernel: the certified blocked-BLAS ``knn_batch`` (operators/knn.py)
+    with the corpus itself as the query side — each Arrow batch of the
+    corpus computes its |batch|x|Q| int-exact dots in one matmul and
+    keeps a value-cut local top-k, then the deterministic HOF kernel
+    re-scores the surviving sliver and a per-src window makes the final
+    cut (never the |Q|x|C| cross product; the BLAS pass only SELECTS
+    candidates). Self-edges are excluded after the k+1 cut: top-(K+1)
+    minus self is provably the top-K of the others whether or not self
+    survives the cut (self can lose a dist-0 tie only to another dist-0
+    row, which then belongs in the page).
+
+    Scale: |Q| = |corpus|, so the query side is processed in bounded
+    chunks of MAX_BATCH_QUERIES (the knn_batch broadcast contract; the
+    chunk predicate is a mod filter on vec_id, correct because per-src
+    top-k is independent of which chunk a src lands in). Each chunk is
+    one shuffle-free corpus scan + one window over the value-cut
+    candidates — O(ceil(N/B)) scans total, the exact-build baseline a
+    graph index amortizes. At 100 TB the exact build runs per-shard /
+    on samples and the NN-descent refinement takes over; this operator
+    is the certified bootstrap + recall anchor for that path."""
+    from vector_search_playground_spark.operators.knn import (
+        MAX_BATCH_QUERIES,
+        knn_batch,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    scale = F.greatest(
+        F.array_max(F.transform(emb, lambda x: F.abs(x))), F.lit(1e-30)
+    )
+    qz = embs.select(
+        "vec_id",
+        F.transform(
+            emb, lambda x: F.round(x * F.lit(127.0) / scale).cast("long")
+        ).alias("qv"),
+    )
+
+    n = qz.count()  # one count job to size the chunking
+    n_chunks = max(1, -(-n // MAX_BATCH_QUERIES))
+    chunks = []
+    for i in range(n_chunks):
+        q_i = qz.where(
+            (F.col("vec_id") % F.lit(n_chunks)) == F.lit(i)
+        ).select(
+            F.col("vec_id").alias("src"), F.col("qv").alias("src_qv")
+        )
+        edges = knn_batch(
+            qz,
+            q_i,
+            corpus_vec="qv",
+            query_vec="src_qv",
+            query_id="src",
+            metric="cosine",
+            k=KNN_GRAPH_K + 1,  # +1 admits the self-edge, dropped below
+            round_to=ROUND_DIST,
+            tiebreak="vec_id",
+        )
+        chunks.append(edges.where(F.col("vec_id") != F.col("src")))
+    allc = chunks[0]
+    for c in chunks[1:]:
+        allc = allc.unionByName(c)
+    w = Window.partitionBy("src").orderBy(
+        F.asc("dist"), F.asc("vec_id")
+    )
+    return (
+        allc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_GRAPH_K)
+        .select("src", "rank", F.col("vec_id").alias("dst"), "dist")
+    )

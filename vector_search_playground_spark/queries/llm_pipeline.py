@@ -1371,7 +1371,10 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 PARA_TOKENS = 32  # disjoint paragraph width (tokens)
 PARA_ID_STRIDE = 1_000_000  # para_id = doc_id*STRIDE + index — collision-
 # free for documents up to PARA_TOKENS*STRIDE (32M) tokens; widen the
-# stride (or switch to a struct key) before any corpus exceeds that
+# stride (or switch to a struct key) before any corpus exceeds that.
+# The limit is ENFORCED at runtime (raise_error in paragraph_relation),
+# so an over-long document fails loudly instead of silently colliding
+# para_ids and corrupting the pair relation (r13 ADVICE).
 
 
 def paragraph_relation(docs: DataFrame) -> DataFrame:
@@ -1393,7 +1396,23 @@ def paragraph_relation(docs: DataFrame) -> DataFrame:
         .select(
             (
                 F.col("doc_id") * F.lit(PARA_ID_STRIDE)
-                + ((F.col("s") - 1) / F.lit(PARA_TOKENS)).cast("long")
+                # loud overflow guard: the paragraph index must stay
+                # below the stride or para_ids collide across documents
+                + F.when(
+                    ((F.col("s") - 1) / F.lit(PARA_TOKENS)).cast("long")
+                    < F.lit(PARA_ID_STRIDE),
+                    ((F.col("s") - 1) / F.lit(PARA_TOKENS)).cast("long"),
+                ).otherwise(
+                    F.raise_error(
+                        F.lit(
+                            "paragraph_relation: paragraph index reached "
+                            f"PARA_ID_STRIDE ({PARA_ID_STRIDE}) — para_id "
+                            "would collide across documents; widen the "
+                            "stride before splitting documents over "
+                            f"{PARA_TOKENS * PARA_ID_STRIDE} tokens"
+                        )
+                    )
+                )
             ).alias("doc_id"),
             F.array_join(F.slice(w, F.col("s"), PARA_TOKENS), " ").alias(
                 "text"
@@ -1466,4 +1485,188 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a_id").alias("keep_id"),
         F.col("b_id").alias("dup_id"),
         "jaccard",
+    )
+
+
+# --- boilerplate_paragraphs ---------------------------------------------------
+
+
+@query(
+    "boilerplate_paragraphs",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    para AS (
+        SELECT doc_id,
+               doc_id * {PARA_ID_STRIDE}
+                 + CAST(s - 1 AS BIGINT) // {PARA_TOKENS} AS para_id,
+               array_to_string(w[s:s + {PARA_TOKENS} - 1], ' ') AS ptext
+        FROM tok, unnest(range(1, len(w) + 1, {PARA_TOKENS})) AS t(s)
+    )
+    SELECT md5(ptext) AS ptext_md5,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           min(para_id) AS min_para_id
+    FROM para
+    GROUP BY ptext
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def boilerplate_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection — the CCNet-style removal list: paragraphs
+    whose EXACT text occurs in >= 2 DISTINCT documents (headers, footers,
+    license blocks — the text a corpus pipeline strips before near-dedup
+    even runs). One row per boilerplate paragraph text: its md5 (the
+    removal-list key — engine-portable, unlike xxhash64), how many
+    distinct documents carry it, total occurrences, and the smallest
+    para_id as the canonical example. The sf0.01 fixture has real
+    structure: 27 texts (24 in two docs, 2 in three, 1 in four —
+    measured while designing the oracle, no planting).
+
+    Plan shape: the certified ``paragraph_relation`` splitter (pure
+    row-local explode, zero shuffles) -> ONE hash aggregate keyed on the
+    paragraph text (map-side partial counts; the distinct-doc count
+    rides the same shuffle via partial sets) -> HAVING filter. At
+    100 TB the only change worth making is grouping on xxhash64(ptext)
+    with the text kept via min_by — same plan, 8-byte shuffle key (the
+    dedup_exact note); the full-text key here keeps the oracle
+    engine-portable."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pt = paragraph_relation(docs).select(
+        F.col("doc_id").alias("para_id"),
+        (F.col("doc_id") / F.lit(PARA_ID_STRIDE)).cast("long").alias(
+            "src_doc"
+        ),
+        F.col("text").alias("ptext"),
+    )
+    return (
+        pt.groupBy("ptext")
+        .agg(
+            F.countDistinct("src_doc").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_paras"),
+            F.min("para_id").alias("min_para_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .select(
+            F.md5("ptext").alias("ptext_md5"),
+            "n_docs",
+            "n_paras",
+            "min_para_id",
+        )
+    )
+
+
+# --- doc_dup_fraction ---------------------------------------------------------
+
+
+@query(
+    "doc_dup_fraction",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    para AS (
+        SELECT doc_id * {PARA_ID_STRIDE}
+                 + CAST(s - 1 AS BIGINT) // {PARA_TOKENS} AS para_id,
+               w[s:s + {PARA_TOKENS} - 1] AS pw
+        FROM tok, unnest(range(1, len(w) + 1, {PARA_TOKENS})) AS t(s)
+    ),
+    sh AS MATERIALIZED (
+        SELECT para_id,
+               list_distinct(
+                 CASE WHEN len(pw) >= 3
+                      THEN list_transform(
+                             range(1, len(pw) - 1),
+                             i -> array_to_string(pw[i:i+2], ' '))
+                      ELSE pw END) AS s
+        FROM para
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a.para_id AS ka, b.para_id AS kb
+        FROM sh a JOIN sh b ON a.para_id < b.para_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+              >= 0.8
+          AND a.para_id // {PARA_ID_STRIDE} <> b.para_id // {PARA_ID_STRIDE}
+    ),
+    dup AS (
+        SELECT ka AS pid FROM pairs UNION SELECT kb AS pid FROM pairs
+    )
+    SELECT p.para_id // {PARA_ID_STRIDE} AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(count(d.pid) AS BIGINT) AS n_dup_paras,
+           floor(CAST(count(d.pid) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS dup_fraction
+    FROM para p LEFT JOIN dup d ON p.para_id = d.pid
+    GROUP BY p.para_id // {PARA_ID_STRIDE}
+    """,
+)
+def doc_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplication scorecard — the corpus-quality gate a
+    dedup pipeline feeds: for every document, the fraction of its
+    paragraphs that are >= 0.8-Jaccard duplicated in SOME OTHER
+    document (cross-doc pairs only; intra-doc repetition is a different
+    signal, text_quality's territory). Output (doc_id, n_paras,
+    n_dup_paras, dup_fraction) for every document, dup_fraction
+    half-up-rounded to 6 dp from one exact-int division. At sf0.01: 57
+    of 500 docs carry cross-doc duplicated paragraphs (measured, no
+    planting).
+
+    Composition of two value-proven kernels: ``dedup_paragraph``'s pair
+    relation (paragraph_relation -> shingle_sets -> prefix-filter exact
+    Jaccard join, operators/setjoin.py) filtered to cross-doc pairs,
+    unpivoted to the distinct duplicated-paragraph id set, then ONE
+    left join back onto the paragraph relation and ONE hash aggregate
+    to doc granularity. The oracle reuses dedup_paragraph's brute-force
+    O(p^2) pair CTE (already the no-false-negatives proof of the prefix
+    filter) plus the same per-doc aggregation.
+
+    Scale: inherits jaccard_join's bounded-key shuffles (rare-shingle
+    prefix blocks); the dup-id relation is the duplicated SUBSET of
+    paragraphs (shuffle equi-join on para_id, no skew — para_ids are
+    unique), and the final aggregate shuffles on doc_id. Nothing
+    driver-side; every stage is a hash-partitioned join/agg."""
+    from vector_search_playground_spark.operators.dedup import shingle_sets
+    from vector_search_playground_spark.operators.setjoin import jaccard_join
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    para = paragraph_relation(docs).select(F.col("doc_id").alias("para_id"))
+    pairs = jaccard_join(
+        shingle_sets(paragraph_relation(docs)), threshold=0.8
+    ).select("a_id", "b_id")
+    cross = pairs.where(
+        (F.col("a_id") / F.lit(PARA_ID_STRIDE)).cast("long")
+        != (F.col("b_id") / F.lit(PARA_ID_STRIDE)).cast("long")
+    )
+    dup = (
+        cross.select(F.col("a_id").alias("pid"))
+        .unionByName(cross.select(F.col("b_id").alias("pid")))
+        .distinct()
+    )
+    return (
+        para.join(dup, para.para_id == dup.pid, "left")
+        .groupBy(
+            (F.col("para_id") / F.lit(PARA_ID_STRIDE))
+            .cast("long")
+            .alias("doc_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.count("pid").alias("n_dup_paras"),
+        )
+        .select(
+            "doc_id",
+            "n_paras",
+            "n_dup_paras",
+            (
+                F.floor(
+                    F.col("n_dup_paras").cast("double")
+                    / F.col("n_paras").cast("double")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("dup_fraction"),
+        )
     )
