@@ -152,6 +152,22 @@ def main() -> None:
         app_name="retry-probe",
         master="local[8,3]",
         shuffle_partitions=8,
+        # AQE off IN BOTH ARMS: capturing the plan after collect (the
+        # r14 ADVICE fix) exposed that AQE's runtime replanning is
+        # timing-sensitive and legitimately DIVERGES between a run with
+        # task failures and one without — observed on this roster: a
+        # runtime SMJ->BHJ conversion engaging in one arm only
+        # (eval_minhash) and a broadcast build-side flip
+        # (dedup_simhash), results digest-equal under every observed
+        # divergence. That is Catalyst adapting as designed, not a
+        # replay-determinism defect — but it means an AQE-final plan
+        # identity assertion cannot isolate the replay. With AQE off
+        # the executed plan IS the deterministic static plan, the arms
+        # are node-identical by construction, and the replay is the
+        # only variable the digest comparison sees. (AQE-on value
+        # stability across layouts/plans is the partition-independence
+        # and oracle suites' job.)
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
