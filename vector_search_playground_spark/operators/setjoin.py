@@ -68,11 +68,20 @@ def jaccard_join(
     prefix_len = (
         F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - EPS) + 1
     )
+    # freq is the vocabulary-sized side (module contract above) — say so
+    # with an explicit broadcast hint. Without it the static planner,
+    # working from garbage post-explode size estimates, was observed
+    # broadcasting the EXPLODED (doc, shingle) fact relation instead:
+    # every BroadcastHashJoin build re-ran the whole upstream subtree as
+    # its own 32-task job (doc_dup_fraction: 34 jobs, 12-25 s at sf0.1).
     prefixes = (
-        ex.join(freq, "shingle")
+        ex.join(F.broadcast(freq), "shingle")
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= prefix_len)
         .select("doc_id", "n", "rk", "shingle")
+        # both sides of the candidate self-join read this relation:
+        # persist or the freq-join + rank-window pipeline runs twice
+        .persist()
     )
 
     a = prefixes.select(
@@ -95,8 +104,13 @@ def jaccard_join(
     overlap_ub = (
         F.least(F.col("an") - F.col("ark"), F.col("bn") - F.col("brk")) + 1
     )
+    # Deliberate strategy (guide §3.1): the prefix relation is
+    # corpus-scale, so the self-join must be a shuffle join keyed on the
+    # rare prefix shingles — never a broadcast of one side (which is what
+    # the planner picked from the unmaterialized-cache estimates, hashing
+    # the whole prefix relation onto the driver per build).
     cand = (
-        a.join(b, "shingle")
+        a.hint("shuffle_hash").join(b.hint("shuffle_hash"), "shingle")
         .where(
             (F.col("a_id") < F.col("b_id"))
             & (F.col("an") >= F.ceil(F.lit(threshold) * F.col("bn") - EPS))
@@ -116,8 +130,13 @@ def jaccard_join(
         F.size("a_sh") + F.size("b_sh")
         - F.size(F.array_intersect("a_sh", "b_sh"))
     )
+    # Verify side: shingled is corpus-scale too — shuffle-join the
+    # (small, bounded-by-true-pair-density) candidate set against it on
+    # the id keys rather than letting the planner broadcast the corpus
+    # shingle arrays.
     return (
-        cand.join(sa, "a_id").join(sb, "b_id")
+        cand.join(sa.hint("shuffle_hash"), "a_id")
+        .join(sb.hint("shuffle_hash"), "b_id")
         .withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= threshold)
         .select("a_id", "b_id",
