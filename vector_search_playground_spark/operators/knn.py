@@ -200,35 +200,48 @@ def knn_batch(
                 raise ValueError(f"metric {metric!r} not in {sorted(METRICS)}")
             if round_to is not None:
                 dist = np.round(dist, round_to)
-            frames = []
-            for j in range(nq):
-                dj = dist[:, j]
-                keep = (
-                    np.flatnonzero(dj < threshold + slack)
-                    if threshold is not None
-                    else np.arange(len(dj))
-                )
-                if keep.size == 0:
-                    continue
-                # value-based cut: every row the global deterministic
-                # top-k could need from this batch has HOF dist ≤ the
-                # batch k-th HOF dist; both sides may flip one rounding
-                # step vs the BLAS values we have, hence 2·slack. Tie
-                # groups of any width survive intact.
-                dk = dj[keep]
-                kth = (
-                    np.partition(dk, k - 1)[k - 1]
-                    if keep.size > k
-                    else dk.max()
-                )
-                sel_ix = keep[dk <= kth + 2.0 * slack]
-                sel = pdf.iloc[sel_ix][corpus_cols].copy()
-                sel[query_id] = ids_q[j]
-                frames.append(sel)
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+            # Value-based cut, vectorized across ALL queries at once
+            # (the per-query Python loop with pdf.iloc/pd.concat was the
+            # serial cost center: |Q| iterations per batch — guide §4.2).
+            # Semantics identical to the per-query form: every row the
+            # global deterministic top-k could need from this batch has
+            # HOF dist ≤ the batch k-th HOF dist; both sides may flip
+            # one rounding step vs the BLAS values we have, hence
+            # 2·slack. Tie groups of any width survive intact.
+            nc = dist.shape[0]
+            if threshold is not None:
+                valid = dist < threshold + slack
+                # invalid rows pushed past every valid one so the
+                # column-wise partition ranks only the valid candidates
+                dmask = np.where(valid, dist, np.inf)
+            else:
+                valid = np.ones_like(dist, dtype=bool)
+                dmask = dist
+            if nc > k:
+                kth = np.partition(dmask, k - 1, axis=0)[k - 1, :]
+            else:
+                # ≤ k candidates in the batch: keep-all, like the
+                # per-query dk.max() (NaN columns select nothing either
+                # way — comparisons with NaN are False in both forms)
+                kth = dmask.max(axis=0)
+            sel_mask = valid & (dmask <= kth[None, :] + 2.0 * slack)
+            rows_ix, q_ix = np.nonzero(sel_mask)
+            if rows_ix.size:
+                sel = pdf.iloc[rows_ix][corpus_cols].reset_index(drop=True)
+                sel[query_id] = np.asarray(ids_q, dtype=object)[q_ix]
+                yield sel
 
     candidates = corpus.mapInPandas(local_topk, out_schema)
+
+    # The final per-query window below needs candidates hash-partitioned
+    # by query_id — that exchange is paid either way. Moving it BEFORE
+    # the re-score join (repartition by the same key: the window reuses
+    # the partitioning, no second shuffle) lifts the deterministic HOF
+    # kernel — interpreted per array element (higher-order functions are
+    # CodegenFallback), by far the heaviest per-row work here — off the
+    # corpus scan's partitioning (one split on a small fixture = one
+    # serial task) onto the full post-shuffle parallelism.
+    candidates = candidates.repartition(query_id)
 
     # Deterministic re-score: broadcast-join the tiny query table back on
     # (map-side, no shuffle) and evaluate the HOF kernel — candidate count

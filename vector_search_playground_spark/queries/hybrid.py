@@ -1254,9 +1254,15 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             emb, lambda x: F.round(x * F.lit(127.0) / scale).cast("long")
         ).alias("qv"),
-    )
+    ).persist()
+    # ^ the quantization transform is an interpreted HOF (CodegenFallback)
+    # over |corpus|·384 elements, and qz feeds 3 + 2·chunks subtrees (the
+    # sizing count, each chunk's query collect + corpus scan, and each
+    # chunk's rescore broadcast): persist or every consumer re-quantizes
+    # the corpus. Exactly the artifact a production graph build would
+    # materialize once before its O(ceil(N/B)) scan passes.
 
-    n = qz.count()  # one count job to size the chunking
+    n = qz.count()  # one count job to size the chunking (materializes qz)
     n_chunks = max(1, -(-n // MAX_BATCH_QUERIES))
     chunks = []
     for i in range(n_chunks):
