@@ -906,3 +906,22 @@ def test_flac_partitioned_rice_beats_whole_block_on_regime_change():
     out3, _ = decode_flac(b3)
     assert np.array_equal(out0, out3), "lossless regardless of knob"
     assert len(b3) <= len(b0), "partitioned Rice must not lose to whole-block"
+
+
+def test_fused_matches_unfused(spark, sf_smoke):
+    """r14 optimization guard: the fused synth→featurize kernel
+    (one Arrow crossing) must be row-identical to the two-stage
+    pipeline it replaced in multimodal_features."""
+    from vector_search_playground_spark.functions.multimodal import (
+        extract_features,
+        synthesize_and_featurize_real,
+        synthesize_real_media,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents").limit(90)
+    old = extract_features(synthesize_real_media(docs), fake=False).collect()
+    new = synthesize_and_featurize_real(docs).collect()
+    key = lambda r: r["media_id"]  # noqa: E731
+    assert len(old) == len(new) > 0
+    for ra, rb in zip(sorted(old, key=key), sorted(new, key=key)):
+        assert ra.asDict() == rb.asDict()

@@ -2405,51 +2405,84 @@ def synthesize_real_media(docs: DataFrame) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for mid in pdf["doc_id"].astype("int64"):
-                mid = int(mid)
-                kind = KINDS[mid % 3]
-                if kind == "image":
-                    w, h = (mid % 8 + 1) * 16, (mid % 4 + 1) * 16
-                    # rotate raw/compressed containers per id so all
-                    # four image codecs run inside the registered
-                    # pipeline (ppm raw, png zlib, gif LZW, jpeg DCT)
-                    fmt = ("png", "ppm", "gif", "jpeg")[(mid // 3) % 4]
-                    rows.append(
-                        (mid, kind,
-                         _image_payload(w, h, (7 * mid) % 256, fmt),
-                         {"format": fmt, "width": w, "height": h,
-                          "sample_rate": None, "n_frames": None})
-                    )
-                elif kind == "audio":
-                    # rotate raw/compressed audio containers per id so
-                    # both codecs run inside the registered pipeline
-                    # (wav PCM, flac fixed-predictor + Rice)
-                    afmt = ("wav", "flac")[(mid // 3) % 2]
-                    rows.append(
-                        (mid, kind, _audio_payload(mid % 40, afmt),
-                         {"format": afmt, "width": None, "height": None,
-                          "sample_rate": 16000, "n_frames": None})
-                    )
-                else:
-                    nf = mid % 10 + 2
-                    # rotate the raw interchange container (y4m) with
-                    # the ISO BMFF container in both track flavors:
-                    # uncompressed v308 and Motion-JPEG (per-sample
-                    # baseline 4:2:0 JPEGs — a genuinely compressed
-                    # bitstream inside the container)
-                    vfmt = ("y4m", "mp4", "mjpeg")[(mid // 3) % 3]
-                    rows.append(
-                        (mid, kind, _video_payload(nf, mid % 256, vfmt),
-                         {"format": "mp4" if vfmt == "mjpeg" else vfmt,
-                          "width": 32, "height": 16,
-                          "sample_rate": None, "n_frames": nf})
-                    )
+            rows = [
+                _synth_row(int(mid)) for mid in pdf["doc_id"].astype("int64")
+            ]
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "payload", "meta"]
             )
 
     return fan_out(docs.select("doc_id")).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def _synth_row(mid: int) -> tuple:
+    """One synthesized media row (media_id, kind, payload, meta) —
+    shared by the standalone media table and the fused featurize path,
+    so the two can never drift."""
+    kind = KINDS[mid % 3]
+    if kind == "image":
+        w, h = (mid % 8 + 1) * 16, (mid % 4 + 1) * 16
+        # rotate raw/compressed containers per id so all four image
+        # codecs run inside the registered pipeline (ppm raw, png
+        # zlib, gif LZW, jpeg DCT)
+        fmt = ("png", "ppm", "gif", "jpeg")[(mid // 3) % 4]
+        return (mid, kind, _image_payload(w, h, (7 * mid) % 256, fmt),
+                {"format": fmt, "width": w, "height": h,
+                 "sample_rate": None, "n_frames": None})
+    if kind == "audio":
+        # rotate raw/compressed audio containers per id so both codecs
+        # run inside the registered pipeline (wav PCM, flac
+        # fixed-predictor + Rice)
+        afmt = ("wav", "flac")[(mid // 3) % 2]
+        return (mid, kind, _audio_payload(mid % 40, afmt),
+                {"format": afmt, "width": None, "height": None,
+                 "sample_rate": 16000, "n_frames": None})
+    nf = mid % 10 + 2
+    # rotate the raw interchange container (y4m) with the ISO BMFF
+    # container in both track flavors: uncompressed v308 and
+    # Motion-JPEG (per-sample baseline 4:2:0 JPEGs — a genuinely
+    # compressed bitstream inside the container)
+    vfmt = ("y4m", "mp4", "mjpeg")[(mid // 3) % 3]
+    return (mid, kind, _video_payload(nf, mid % 256, vfmt),
+            {"format": "mp4" if vfmt == "mjpeg" else vfmt,
+             "width": 32, "height": 16,
+             "sample_rate": None, "n_frames": nf})
+
+
+def synthesize_and_featurize_real(docs: DataFrame) -> DataFrame:
+    """Fused synthesize → real-decode → featurize in ONE ``mapInPandas``
+    stage. Row-identical to ``extract_features(synthesize_real_media(
+    docs), fake=False)`` — both sides call the same ``_synth_row`` /
+    ``_featurize_real`` helpers — but the multi-KB payload column never
+    crosses the Arrow boundary: the unfused form ships every payload
+    JVM→Python (synth output) and Python→JVM→Python again (featurize
+    input), three serialized passes over the heaviest column for zero
+    relational work in between. Only 8-byte ids enter the stage and
+    only fixed-width feature rows leave it."""
+    from vector_search_playground_spark.sources import fan_out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, nbytes, features, sampled = [], [], [], [], []
+            for mid in pdf["doc_id"].astype("int64"):
+                mid, kind, payload, meta = _synth_row(int(mid))
+                f, s = _featurize_real(kind, payload, meta)
+                ids.append(mid)
+                kinds.append(kind)
+                nbytes.append(len(payload))
+                features.append(f)
+                sampled.append(s)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "kind": kinds,
+                    "payload_bytes": pd.Series(nbytes, dtype="int32"),
+                    "features": features,
+                    "sampled_frames": sampled,
+                }
+            )
+
+    return fan_out(docs.select("doc_id")).mapInPandas(run, FEATURES_SCHEMA)
 
 
 def _audio_features(samples, sr: int) -> list[float]:

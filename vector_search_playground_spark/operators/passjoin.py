@@ -46,9 +46,20 @@ def edit_distance_pairs(
     D = max_dist
     NSEG = D + 1
 
-    names = names.select(
-        F.col(id_col).alias("doc_id"), F.col(name_col).alias("name")
-    ).withColumn("len", F.length("name"))
+    # the name relation feeds SIX subtrees (idx, probe, both tiny
+    # sentinels, and the two verify sides) — persist it once or every
+    # consumer re-runs the upstream scan + fan-out exchange as its own
+    # job (r14 measurement: the unpersisted form ran the doc scan 6×,
+    # each a separate 1-task broadcast-build job). Bounded by design:
+    # id + ≤40-char blocking key per row, never the full document.
+    # bench.py clears the cache between queries.
+    names = (
+        names.select(
+            F.col(id_col).alias("doc_id"), F.col(name_col).alias("name")
+        )
+        .withColumn("len", F.length("name"))
+        .persist()
+    )
 
     def seg_start(l, i):  # 1-based; even partition of length l into NSEG
         return (F.floor((i - 1) * l / NSEG) + 1).cast("int")
@@ -142,10 +153,18 @@ def edit_distance_pairs(
     idx = idx.unionByName(tiny)
     probe = probe.unionByName(tiny)
 
+    # candidate and verify joins are hinted shuffle-hash: every side is
+    # corpus-derived (segment index, probe expansion, the name relation
+    # itself), so a broadcast of any of them is corpus-sized at scale —
+    # shuffle joins keyed on (l, i, seg) / pair ids are the only
+    # strategy that survives 100 TB (the jaccard_join discipline,
+    # operators/setjoin.py)
     pair = (
         idx.select(F.col("doc_id").alias("x_id"), "l", "i", "seg")
         .join(
-            probe.select(F.col("doc_id").alias("y_id"), "l", "i", "seg"),
+            probe.select(
+                F.col("doc_id").alias("y_id"), "l", "i", "seg"
+            ).hint("shuffle_hash"),
             ["l", "i", "seg"],
         )
         .where(F.col("x_id") != F.col("y_id"))
@@ -162,8 +181,8 @@ def edit_distance_pairs(
         F.col("doc_id").alias("b_id"), F.col("name").alias("b_name")
     )
     return (
-        pair.join(n1, "a_id")
-        .join(n2, "b_id")
+        pair.join(n1.hint("shuffle_hash"), "a_id")
+        .join(n2.hint("shuffle_hash"), "b_id")
         .withColumn("dist", F.levenshtein("a_name", "b_name"))
         .where(F.col("dist") <= D)
         .select("a_id", "b_id", F.col("dist").cast("long").alias("dist"))

@@ -535,6 +535,15 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the loop, no shuffle of anything corpus-sized. Each round
     materializes via localCheckpoint so plan depth stays O(1), the same
     iterative discipline as pagerank_topn.
+
+    r14 optimization: the per-round checkpoints are LAZY
+    (``eager=False``) — the next round's pair-scoring collect is the
+    action that materializes them, so each round runs ONE Spark job
+    instead of two (checkpoint job + collect job). A superseded
+    checkpoint is unpersisted only after the collect that materialized
+    its successor (its blocks are the successor's lineage — a lazy
+    checkpoint cannot recompute an unpersisted parent), and the final
+    round's never-scored checkpoint is never materialized at all.
     """.format(r=_BPE_ROUNDS)
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
@@ -550,9 +559,10 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("syms"),
             "cnt",
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     merges = []
+    retired = None  # superseded checkpoint still feeding `vocab`'s lineage
     for rank in range(1, _BPE_ROUNDS + 1):
         top = (
             vocab.where(F.size("syms") >= 2)
@@ -573,6 +583,11 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .collect()
         )
+        # `vocab` is materialized now; its parent checkpoint is no longer
+        # anyone's lineage and can be released
+        if retired is not None:
+            retired.unpersist()
+            retired = None
         if not top:
             break
         a, b, freq = top[0]["a"], top[0]["b"], top[0]["freq"]
@@ -580,7 +595,7 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         # left-to-right non-overlapping fuse of (a, b) -> a||b: the fold
         # carries (acc, just_merged) so a symbol created this round never
         # re-merges with the following input symbol ('aaa' -> [aa, a])
-        prev = vocab
+        retired = vocab
         vocab = vocab.select(
             F.expr(
                 "aggregate(syms,"
@@ -594,9 +609,10 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " st -> st.acc)"
             ).alias("syms"),
             "cnt",
-        ).localCheckpoint(eager=True)
-        prev.unpersist()
+        ).localCheckpoint(eager=False)
     vocab.unpersist()
+    if retired is not None:
+        retired.unpersist()
     return spark.createDataFrame(
         merges, "merge_rank long, a string, b string, freq long"
     )

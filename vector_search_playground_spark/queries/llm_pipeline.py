@@ -1031,15 +1031,19 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas decode → frame-sample → signal-statistic featurize
     (functions/multimodal.py). Compressed codecs (png/mp4/…) remain a
     documented NotImplementedError seam at the same call site; plumbing
-    and codecs are property-tested in tests/test_multimodal.py."""
+    and codecs are property-tested in tests/test_multimodal.py.
+
+    r14 optimization: synth and featurize are fused into one
+    ``mapInPandas`` stage (functions/multimodal.py::
+    synthesize_and_featurize_real) so the payload column never crosses
+    the Arrow boundary — row-identical by shared helpers, equivalence
+    pinned by tests/test_multimodal.py::test_fused_matches_unfused."""
     from vector_search_playground_spark.functions.multimodal import (
-        extract_features,
-        synthesize_real_media,
+        synthesize_and_featurize_real,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    media = synthesize_real_media(docs)
-    feats = extract_features(media, fake=False)
+    feats = synthesize_and_featurize_real(docs)
     return feats.select(
         "media_id",
         "kind",

@@ -241,9 +241,50 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure) are served by the dedicated operators
     (queries/graph.py pointer-jumping) instead — this certifies the
     SQL surface, not a new scale path.
+
+    Execution note (r14 optimization): Spark 4's ``UnionLoop`` replans
+    the step subtree each iteration, so a non-recursive CTE referenced
+    inside the loop body is NOT materialized once — the executed plan
+    held one full orders scan + aggregate per iteration (12 scans of
+    the fact table for a 12-row walk; plans/r14/
+    sql_recursive_cte_before.txt operators 10–13 inside UnionLoop).
+    The ``rev`` aggregate is therefore evaluated once here and handed
+    to the recursion as a ≤12-row local relation (bounded-aggregate
+    collect, the gini_index discipline); the ``WITH RECURSIVE`` walk —
+    the surface this query certifies — is unchanged and still executes
+    through UnionLoop, now joining against a LocalTableScan.
     """
     register_views(spark, sf_dir)
-    return spark.sql(_RECURSIVE_CTE_SQL)
+    rev_rows = spark.sql(
+        """
+        SELECT CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mon,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM orders
+        WHERE o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1997-01-01'
+        GROUP BY EXTRACT(MONTH FROM o_orderdate)
+        """
+    ).collect()  # ≤ 12 rows: month × exact-cents revenue, pure metadata
+    spark.createDataFrame(
+        rev_rows, "mon int, rev_c bigint"
+    ).createOrReplaceTempView("rev_materialized")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(mon, cum_c) AS (
+            SELECT CAST(1 AS INT) AS mon,
+                   CAST(coalesce((SELECT rev_c FROM rev_materialized
+                                  WHERE mon = 1), 0) AS BIGINT) AS cum_c
+            UNION ALL
+            SELECT CAST(w.mon + 1 AS INT) AS mon,
+                   CAST(w.cum_c + coalesce(r.rev_c, 0) AS BIGINT) AS cum_c
+            FROM walk w LEFT JOIN rev_materialized r ON r.mon = w.mon + 1
+            WHERE w.mon < 12
+        )
+        SELECT mon, CAST(cum_c AS BIGINT) AS cum_revenue_c
+        FROM walk ORDER BY mon
+        """
+    )
 
 
 # --- sql_lateral_topk -------------------------------------------------------
