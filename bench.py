@@ -103,6 +103,18 @@ def main() -> None:
                 print(f"# {qid} FAILED: {exc}", file=sys.stderr)
                 return False
             runs.append(time.perf_counter() - t0)
+            # Measurement fix (r14): clear the cache after EVERY rep, not
+            # only between queries. A query whose returned DataFrame
+            # depends on an intra-query persist cannot unpersist before
+            # returning; Spark's CacheManager matches the NEXT rep's
+            # logically-identical plan against the previous rep's cache,
+            # so without this clear the min-of-reps headline timed a
+            # cache read instead of the computation from parquet. The
+            # clear itself stays outside the timed window.
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
             return True
 
         for _ in range(reps):
@@ -116,10 +128,8 @@ def main() -> None:
                     break
         if failed or not runs:
             continue
-        # Drop cached relations between queries: persists are intra-query
-        # (each query re-reads parquet), and letting block-manager state
-        # accumulate across 135 queries is what pushed the heap over in a
-        # full run. Not timed — runs are already recorded.
+        # Belt-and-braces clear between queries too (a failed rep skips
+        # the per-rep clear). Not timed — runs are already recorded.
         try:
             spark.catalog.clearCache()
         except Exception:

@@ -48,11 +48,14 @@ def main() -> int:
         def run() -> float:
             t0 = time.perf_counter()
             fn(spark, sf).write.format("noop").mode("overwrite").save()
-            return time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            # same per-rep clear as bench.py: intra-query persists must
+            # not feed the next rep through CacheManager plan matching
+            spark.catalog.clearCache()
+            return dt
 
         run()  # untimed warm rep
         runs = [run() for _ in range(reps)]
-        spark.catalog.clearCache()
         print(
             f"{qid}: min {min(runs):.3f}s "
             f"runs {[round(r, 3) for r in runs]}",

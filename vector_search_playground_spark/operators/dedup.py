@@ -633,7 +633,13 @@ def dedup_near(docs: DataFrame, *, id_col: str = "doc_id",
     shingle relation feeds an explode-shuffle plus two verify joins)."""
     if kernel == "arrow":
         # Both LSH band-join sides read the signature relation — persist it
-        # (one narrow row per doc) or the Arrow stage runs twice.
+        # (one narrow row per doc) or the Arrow stage runs twice. AQE
+        # materializes the self-join's two shuffle stages concurrently and
+        # both race into the cold cache, so the Arrow kernel can run once
+        # per side; an eager count() to pin the cache first was tried in
+        # r14 and REVERTED — the racing duplicates run concurrently on
+        # idle cores while the extra action serializes (honest isolated
+        # A/B: 2.08 s → 2.81 s with the count).
         sigs = minhash_signatures_fused(
             docs, id_col=id_col, text_col=text_col
         ).persist()

@@ -104,13 +104,19 @@ def jaccard_join(
     overlap_ub = (
         F.least(F.col("an") - F.col("ark"), F.col("bn") - F.col("brk")) + 1
     )
-    # Deliberate strategy (guide §3.1): the prefix relation is
-    # corpus-scale, so the self-join must be a shuffle join keyed on the
-    # rare prefix shingles — never a broadcast of one side (which is what
-    # the planner picked from the unmaterialized-cache estimates, hashing
-    # the whole prefix relation onto the driver per build).
+    # Join strategy (guide §3.1), r14 measured twice: the original
+    # pathology was the static planner broadcasting from GARBAGE
+    # post-explode estimates (every broadcast build re-ran its upstream
+    # subtree). The two persists above are the actual fix — once the
+    # prefix/shingle relations are cached, size estimates are honest and
+    # the planner + autoBroadcastJoinThreshold pick correctly at every
+    # scale (corpus-sized sides exceed the threshold and shuffle).
+    # Forcing shuffle_hash on top of the persists was measured SLOWER on
+    # all three consumers (in-session variant A/B, OPTIMIZATION_r14):
+    # it denies the planner legitimately-broadcastable small sides. So:
+    # persists + explicit broadcast(freq) only, no join-strategy hints.
     cand = (
-        a.hint("shuffle_hash").join(b.hint("shuffle_hash"), "shingle")
+        a.join(b, "shingle")
         .where(
             (F.col("a_id") < F.col("b_id"))
             & (F.col("an") >= F.ceil(F.lit(threshold) * F.col("bn") - EPS))
@@ -130,13 +136,12 @@ def jaccard_join(
         F.size("a_sh") + F.size("b_sh")
         - F.size(F.array_intersect("a_sh", "b_sh"))
     )
-    # Verify side: shingled is corpus-scale too — shuffle-join the
-    # (small, bounded-by-true-pair-density) candidate set against it on
-    # the id keys rather than letting the planner broadcast the corpus
-    # shingle arrays.
+    # Verify side: same reasoning — the persisted shingle relation gives
+    # the planner honest sizes, so it broadcasts the candidate set when
+    # small and shuffles when not (no hint; see strategy note above).
     return (
-        cand.join(sa.hint("shuffle_hash"), "a_id")
-        .join(sb.hint("shuffle_hash"), "b_id")
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
         .withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= threshold)
         .select("a_id", "b_id",

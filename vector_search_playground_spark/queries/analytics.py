@@ -196,6 +196,9 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         grouped_bucketed_rank,
     )
 
+    # (r14, measured and rejected: fan_out before caching — honest
+    # isolated A/B 1.69 s → 2.35 s; the exchange + cache-write cost more
+    # than the single-split probe passes it parallelized.)
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     ).cache()

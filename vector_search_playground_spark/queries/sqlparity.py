@@ -266,19 +266,29 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY EXTRACT(MONTH FROM o_orderdate)
         """
     ).collect()  # ≤ 12 rows: month × exact-cents revenue, pure metadata
-    spark.createDataFrame(
-        rev_rows, "mon int, rev_c bigint"
-    ).createOrReplaceTempView("rev_materialized")
+    # inline the rows as a literal VALUES relation: a single-partition
+    # LocalRelation. (A createDataFrame temp view parallelizes to
+    # defaultParallelism slices, and every UnionLoop iteration's join
+    # then scheduled a 32-task stage — measured 3× slower than the
+    # original 12-scan form. The VALUES row keeps each of the 12
+    # iteration joins a 1-task local job.)
+    rev_values = ", ".join(
+        f"(CAST({r['mon']} AS INT), CAST({r['rev_c']} AS BIGINT))"
+        for r in rev_rows
+    ) or "(CAST(NULL AS INT), CAST(NULL AS BIGINT))"
     return spark.sql(
-        """
-        WITH RECURSIVE walk(mon, cum_c) AS (
+        f"""
+        WITH RECURSIVE rev_m AS (
+            SELECT mon, rev_c FROM (VALUES {rev_values}) AS t(mon, rev_c)
+            WHERE mon IS NOT NULL
+        ), walk(mon, cum_c) AS (
             SELECT CAST(1 AS INT) AS mon,
-                   CAST(coalesce((SELECT rev_c FROM rev_materialized
+                   CAST(coalesce((SELECT rev_c FROM rev_m
                                   WHERE mon = 1), 0) AS BIGINT) AS cum_c
             UNION ALL
             SELECT CAST(w.mon + 1 AS INT) AS mon,
                    CAST(w.cum_c + coalesce(r.rev_c, 0) AS BIGINT) AS cum_c
-            FROM walk w LEFT JOIN rev_materialized r ON r.mon = w.mon + 1
+            FROM walk w LEFT JOIN rev_m r ON r.mon = w.mon + 1
             WHERE w.mon < 12
         )
         SELECT mon, CAST(cum_c AS BIGINT) AS cum_revenue_c

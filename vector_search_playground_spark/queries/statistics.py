@@ -897,6 +897,11 @@ def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucketed_cumsum,
     )
 
+    # (r14, measured and rejected: fanning the projection across full
+    # parallelism before caching — the fixture scan is 3 splits — cost
+    # more in exchange + cache-write than the extra parallelism saved:
+    # honest isolated A/B 2.60 s → 2.99 s. At production scale the scan
+    # has natural splits anyway.)
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select(

@@ -410,6 +410,12 @@ def embed_minilm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 V.dot_product(F.col("ea"), F.col("eb")), 4
             ).alias("self_cos"),
         )
+        # NOTE (r14, measured and rejected): persisting before this
+        # global sort — so the range-exchange boundary sampling would
+        # not re-execute the transformer — was tried and REVERTED: the
+        # honest isolated A/B went 1.88 s → 3.74 s. The sampling pass's
+        # re-execution runs concurrently on idle cores, while the cache
+        # materialization serializes the pipeline; see OPTIMIZATION_r14.
         .orderBy("doc_id")
     )
 
