@@ -868,13 +868,12 @@ def als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").cast("int").alias("item"),
         )
         .agg(F.count(F.lit(1)).cast("float").alias("rating"))
-        # the user×item matrix feeds SEVEN subtrees (train anti-join,
-        # user subset, negative catalog, BPR pair anti-join, the sampled
-        # slice below, and through it the two AUC positives): persist or
-        # each one re-runs the fact join + hash-agg. Bounded: one row
-        # per observed (user, item), not per lineitem. bench.py clears
-        # the cache between queries.
-        .persist()
+        # (r14, measured and rejected: persisting this relation — it
+        # feeds seven subtrees — lost ~9% in an interleaved in-session
+        # A/B at sf0.1 AND doubled the full-bench number under memory
+        # pressure; the recomputed hash-aggs run concurrently on idle
+        # cores while the cache write/read serializes. See
+        # OPTIMIZATION_r14.md section 9.)
     )
     # leave-one-out holdout: sampled users' top item, only where the user
     # keeps ≥1 training item (so cold-start drop cannot erase them)
@@ -889,9 +888,7 @@ def als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where((F.col("rn") == 1) & (F.col("n_items") >= 2))
         .select("user", F.col("item").alias("held_item"))
-        # |sampled users| rows, read by 4 joins — persist for the same
-        # reason (each use otherwise re-runs the two rank windows)
-        .persist()
+        # (same r14 rejected-persist note as `ratings` above)
     )
     train = ratings.join(
         held,
