@@ -1254,15 +1254,17 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             emb, lambda x: F.round(x * F.lit(127.0) / scale).cast("long")
         ).alias("qv"),
-    ).persist()
-    # ^ the quantization transform is an interpreted HOF (CodegenFallback)
-    # over |corpus|·384 elements, and qz feeds 3 + 2·chunks subtrees (the
-    # sizing count, each chunk's query collect + corpus scan, and each
-    # chunk's rescore broadcast): persist or every consumer re-quantizes
-    # the corpus. Exactly the artifact a production graph build would
-    # materialize once before its O(ceil(N/B)) scan passes.
+    )
+    # (r14: a persist here — qz feeds 3 + 2·chunks subtrees — was landed
+    # mid-round on leaky-harness evidence and REVERTED after the honest
+    # persist-toggle A/B came out no-persist-faster in every interleaved
+    # round: the consumers' recomputed quantization HOFs run concurrently
+    # on idle cores, while the cache materialization serializes and the
+    # un-persisted sizing count below gets column-pruned to a cheap row
+    # count. At real corpus scale a production graph build would
+    # materialize this artifact once — revisit with cluster memory.)
 
-    n = qz.count()  # one count job to size the chunking (materializes qz)
+    n = qz.count()  # one count job to size the chunking
     n_chunks = max(1, -(-n // MAX_BATCH_QUERIES))
     chunks = []
     for i in range(n_chunks):
