@@ -182,7 +182,18 @@ ROWS_ONLY_CHECKS = {
     "als_recommend": _check_als_recommend,
 }
 
+# plan-PRINT conf, not plan shape: the scan-metadata string is
+# truncated at this many chars BEFORE normalized_plan() strips expr
+# ids, so with the 100-char default the truncation point depends on
+# expr-id digit counts — which depend on how many expressions earlier
+# probed queries allocated in the same JVM. Both arms disable the
+# truncation so the plan-equality assertion compares structure, not
+# counter-length luck (r15: surfaced when the passjoin hint removal
+# shifted als_recommend's expr ids in the FUZZY-tier JVM).
+_PLAN_PRINT_CONF = {"spark.sql.maxMetadataStringLength": "100000"}
+
 SPILL_CONF = {
+    **_PLAN_PRINT_CONF,
     # small, real memory budget (vs the factory's 16g default)
     "spark.driver.memory": "1500m",
     "spark.memory.fraction": "0.3",
@@ -216,7 +227,10 @@ _PLAN_SHAPE_CONFS = (
     "spark.sql.autoBroadcastJoinThreshold",
     "spark.sql.adaptive.autoBroadcastJoinThreshold",
 )
-COMFORTABLE_CONF = {k: SPILL_CONF[k] for k in _PLAN_SHAPE_CONFS}
+COMFORTABLE_CONF = {
+    **_PLAN_PRINT_CONF,
+    **{k: SPILL_CONF[k] for k in _PLAN_SHAPE_CONFS},
+}
 
 
 def _stages(spark) -> list[dict]:

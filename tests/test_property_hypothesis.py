@@ -186,7 +186,7 @@ def test_pack_sequences_equals_serial_scan(spark, weights, budget,
         min_size=1, max_size=40,
     ),
     q=st.sampled_from([0.0, 0.25, 0.5, 0.75, 0.9, 1.0]),
-    num_buckets=st.sampled_from([1, 2, 8, 64]),
+    sub_bits=st.sampled_from([0, 1, 3, 6]),
 )
 @settings(
     max_examples=15,
@@ -194,18 +194,18 @@ def test_pack_sequences_equals_serial_scan(spark, weights, budget,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_exact_quantile_matches_holistic_percentile(spark, values, q,
-                                                    num_buckets):
+                                                    sub_bits):
     """The distributed-selection quantile must equal Spark's holistic
     percentile() (same percentile_cont semantics) for arbitrary data —
-    including constant columns, single rows, duplicates, and bucket
-    counts down to 1."""
+    including constant columns, single rows, duplicates, and radix
+    resolutions down to one bucket per binary octave."""
     from vector_search_playground_spark.operators.selection import (
         exact_quantile,
     )
 
     rows = [("a", float(v)) for v in values] + [("b", 7.0)]
     df = spark.createDataFrame(rows, "col: string, v: double")
-    got = exact_quantile(df, "col", "v", q, num_buckets=num_buckets)
+    got = exact_quantile(df, "col", "v", q, sub_bits=sub_bits)
     expected = {
         r["col"]: r["p"]
         for r in df.groupBy("col")
@@ -242,9 +242,9 @@ def test_exact_quantiles_multi_q_matches_singles(spark, values):
     qs = [0.0, 0.5, 0.95, 1.0]
     rows = [("a", float(v)) for v in values]
     df = spark.createDataFrame(rows, "col: string, v: double")
-    multi = exact_quantiles(df, "col", "v", qs, num_buckets=8)
+    multi = exact_quantiles(df, "col", "v", qs, sub_bits=3)
     for q in qs:
-        single = exact_quantile(df, "col", "v", q, num_buckets=8)
+        single = exact_quantile(df, "col", "v", q, sub_bits=3)
         for k in single:
             assert math.isclose(multi[k][q], single[k], rel_tol=1e-12,
                                 abs_tol=1e-12), (k, q)

@@ -458,7 +458,7 @@ def test_grouped_bucketed_rank_equals_plain_window(spark):
     got = {
         (r["g"], r["tb"]): (r["rk"], r["grp_n"])
         for r in grouped_bucketed_rank(
-            df, ["g"], "v", tiebreak_col="tb", num_buckets=8
+            df, ["g"], "v", tiebreak_col="tb", sub_bits=3
         ).collect()
     }
     w = Window.partitionBy("g").orderBy("v", "tb")
@@ -496,7 +496,7 @@ def test_grouped_bucketed_rank_all_ties_degenerate_case(spark):
         .alias("v"),
     )
     rows = grouped_bucketed_rank(
-        df, ["g"], "v", tiebreak_col="tb", num_buckets=8
+        df, ["g"], "v", tiebreak_col="tb", sub_bits=3
     ).collect()
     for g in (0, 1):
         grp = sorted(
@@ -574,6 +574,6 @@ def test_grouped_bucketed_rank_rejects_high_cardinality_groups(spark):
     )
     with pytest.raises(ValueError, match="low-cardinality"):
         grouped_bucketed_rank(
-            df, ["g"], "v", tiebreak_col="tb", num_buckets=4,
+            df, ["g"], "v", tiebreak_col="tb", sub_bits=2,
             max_partials=100,
         ).collect()

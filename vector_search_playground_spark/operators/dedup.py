@@ -306,8 +306,12 @@ def simhash_pairs(signatures: DataFrame, *, max_hamming: int = 7,
             f"max_hamming={max_hamming} must be < bands={bands} for the "
             "band-collision search to be exhaustive (pigeonhole)"
         )
-    # both join sides read the signature relation — persist it once
-    signatures = signatures.persist()
+    # both join sides read the signature relation — persist it once.
+    # Cache ownership: operators/cachectl (caller releases after
+    # consuming the result)
+    from vector_search_playground_spark.operators.cachectl import track
+
+    signatures = track(signatures)
     width = nbits // bands
     mask = (1 << width) - 1
     entries = F.array(*[

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vector_search_playground_spark.operators.cachectl import track
+
 
 def edit_distance_pairs(
     names: DataFrame,
@@ -52,13 +54,13 @@ def edit_distance_pairs(
     # job (r14 measurement: the unpersisted form ran the doc scan 6×,
     # each a separate 1-task broadcast-build job). Bounded by design:
     # id + ≤40-char blocking key per row, never the full document.
-    # bench.py clears the cache between queries.
-    names = (
+    # Cache ownership: operators/cachectl (explicit storage level;
+    # caller releases after consuming the result — bench.py's per-rep
+    # clearCache subsumes it).
+    names = track(
         names.select(
             F.col(id_col).alias("doc_id"), F.col(name_col).alias("name")
-        )
-        .withColumn("len", F.length("name"))
-        .persist()
+        ).withColumn("len", F.length("name"))
     )
 
     def seg_start(l, i):  # 1-based; even partition of length l into NSEG
@@ -153,18 +155,20 @@ def edit_distance_pairs(
     idx = idx.unionByName(tiny)
     probe = probe.unionByName(tiny)
 
-    # candidate and verify joins are hinted shuffle-hash: every side is
-    # corpus-derived (segment index, probe expansion, the name relation
-    # itself), so a broadcast of any of them is corpus-sized at scale —
-    # shuffle joins keyed on (l, i, seg) / pair ids are the only
-    # strategy that survives 100 TB (the jaccard_join discipline,
-    # operators/setjoin.py)
+    # candidate and verify joins carry NO strategy hints (r15; r14
+    # shipped shuffle_hash hints here and the jaccard kernel's r14
+    # in-session A/B showed such hints are over-correction once the
+    # persisted relation carries honest size stats): at fixture scale
+    # the planner broadcasts the genuinely small sides; at 100 TB the
+    # same honest sizes exceed the broadcast threshold and the planner
+    # falls back to shuffle joins keyed on (l, i, seg) / pair ids —
+    # and the sort-merge fallback spills gracefully under memory
+    # pressure, which the forced-spill certificate
+    # (tests/test_scale_stress.py) exercises with broadcasts disabled.
     pair = (
         idx.select(F.col("doc_id").alias("x_id"), "l", "i", "seg")
         .join(
-            probe.select(
-                F.col("doc_id").alias("y_id"), "l", "i", "seg"
-            ).hint("shuffle_hash"),
+            probe.select(F.col("doc_id").alias("y_id"), "l", "i", "seg"),
             ["l", "i", "seg"],
         )
         .where(F.col("x_id") != F.col("y_id"))
@@ -181,8 +185,8 @@ def edit_distance_pairs(
         F.col("doc_id").alias("b_id"), F.col("name").alias("b_name")
     )
     return (
-        pair.join(n1.hint("shuffle_hash"), "a_id")
-        .join(n2.hint("shuffle_hash"), "b_id")
+        pair.join(n1, "a_id")
+        .join(n2, "b_id")
         .withColumn("dist", F.levenshtein("a_name", "b_name"))
         .where(F.col("dist") <= D)
         .select("a_id", "b_id", F.col("dist").cast("long").alias("dist"))

@@ -2,20 +2,44 @@
 scale-safe replacement for ``sum(...) OVER (ORDER BY ...)`` global
 windows, which plan as a single-partition whale.
 
-Pass 1 buckets rows by approxQuantile boundaries of the order column and
-aggregates per-bucket (count, weight-sum) partials; the driver prefixes
-the ≤ ``num_buckets`` partials (metadata). Pass 2 runs the rank/cumsum
-window WITHIN each bucket (1/num_buckets slices) and adds the bucket's
-offset. Used by ``revenue_concentration`` (Pareto crossing) and
-``weighted_median`` (weighted selection); same discipline as
+Pass 1 buckets rows by an exactly monotone radix function of the order
+column (``operators/radix`` — binary exponent plus top mantissa bits,
+sign-folded) and aggregates per-bucket (count, weight-sum) partials;
+the driver prefixes the observed-bucket partials (metadata). Pass 2
+runs the rank/cumsum window WITHIN each bucket and adds the bucket's
+offset. Used by ``revenue_concentration`` (Pareto crossing),
+``weighted_median`` (weighted selection), ``ks_2sample`` /
+``mannwhitney_u`` (rank statistics); same discipline as
 operators/packing.py's sequence packing.
+
+r15: until r14 pass 1 derived equi-depth boundaries from an
+``approxQuantile`` probe — one extra full scan + one extra Spark
+action per kernel call (at fixture scale the extra action's driver
+floor dominates the pass itself). Radix bucketing removes the probe:
+the bucket is a pure function of the value, so the partials pass and
+the window pass agree without coordination, and cumulative counts
+over the ASCENDING observed bucket ids are exact global positions.
+The trade, stated honestly: buckets are log-spaced (2^-sub_bits slices
+of each binary octave, ≈9 % relative width at sub_bits=3) instead of
+equi-depth, so a distribution concentrated inside ONE sub-bucket's
+width degrades pass 2's parallelism (one big window partition), never
+correctness — the callers order by prices/cents/counts/latencies,
+which span many octaves. Operators whose order column is an arbitrary
+unique key with possibly tiny relative spread (``operators/ids``,
+``operators/packing``) keep their approxQuantile boundaries, which
+are balanced under ANY layout; for them the probe is the contract.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from vector_search_playground_spark.operators.radix import (
+    RADIX_SUB_BITS,
+    radix_bucket,
+)
 
 
 def bucketed_cumsum(
@@ -25,36 +49,23 @@ def bucketed_cumsum(
     *,
     tiebreak_col: str,
     descending: bool = False,
-    num_buckets: int = 64,
+    sub_bits: int = RADIX_SUB_BITS,
 ) -> tuple[DataFrame, int, int]:
     """(df + [rk, cum], n_rows, total_weight).
 
     ``rk`` = 1-based rank in (order_col, tiebreak_col) order;
     ``cum`` = inclusive running sum of ``weight_col`` in that order.
     Weights must be integral (cast to long) so ``cum`` is exact int64 —
-    threshold tests downstream stay knife-edge-free.
+    threshold tests downstream stay knife-edge-free. Order values must
+    be non-null finite doubles (callers' existing contract).
 
-    The input is scanned by BOTH passes (boundary probe + partials, then
-    the within-bucket window): callers should ``.cache()`` ``df`` around
+    The input is scanned by BOTH passes (partials, then the
+    within-bucket window): callers should ``.cache()`` ``df`` around
     the call and unpersist after consuming the result.
     """
-    probs = [i / num_buckets for i in range(1, num_buckets)]
-    bounds = sorted(
-        set(
-            df.select(F.col(order_col).cast("double").alias("__v"))
-            .approxQuantile("__v", probs, 1.0 / (4 * num_buckets))
-        )
+    bucketed = df.withColumn(
+        "__bkt", radix_bucket(F.col(order_col), sub_bits=sub_bits)
     )
-
-    def bucket_of(c: Column) -> Column:
-        v = c.cast("double")
-        expr = F.lit(0)
-        for b in bounds:
-            expr = expr + F.when(v > F.lit(b), 1).otherwise(0)
-        return expr.cast("int")
-
-    nb = len(bounds) + 1
-    bucketed = df.withColumn("__bkt", bucket_of(F.col(order_col)))
     parts = {
         r["__bkt"]: (r["n"], r["s"])
         for r in bucketed.groupBy("__bkt")
@@ -66,14 +77,17 @@ def bucketed_cumsum(
     }
     n_rows = sum(n for n, _ in parts.values())
     total = sum(s for _, s in parts.values())
-    walk = range(nb - 1, -1, -1) if descending else range(nb)
+    # offsets from cumulative partials over the observed buckets in
+    # walk order (radix ids are monotone in value; every pass-2 row's
+    # bucket was observed in pass 1 — same pure function, same rows)
+    walk = sorted(parts, reverse=descending)
     off_n, off_s, cn, cs = {}, {}, 0, 0
     for b in walk:
         off_n[b], off_s[b] = cn, cs
-        n, s = parts.get(b, (0, 0))
+        n, s = parts[b]
         cn, cs = cn + n, cs + s
-    map_n = F.create_map(*[F.lit(x) for b in range(nb) for x in (b, off_n[b])])
-    map_s = F.create_map(*[F.lit(x) for b in range(nb) for x in (b, off_s[b])])
+    map_n = F.create_map(*[F.lit(x) for b in walk for x in (b, off_n[b])])
+    map_s = F.create_map(*[F.lit(x) for b in walk for x in (b, off_s[b])])
     order = (
         [F.desc(order_col), F.asc(tiebreak_col)]
         if descending
@@ -99,7 +113,7 @@ def grouped_bucketed_rank(
     order_col: str,
     *,
     tiebreak_col: str,
-    num_buckets: int = 64,
+    sub_bits: int = RADIX_SUB_BITS,
     max_partials: int = 65536,
 ) -> DataFrame:
     """df + [``rk`` (1-based exact rank within its group by
@@ -109,31 +123,29 @@ def grouped_bucketed_rank(
     ONE task (a whale wearing a hash exchange: the SinglePartition plan
     gate can't see it because the exchange looks partitioned).
 
-    Same discipline as ``bucketed_cumsum``, grouped: global
-    approxQuantile boundaries on ``order_col`` bucket every row; ONE
-    hash-agg counts (group, bucket) partials; the driver prefixes the
-    |groups|·|buckets| partials per group (metadata — callers must have
-    LOW-cardinality groups, which is exactly the whale case) and
-    broadcast-joins the offsets back; the rank window then runs within
-    (group, bucket) — 1/num_buckets of a group per task. Equal order
-    values never straddle buckets (bucketing is a pure function of the
-    value), so the (order, tiebreak) window order within a bucket
-    completes a total order. ``order_col`` must be non-null (the
-    boundary probe ignores nulls, and a null value would land in bucket
-    0 by the when/otherwise fallthrough — mimicking asc-nulls-first by
-    accident, not by contract), and ``group_cols`` values must be
-    non-null too: the offsets come back through an inner equi-join, and
-    SQL equality never matches NULL = NULL — a null-keyed group would
-    silently drop its rows where the ``row_number()`` window it replaces
-    would rank the null partition. Both contracts are ENFORCED (raise,
-    not silent wrong answers) from the collected partials: the partials
-    hash-agg carries a per-(group, bucket) null-order count alongside
-    the row count, so the check costs no extra pass.
+    Same discipline as ``bucketed_cumsum``, grouped: the radix bucket
+    function splits every row; ONE hash-agg counts (group, bucket)
+    partials; the driver prefixes the |groups|·|observed buckets|
+    partials per group (metadata — callers must have LOW-cardinality
+    groups, which is exactly the whale case) and broadcast-joins the
+    offsets back; the rank window then runs within (group, bucket).
+    Equal order values never straddle buckets (bucketing is a pure
+    function of the value), so the (order, tiebreak) window order
+    within a bucket completes a total order. ``order_col`` must be
+    non-null (a null value radix-buckets to NULL — no stated ordering
+    contract), and ``group_cols`` values must be non-null too: the
+    offsets come back through an inner equi-join, and SQL equality
+    never matches NULL = NULL — a null-keyed group would silently drop
+    its rows where the ``row_number()`` window it replaces would rank
+    the null partition. Both contracts are ENFORCED (raise, not silent
+    wrong answers) from the collected partials: the partials hash-agg
+    carries a per-(group, bucket) null-order count alongside the row
+    count, so the check costs no extra pass.
 
     The |groups|·|buckets| partials are driver-collected and broadcast
     back — the low-cardinality-group contract in numbers: the collect is
-    bounded by ``max_partials`` (default 65536 ≈ 1k groups at the
-    default 64 buckets) and exceeding it raises instead of quietly
+    bounded by ``max_partials`` (default 65536 ≈ 1k groups at ~64
+    observed buckets) and exceeding it raises instead of quietly
     OOMing the driver.
 
     Parallelism bound, stated honestly: ties are indivisible under
@@ -145,25 +157,12 @@ def grouped_bucketed_rank(
     callers order by near-continuous columns (prices, cents, 60-bit
     hash keys) where tie runs are tiny.
 
-    The input is scanned by all three passes (boundary probe, partials,
-    rank window): callers should ``.cache()`` ``df`` around the call.
+    The input is scanned by both passes (partials, rank window):
+    callers should ``.cache()`` ``df`` around the call.
     """
-    probs = [i / num_buckets for i in range(1, num_buckets)]
-    bounds = sorted(
-        set(
-            df.select(F.col(order_col).cast("double").alias("__v"))
-            .approxQuantile("__v", probs, 1.0 / (4 * num_buckets))
-        )
+    bucketed = df.withColumn(
+        "__bkt", radix_bucket(F.col(order_col), sub_bits=sub_bits)
     )
-
-    def bucket_of(c: Column) -> Column:
-        v = c.cast("double")
-        expr = F.lit(0)
-        for b in bounds:
-            expr = expr + F.when(v > F.lit(b), 1).otherwise(0)
-        return expr.cast("int")
-
-    bucketed = df.withColumn("__bkt", bucket_of(F.col(order_col)))
     parts = (
         bucketed.groupBy(*group_cols, "__bkt")
         .agg(
@@ -183,10 +182,9 @@ def grouped_bucketed_rank(
         )
     if any(r["__nulls"] for r in parts):
         raise ValueError(
-            "grouped_bucketed_rank: NULL order-column value — the "
-            "quantile boundary probe ignores nulls, so a null would "
-            "land in bucket 0 by when/otherwise fallthrough rather "
-            "than by a stated ordering contract. Filter or coalesce "
+            "grouped_bucketed_rank: NULL order-column value — a null "
+            "radix-buckets to NULL rather than by a stated ordering "
+            "contract. Filter or coalesce "
             f"{order_col!r} first."
         )
     per_group: dict[tuple, dict[int, int]] = {}

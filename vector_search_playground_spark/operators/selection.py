@@ -8,32 +8,40 @@ interpolated quantile (SQL ``percentile_cont`` semantics, matching both
 Spark's ``percentile`` and DuckDB's ``quantile_cont``) by distributed
 selection, entirely with codegen'd JVM expressions:
 
-1. per-key count/min/max (one metadata-sized hash agg) → the target REAL
-   position ``t = (n-1)·q`` per key;
-2. per-(key, equal-width-bucket) histogram via ``width_bucket`` with the
-   per-key range wired in as literal maps — one shuffle of K·B rows;
-   bucketing depends only on the value, so equal values share a bucket and
-   bucket ranges are monotone: cumulative counts give exact global
-   positions;
-3. for each needed global index ⌊t⌋ / ⌈t⌉, locate its bucket and LOCAL
-   index from the cumulative histogram (driver arithmetic over K·B rows of
-   metadata);
-4. rank ONLY the straddling buckets (a B-th of the data under any
-   reasonably spread distribution) with a window partitioned by
-   (key, bucket) and pull the ≤ 2 selected neighbors per key.
+1. per-(key, radix-bucket) histogram (``operators/radix``: the bucket is
+   an exactly monotone pure function of the value — binary exponent plus
+   top mantissa bits — so NO min/max or sketch probe pass is needed, and
+   cumulative bucket counts give exact global positions). One shuffle of
+   K·B metadata rows; per-key row counts fall out of the same histogram.
+2. for each needed global index ⌊t⌋ / ⌈t⌉ at target position
+   ``t = (n-1)·q``, locate its bucket and LOCAL index from the cumulative
+   histogram (driver arithmetic over K·B rows of metadata);
+3. rank ONLY the straddling buckets (a log-spaced slice of the data —
+   ≤ one 2^-sub_bits octave slice per needed index under any distribution
+   wider than one sub-bucket) with a window partitioned by (key, bucket)
+   and pull the ≤ 2 selected neighbors per key.
 
-Equal-width buckets trade the sketch pass of a quantile-boundary scheme
-for zero extra scans; a pathological distribution (nearly all mass inside
-one bucket width) degrades step 4's rank size, never correctness — the
-production hardening is to recurse the same histogram inside an oversized
-straddling bucket. Keys are the *profiled columns* — a bounded set — so
-driver bookkeeping is O(keys · buckets) metadata, not data.
+r15: the r8–r14 shape had a THIRD pass — a per-key count/min/max probe
+feeding equal-width ``width_bucket`` boundaries. Radix bucketing removes
+that pass (and its Spark action — at fixture scale the per-action driver
+floor was most of the probe's cost) while keeping the same exactness
+argument: bucketing depends only on the value, equal values share a
+bucket, bucket ranges are monotone. A pathological distribution (nearly
+all mass inside one sub-bucket's ~9% relative width) degrades step 3's
+rank size, never correctness — the same documented degradation the
+equal-width scheme had. Keys are the *profiled columns* — a bounded
+set — so driver bookkeeping is O(keys · observed buckets) metadata.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from vector_search_playground_spark.operators.radix import (
+    RADIX_SUB_BITS,
+    radix_bucket,
+)
 
 
 def exact_quantile(
@@ -42,10 +50,10 @@ def exact_quantile(
     value_col: str,
     q: float,
     *,
-    num_buckets: int = 64,
+    sub_bits: int = RADIX_SUB_BITS,
 ) -> dict[str, float]:
     """{key: exact interpolated q-quantile of value} for every key."""
-    multi = exact_quantiles(df, key_col, value_col, [q], num_buckets=num_buckets)
+    multi = exact_quantiles(df, key_col, value_col, [q], sub_bits=sub_bits)
     return {k: per[q] for k, per in multi.items()}
 
 
@@ -55,65 +63,37 @@ def exact_quantiles(
     value_col: str,
     qs: "list[float]",
     *,
-    num_buckets: int = 64,
+    sub_bits: int = RADIX_SUB_BITS,
 ) -> dict[str, dict[float, float]]:
     """{key: {q: exact interpolated quantile}} for every key and every q.
 
-    All requested quantiles share the SAME three passes (stats, histogram,
-    straddling-bucket rank): the per-key target indices are the union over
-    qs, so asking for p50+p95+p99 costs exactly what p50 alone does — the
-    rank pass just touches a couple more buckets.
+    All requested quantiles share the SAME two passes (histogram,
+    straddling-bucket rank): the per-key target indices are the union
+    over qs, so asking for p50+p95+p99 costs exactly what p50 alone
+    does — the rank pass just touches a couple more buckets.
 
     Contract: the key domain is bounded (profiling columns, metric names —
-    never a data-scale id); values must be non-null doubles.
+    never a data-scale id); values must be non-null finite doubles.
     """
-    stats = {
-        r["k"]: (r["n"], r["mn"], r["mx"])
-        for r in df.groupBy(F.col(key_col).alias("k"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min(F.col(value_col).cast("double")).alias("mn"),
-            F.max(F.col(value_col).cast("double")).alias("mx"),
-        )
-        .collect()
-    }
-    if not stats:
+    bucketed = df.select(
+        F.col(key_col).alias("k"),
+        F.col(value_col).cast("double").alias("v"),
+        radix_bucket(F.col(value_col), sub_bits=sub_bits).alias("b"),
+    )
+    hist: dict[str, dict[int, int]] = {}
+    for r in (
+        bucketed.groupBy("k", "b").agg(F.count(F.lit(1)).alias("n")).collect()
+    ):
+        hist.setdefault(r["k"], {})[r["b"]] = r["n"]
+    if not hist:
         return {}
 
-    mn_map = F.create_map(
-        *[F.lit(x) for k, (_, mn, _) in stats.items() for x in (k, mn)]
-    )
-    mx_map = F.create_map(
-        *[F.lit(x) for k, (_, _, mx) in stats.items() for x in (k, mx)]
-    )
-    k_expr = F.col(key_col)
-    # width_bucket is 1-based; values == max land in bucket B+1 → clamp.
-    # A key with min == max has no bucket width — every value goes to 1.
-    bucket = F.when(mn_map[k_expr] == mx_map[k_expr], F.lit(1)).otherwise(
-        F.least(
-            F.width_bucket(
-                F.col(value_col).cast("double"),
-                mn_map[k_expr],
-                mx_map[k_expr],
-                F.lit(num_buckets),
-            ),
-            F.lit(num_buckets),
-        )
-    ).alias("b")
-    bucketed = df.select(
-        k_expr.alias("k"), F.col(value_col).cast("double").alias("v"), bucket
-    )
-    hist = {
-        (r["k"], r["b"]): r["n"]
-        for r in bucketed.groupBy("k", "b")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-
     # global index -> (bucket, local index) per key, from cumulative
-    # counts; indices are the UNION over all requested quantiles
+    # counts over the ASCENDING observed buckets (radix ids are monotone
+    # in value); indices are the UNION over all requested quantiles
+    counts = {k: sum(per.values()) for k, per in hist.items()}
     needed: dict[str, dict[int, tuple[int, int]]] = {}
-    for k, (n, _, _) in stats.items():
+    for k, n in counts.items():
         idxs: set[int] = set()
         for q in qs:
             t = (n - 1) * q
@@ -123,8 +103,8 @@ def exact_quantiles(
                 idxs.add(lo + 1)
         cum = 0
         per_key = {}
-        for b in range(1, num_buckets + 1):
-            cnt = hist.get((k, b), 0)
+        for b in sorted(hist[k]):
+            cnt = hist[k][b]
             for gi in idxs:
                 if cum <= gi < cum + cnt:
                     per_key[gi] = (b, gi - cum)
@@ -157,7 +137,7 @@ def exact_quantiles(
         picked[(r["k"], local_wanted[(r["k"], r["b"], r["r"])])] = r["v"]
 
     out: dict[str, dict[float, float]] = {}
-    for k, (n, _, _) in stats.items():
+    for k, n in counts.items():
         per_q: dict[float, float] = {}
         for q in qs:
             t = (n - 1) * q

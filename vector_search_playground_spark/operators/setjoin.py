@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from vector_search_playground_spark.operators.cachectl import track
+
 
 def jaccard_join(
     shingled: DataFrame,
@@ -42,8 +44,10 @@ def jaccard_join(
     Returns (a_id, b_id, jaccard) — exact, oracle-checkable.
     """
     # shingled feeds four subtrees (frequency count, prefix ranking, both
-    # verify sides) — persist or each one re-tokenizes the corpus
-    shingled = shingled.persist()
+    # verify sides) — persist or each one re-tokenizes the corpus.
+    # Cache ownership: operators/cachectl (explicit storage level;
+    # caller releases after consuming the result)
+    shingled = track(shingled)
     ex = shingled.select(
         "doc_id", F.size("shingles").alias("n"),
         F.explode_outer("shingles").alias("shingle"),  # non-empty by
@@ -79,10 +83,11 @@ def jaccard_join(
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= prefix_len)
         .select("doc_id", "n", "rk", "shingle")
-        # both sides of the candidate self-join read this relation:
-        # persist or the freq-join + rank-window pipeline runs twice
-        .persist()
     )
+    # both sides of the candidate self-join read this relation: persist
+    # or the freq-join + rank-window pipeline runs twice (cachectl
+    # ownership contract, as above)
+    prefixes = track(prefixes)
 
     a = prefixes.select(
         F.col("doc_id").alias("a_id"), F.col("n").alias("an"),
