@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from vector_search_playground_spark.operators.radix import (
     RADIX_SUB_BITS,
+    bucket_bounds_py,
     radix_bucket,
 )
 
@@ -111,30 +112,73 @@ def exact_quantiles(
             cum += cnt
         needed[k] = per_key
 
-    wanted_pairs = {
-        (k, b) for k, per in needed.items() for b, _ in per.values()
-    }
+    # Pass 2 carries NO radix tree: the needed bucket ids are inverted
+    # driver-side to exact double intervals (radix.bucket_bounds_py —
+    # nextafter-corrected, so subnormal-boundary rounding cannot leak a
+    # neighboring value in or out) and the straddling rows are selected
+    # with plain range compares on ``v``. This keeps the pass-2 plan
+    # SMALL: an earlier pass-2 that re-evaluated radix_bucket in the
+    # filter handed janino a fat whole-stage source on every kernel
+    # call (~0.5 s/call of codegen compile — dwarfing the probe pass
+    # the fusion saves). Adjacent needed buckets merge into one range;
+    # ranks then run within the key's filtered union, whose per-bucket
+    # offsets fall out of the same histogram.
+    ranges: dict[str, list[tuple[float, float]]] = {}
+    for k, per in needed.items():
+        bs = sorted({b for b, _ in per.values()})
+        runs: list[list[int]] = []
+        for b in bs:
+            if runs and b == runs[-1][1] + 1:
+                runs[-1][1] = b
+            else:
+                runs.append([b, b])
+        ranges[k] = [
+            (
+                bucket_bounds_py(b0, sub_bits=sub_bits)[0],
+                bucket_bounds_py(b1, sub_bits=sub_bits)[1],
+            )
+            for b0, b1 in runs
+        ]
+    k_expr, v_expr = F.col("k"), F.col("v")
     cond = F.lit(False)
-    for k, b in wanted_pairs:
-        cond = cond | ((F.col("k") == k) & (F.col("b") == b))
-    w = Window.partitionBy("k", "b").orderBy("v")
-    ranked = bucketed.where(cond).withColumn(
-        "r", F.row_number().over(w) - 1
-    )
-    local_wanted = {
-        (k, b, li): gi
-        for k, per in needed.items()
-        for gi, (b, li) in per.items()
-    }
-    pick_cond = F.lit(False)
-    for k, b, li in local_wanted:
-        pick_cond = pick_cond | (
-            (F.col("k") == k) & (F.col("b") == b) & (F.col("r") == li)
+    for i in range(max(len(rs) for rs in ranges.values())):
+        lo_map = F.create_map(
+            *[
+                F.lit(x)
+                for k, rs in ranges.items()
+                if len(rs) > i
+                for x in (k, rs[i][0])
+            ]
         )
+        hi_map = F.create_map(
+            *[
+                F.lit(x)
+                for k, rs in ranges.items()
+                if len(rs) > i
+                for x in (k, rs[i][1])
+            ]
+        )
+        cond = cond | ((v_expr >= lo_map[k_expr]) & (v_expr < hi_map[k_expr]))
+    vals = df.select(
+        F.col(key_col).alias("k"), F.col(value_col).cast("double").alias("v")
+    )
+    w = Window.partitionBy("k").orderBy("v")
+    ranked = vals.where(cond).withColumn("r", F.row_number().over(w) - 1)
+    # global index -> rank within the key's FILTERED union: rows of
+    # included buckets below gi's bucket, plus gi's local index
+    want: dict[tuple[str, int], int] = {}  # (k, filtered_rank) -> gi
+    for k, per in needed.items():
+        bs = sorted({b for b, _ in per.values()})
+        for gi, (b, li) in per.items():
+            fr = sum(hist[k][b2] for b2 in bs if b2 < b) + li
+            want[(k, fr)] = gi
+    pick_cond = F.lit(False)
+    for k, fr in want:
+        pick_cond = pick_cond | ((F.col("k") == k) & (F.col("r") == fr))
     # ≤ 2 rows per key reach the driver — the selected values, not data
     picked: dict[tuple[str, int], float] = {}
     for r in ranked.where(pick_cond).collect():
-        picked[(r["k"], local_wanted[(r["k"], r["b"], r["r"])])] = r["v"]
+        picked[(r["k"], want[(r["k"], r["r"])])] = r["v"]
 
     out: dict[str, dict[float, float]] = {}
     for k, n in counts.items():
