@@ -299,6 +299,10 @@ def main() -> None:
         stats: dict = {}
         if qid in registry.ORACLES:
             compare(df, con, registry.ORACLES[qid], qid)  # raises on mismatch
+            # normalized executed plan, so strategy-pinning assertions
+            # (e.g. join_fuzzy_blocked's ShuffledHashJoin bounded-build
+            # certificate) check the plan that actually ran
+            stats["plan"] = normalized_plan(df)
         else:
             # rows-only ID: in-row quality certificate + content digest
             # (the parent test compares the digest against its own

@@ -155,20 +155,26 @@ def edit_distance_pairs(
     idx = idx.unionByName(tiny)
     probe = probe.unionByName(tiny)
 
-    # candidate and verify joins carry NO strategy hints (r15; r14
-    # shipped shuffle_hash hints here and the jaccard kernel's r14
-    # in-session A/B showed such hints are over-correction once the
-    # persisted relation carries honest size stats): at fixture scale
-    # the planner broadcasts the genuinely small sides; at 100 TB the
-    # same honest sizes exceed the broadcast threshold and the planner
-    # falls back to shuffle joins keyed on (l, i, seg) / pair ids —
-    # and the sort-merge fallback spills gracefully under memory
-    # pressure, which the forced-spill certificate
-    # (tests/test_scale_stress.py) exercises with broadcasts disabled.
+    # All three joins are hinted shuffle_hash — re-measured in r15
+    # after trying the jaccard kernel's no-hints discipline here, and
+    # the hints WON both times (isolated min-of-5, same box,
+    # back-to-back: all-hints 2.97 s, candidate-hint-only 4.66 s,
+    # no hints 4.07 s at sf0.1): unlike jaccard's vocabulary-sized
+    # freq side, every relation here is corpus-derived, and the
+    # post-explode size estimates are garbage — without hints the
+    # static planner was observed broadcasting the ~800k-row probe
+    # expansion. Under the forced-spill certificate's no-broadcast
+    # probe these joins stay SHJ, whose pressure story is BOUNDED
+    # per-partition build memory rather than a sort spill; the
+    # certificate (tests/test_scale_stress.py) pins exactly that:
+    # plan = ShuffledHashJoin ×3, peak execution memory bounded,
+    # result oracle-equal under pressure.
     pair = (
         idx.select(F.col("doc_id").alias("x_id"), "l", "i", "seg")
         .join(
-            probe.select(F.col("doc_id").alias("y_id"), "l", "i", "seg"),
+            probe.select(
+                F.col("doc_id").alias("y_id"), "l", "i", "seg"
+            ).hint("shuffle_hash"),
             ["l", "i", "seg"],
         )
         .where(F.col("x_id") != F.col("y_id"))
@@ -185,8 +191,8 @@ def edit_distance_pairs(
         F.col("doc_id").alias("b_id"), F.col("name").alias("b_name")
     )
     return (
-        pair.join(n1, "a_id")
-        .join(n2, "b_id")
+        pair.join(n1.hint("shuffle_hash"), "a_id")
+        .join(n2.hint("shuffle_hash"), "b_id")
         .withColumn("dist", F.levenshtein("a_name", "b_name"))
         .where(F.col("dist") <= D)
         .select("a_id", "b_id", F.col("dist").cast("long").alias("dist"))
